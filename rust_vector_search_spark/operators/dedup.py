@@ -1,0 +1,321 @@
+"""Deduplication operators — exact (the reference's O3) plus the
+near-duplicate family a large-scale training-data pipeline needs
+(MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine).
+
+Reference mapping: exact dedup at ``/root/reference/src/lib.rs:64-79``
+drops vectors whose full f32 bit pattern was already seen, keeping the
+FIRST occurrence (modulo its off-by-one quirk at ``src/lib.rs:71`` which
+skips row 0 — deliberately NOT reproduced, SURVEY §1.5.1). Spark compares
+float arrays by value, so "first occurrence wins" is a min-id-per-group,
+one shuffle, no bit-pattern key needed (``src/vector.rs:25-31`` exists
+only because f32 isn't Hash in Rust).
+
+Scale design notes:
+  - exact dedup: single hash-aggregate shuffle on the dedup key; Spark
+    does map-side partial aggregation automatically.
+  - MinHash/SimHash: signatures are computed map-side from md5 (a
+    deterministic, engine-portable hash); the LSH band join shuffles only
+    (id, band_key) pairs — tiny vs the documents themselves. Candidate
+    verification joins back to shingle sets only for candidate pairs.
+  - all similarity joins avoid the quadratic cross join: candidates come
+    from band/bucket equi-joins; the exact-pair verify is bounded by the
+    candidate count, and AQE's skew-join splitting handles hot buckets
+    (stop-shingle-like skew).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
+
+from ..functions.vector import cosine_sim
+
+__all__ = [
+    "exact_dedup",
+    "exact_dedup_text",
+    "word_shingles",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_join",
+    "simhash",
+    "simhash_near_dup_pairs",
+    "embedding_cosine_pairs",
+]
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], id_col: str
+) -> DataFrame:
+    """First-occurrence-wins exact dedup (O3, ``src/lib.rs:64-79``):
+    keeps the row with the smallest id per duplicate group. Implemented
+    as min-id-per-group + semi-join rather than ``dropDuplicates`` so
+    WHICH duplicate survives is pinned (dropDuplicates keeps an
+    arbitrary row — not oracle-reproducible)."""
+    survivors = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(survivors, [*key_cols, id_col], "left_semi")
+
+
+def exact_dedup_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact text dedup by md5 digest — the content-hash form used at
+    corpus scale (hash first so the shuffle key is 32 bytes, not the
+    document body)."""
+    keyed = docs.withColumn("_h", F.md5(F.col(text_col)))
+    survivors = keyed.groupBy("_h").agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dupes")
+    )
+    return survivors.select(id_col, "n_dupes", F.col("_h").alias("content_md5"))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a whitespace-tokenized text.
+    Pure HOF expression (no UDF): sequence over word positions →
+    concat_ws of the n-window."""
+    words = F.split(text, " ")
+    if n == 1:
+        return F.array_distinct(words)
+    idx = F.sequence(F.lit(0), F.size(words) - F.lit(n))
+    shingled = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+    # guard: sequence(0, negative) would count DOWN in Spark; short docs
+    # get an empty shingle set instead
+    return F.when(F.size(words) >= n, shingled).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures: sig_j = min over shingles of md5(j ":" shingle).
+
+    Taking the lexicographic min of a salted md5 is an order-preserving
+    proxy for a random permutation — and unlike murmur/xxhash it is
+    bit-identical in every engine, which is what makes the LSH pipeline
+    oracle-checkable. Returns (id, shingles, sig_0..sig_{n-1})."""
+    sh = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    ).filter(F.size("shingles") > 0)  # docs too short to shingle have no signature
+    def _salted(j: int):
+        # NB: a 2-param lambda would make Spark pass the ARRAY INDEX as the
+        # second arg (transform's optional index form) — bind j via closure
+        salt = f"{j}:"
+        return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+    sigs = [
+        F.array_min(F.transform(F.col("shingles"), _salted(j))).alias(f"sig_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.select(F.col(id_col), F.col("shingles"), *sigs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs with exact-Jaccard
+    verification. Band keys are md5 over each band's signature rows; docs
+    sharing ANY band key become candidates (banded LSH); candidates are
+    then verified with exact shingle-set Jaccard.
+
+    Returns (doc_id_a, doc_id_b, jaccard_est, jaccard) for candidate
+    pairs. Shuffle volume: |docs|·bands band keys + candidate pairs only
+    — never the quadratic pair space."""
+    rows = num_hashes // bands
+    sig = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n)
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]))
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.col("shingles"),
+                        F.posexplode(band_keys).alias("band", "band_key"))
+    left = banded.select(
+        F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("sh_a"),
+        "band", "band_key",
+    )
+    right = banded.select(
+        F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("sh_b"),
+        "band", "band_key",
+    )
+    cand = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return cand.select(
+        "doc_id_a",
+        "doc_id_b",
+        (inter / union).alias("jaccard"),
+    )
+
+
+def ngram_jaccard_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via inverted index: explode
+    shingles, equi-join on shingle, count co-occurrences, J = |∩|/|∪|.
+
+    The inverted-index join only materializes pairs sharing ≥1 shingle —
+    the sparse-overlap structure a cross join ignores. Hot shingles
+    (stopwords) are the skew risk at scale: mitigations are a document-
+    frequency cap on shingles (drop shingles in >X% of docs) + AQE."""
+    sh = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
+    )
+    sizes = sh.select(F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh"))
+    tok = sizes.select(F.col(id_col), F.col("n_sh"), F.explode("shingles").alias("s"))
+    a = tok.select(F.col(id_col).alias("doc_id_a"), F.col("n_sh").alias("n_a"), "s")
+    b = tok.select(F.col(id_col).alias("doc_id_b"), F.col("n_sh").alias("n_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = inter.select(
+        "doc_id_a",
+        "doc_id_b",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+        ).alias("jaccard"),
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+_HEX = "0123456789abcdef"
+
+
+def _md5_32bit(c: Column) -> Column:
+    """First 8 hex chars of md5 → BIGINT in [0, 2^32) — an engine-portable
+    32-bit hash (DuckDB twin: instr-based hex digit decode)."""
+    hex8 = F.substring(F.md5(c), 1, 8)
+    val = F.lit(0).cast("long")
+    for i in range(8):
+        digit = (
+            F.position(F.substring(hex8, i + 1, 1), F.lit(_HEX)).cast("long") - 1
+        )
+        val = val * 16 + digit
+    return val
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """32-bit SimHash over distinct words: bit i of the fingerprint is the
+    sign of Σ_words (word_hash_bit_i ? +1 : −1). Map-side explode + one
+    groupBy(id) — the classic near-dup fingerprint at corpus scale.
+    Returns (id, simhash BIGINT)."""
+    words = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w")
+    )
+    hashed = words.select(F.col(id_col), _md5_32bit(F.col("w")).alias("h"))
+    per_bit = hashed.select(
+        F.col(id_col),
+        *[
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    agg = per_bit.groupBy(id_col).agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << i).cast("long")
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bits: int = 32,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs by pigeonhole blocking: split the fingerprint
+    into ``chunks`` byte blocks; any pair within hamming ≤ (chunks-1) per
+    block budget shares at least one exact block → candidates come from
+    ``chunks`` equi-joins on 8-bit block values, then exact hamming
+    (bit_count of xor) filters. Returns (doc_id_a, doc_id_b, hamming)."""
+    fps = simhash(docs, text_col, id_col, bits)
+    block_bits = bits // chunks
+    mask = (1 << block_bits) - 1
+    blocked = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), c * block_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("long")
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("blk", "blk_val"),
+    )
+    a = blocked.select(
+        F.col(id_col).alias("doc_id_a"), F.col("simhash").alias("h_a"), "blk", "blk_val"
+    )
+    b = blocked.select(
+        F.col(id_col).alias("doc_id_b"), F.col("simhash").alias("h_b"), "blk", "blk_val"
+    )
+    cand = (
+        a.join(b, ["blk", "blk_val"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
+    return (
+        cand.select("doc_id_a", "doc_id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefilter: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. Exact all-pairs form — the
+    CORRECTNESS baseline; the scale path buckets by IVF cell or LSH sign
+    bits first (see operators/ivf.py) so only same-bucket pairs are
+    scored. Returns (vec_id_a, vec_id_b, cos_sim ≥ threshold)."""
+    a = emb.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("v_a"))
+    b = emb.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("v_b"))
+    pairs = a.crossJoin(b).filter(F.col("vec_id_a") < F.col("vec_id_b"))
+    scored = pairs.select(
+        "vec_id_a", "vec_id_b", cosine_sim("v_a", "v_b").alias("cos_sim")
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)

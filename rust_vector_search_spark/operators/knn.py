@@ -1,0 +1,145 @@
+"""Exact k-nearest-neighbor operators — the semantic ground truth the
+reference's approximate path is measured against.
+
+Reference mapping (SURVEY §2.1):
+  - O11 exact distance re-rank: ``/root/reference/src/lib.rs:137-140``
+    (kernel ``src/vector.rs:33-36``) → `sq_euc_dist` Catalyst expression.
+  - O12 sort + top-k + id remap: ``/root/reference/src/lib.rs:142-148``
+    → ``row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id)``.
+  - O13 point query with label lookup: ``/root/reference/src/main.rs:81-93``
+    → dimension joins around the kNN core.
+  - O14 batch all-pairs top-k: ``/root/reference/src/main.rs:100-123``
+    → self-join + per-query window.
+
+Scale design: the QUERY side is broadcast (queries ≪ corpus — the
+reference shares its index read-only across rayon threads the same way,
+``src/main.rs:111-113``); the corpus side stays distributed, so the
+distance computation is embarrassingly parallel map-side work with one
+shuffle on ``query_id`` for the top-k window. Brute force is O(|Q|·|C|)
+by definition — it is the BASELINE; the sub-linear path is the RP-forest
+index (operators/index.py, operators/search.py) and IVF (operators/ivf.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
+
+from ..functions.vector import cosine_sim, sq_euc_dist
+
+__all__ = ["knn_exact", "knn_exact_cosine", "all_pairs_topk", "knn_with_labels"]
+
+
+def _topk(scored: DataFrame, k: int, order: list[Column]) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def knn_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Brute-force top-k by squared Euclidean distance.
+
+    ``queries`` must have columns (query_id, query_vec); result is
+    ``(query_id, vec_id, dist, rnk)`` with deterministic ``(dist, vec_id)``
+    tie-break (the reference's ``sort_by(partial_cmp)`` at
+    ``src/lib.rs:142`` is tie-unstable; we pin ties for oracle parity).
+    """
+    pairs = corpus.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        sq_euc_dist("query_vec", vec_col).alias("dist"),
+    )
+    return _topk(scored, k, [F.col("dist").asc(), F.col("vec_id").asc()])
+
+
+def knn_exact_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k by cosine similarity (descending) — the
+    similarity-search baseline for the embedding near-dup surface."""
+    pairs = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        cosine_sim("query_vec", vec_col).alias("cos_sim"),
+    )
+    return _topk(scored, k, [F.col("cos_sim").desc(), F.col("vec_id").asc()])
+
+
+def all_pairs_topk(
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """O14 all-pairs self-kNN (``src/main.rs:100-123``), exact form.
+
+    ``sample_mod`` mirrors the reference's subset sampling
+    (``src/main.rs:101-110``) with a DETERMINISTIC modular filter instead
+    of ``choose_multiple`` so the oracle can reproduce it. Quadratic by
+    nature — at 100 TB this exists only as the recall ground truth on
+    sampled subsets; production all-pairs goes through the index path.
+    """
+    queries = corpus.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    if sample_mod is not None:
+        queries = queries.filter(F.col("query_id") % sample_mod == 0)
+    return knn_exact(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def knn_with_labels(
+    corpus: DataFrame,
+    labels: DataFrame,
+    query_label_values: list[str],
+    k: int = 10,
+    label_key: str = "doc_id",
+    label_col: str = "text",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """O13 "visualize" (``src/main.rs:81-93``): label → id via the
+    dictionary table, kNN, then ids → labels for the results; distances
+    reported as √d like the reference's display (``src/main.rs:90``).
+
+    The reference's two HashMaps (``src/main.rs:14-15``) become equi-joins
+    against a broadcast dimension table — the idiomatic Spark shape.
+    """
+    dim = labels.select(
+        F.col(label_key).alias("query_id"), F.col(label_col).alias("query_label")
+    )
+    queries = (
+        F.broadcast(dim)
+        .filter(F.col("query_label").isin(query_label_values))
+        .join(corpus, F.col("query_id") == F.col(id_col))
+        .select("query_id", "query_label", F.col(vec_col).alias("query_vec"))
+    )
+    hits = knn_exact(corpus, queries.select("query_id", "query_vec"), k=k,
+                     id_col=id_col, vec_col=vec_col)
+    out = (
+        hits.join(F.broadcast(labels.select(F.col(label_key).alias("vec_id"),
+                                            F.col(label_col).alias("neighbor_label"))),
+                  "vec_id")
+        .withColumn("euclidean", F.sqrt(F.col("dist")))
+    )
+    return out.select("query_id", "vec_id", "neighbor_label", "dist", "euclidean", "rnk")

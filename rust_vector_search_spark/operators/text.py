@@ -1,0 +1,132 @@
+"""Text-analysis operators for the training-data-pipeline surface:
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. All pure Catalyst expressions (regexp/split/HOF) — no
+Python in the per-row path, so they run inside whole-stage codegen and
+scale as map-side work with zero shuffles (except the fingerprint's
+per-doc top-k, which is a bounded window).
+
+The reference has only a whitespace split (``/root/reference/src/main.rs:24-27``);
+this module is the SURVEY §2.2 "string functions / text analysis" surface.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
+
+__all__ = [
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "STOPWORDS_EN",
+]
+
+# tiny language-marker lexicons for the heuristic classifier; the fixture
+# corpus is synthetic English-ish word bags, real deployments swap these
+# for per-language frequency tables.
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "it"]
+_MARKERS = {
+    "en": STOPWORDS_EN,
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pas"],
+}
+
+# word-or-single-punctuation token, the BPE-ish pre-tokenizer shape
+BPE_ISH_PATTERN = r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace + regex token counts and char length per document."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars_computed"),
+        F.size(F.split(t, " ")).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_ISH_PATTERN)).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(F.split(t, " "))).cast("long").alias("n_distinct_words"),
+    )
+
+
+def _stopword_hits(words: Column, stopwords: list[str]) -> Column:
+    return F.size(
+        F.filter(words, lambda w: w.isin(*[F.lit(s) for s in stopwords]))
+    ).cast("long")
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality signals: length, mean word length, stopword
+    ratio, punctuation ratio, all-cap ratio → a composite [0,1] score.
+    Mirrors the C4/Gopher-style rule filters used on LLM training data."""
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_words = F.size(words).cast("double")
+    n_chars = F.length(t).cast("double")
+    punct = (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("double")
+    stop_hits = _stopword_hits(words, STOPWORDS_EN).cast("double")
+    mean_word_len = (n_chars - (n_words - 1)) / n_words
+    stop_ratio = stop_hits / n_words
+    punct_ratio = punct / n_chars
+    score = (
+        F.when(n_words < 5, F.lit(0.0))
+        .otherwise(
+            F.least(F.lit(1.0), n_words / F.lit(100.0)) * F.lit(0.5)
+            + F.least(F.lit(1.0), stop_ratio * F.lit(5.0)) * F.lit(0.3)
+            + (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * F.lit(10.0))) * F.lit(0.2)
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language heuristic: count per-language stopword hits,
+    argmax with deterministic (count desc, lang asc) tie-break; 'und'
+    (undetermined) when nothing matches."""
+    words = F.split(F.col(text_col), " ")
+    hits = {lang: _stopword_hits(words, ws) for lang, ws in _MARKERS.items()}
+    best_hits = F.greatest(*hits.values())
+    # fixed precedence en > de > fr on ties — trivially mirrored in SQL
+    pred = (
+        F.when(best_hits <= 0, F.lit("und"))
+        .when(hits["en"] == best_hits, F.lit("en"))
+        .when(hits["de"] == best_hits, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        F.col(id_col), pred.alias("lang_pred"), best_hits.alias("marker_hits")
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    k: int = 4,
+) -> DataFrame:
+    """Winnowing-style fingerprint: the k smallest md5 hashes of the
+    document's word n-gram shingles (a deterministic bottom-k sketch —
+    same family as the rolling-hash winnowing used for code/doc dedup).
+    Returns (id, fp_rank, fp_hash) exploded rows."""
+    from .dedup import word_shingles
+
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    hashed = sh.select(F.col(id_col), F.md5(F.col("s")).alias("fp_hash")).dropDuplicates(
+        [id_col, "fp_hash"]
+    )
+    w = Window.partitionBy(id_col).orderBy("fp_hash")
+    return (
+        hashed.withColumn("fp_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fp_rank") <= k)
+        .select(id_col, "fp_rank", "fp_hash")
+    )

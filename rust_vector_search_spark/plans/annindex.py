@@ -1,0 +1,124 @@
+"""ANN-index queries: the RP-forest path (reference parity, recall-
+checked) and the deterministic IVF path (oracle-checked value-for-value).
+
+The RP forest uses seeded xxhash64 pivot draws — deterministic across
+runs of THIS engine but not expressible in DuckDB SQL, so its entries
+register without an oracle (the driver records a rows-only check; recall
+vs exact kNN is asserted in tests/test_ann.py, mechanizing the quality
+pass the reference only prints, ``/root/reference/src/main.rs:95-123``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.index import build_rp_forest
+from ..operators.ivf import ivf_search
+from ..operators.knn import knn_exact
+from ..operators.search import search_rp_forest
+from ..session import ensure_deterministic_session
+from ..sources import load_table
+from .registry import dd_sq_euc, register
+
+K = 10
+N_QUERIES = 10
+STRIDE = 20
+NPROBE = 3
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_deterministic_session(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _queries(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+# --- IVF: deterministic, fully oracle-checked ANN ----------------------------
+
+_CDIST = dd_sq_euc("e.embedding", "c.cv")
+_QDIST = dd_sq_euc("q.qv", "c.cv")
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id % {STRIDE} = 0),
+assign AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT e.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_CDIST}, c.c_id) AS crn
+    FROM embeddings e, cent c) t
+  WHERE crn = 1),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}),
+qc AS (
+  SELECT query_id, c_id AS cell FROM (
+    SELECT q.query_id, c.c_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_QDIST}, c.c_id) AS crn
+    FROM q, cent c) t
+  WHERE crn <= {NPROBE}),
+cand AS (SELECT DISTINCT qc.query_id, a.vec_id FROM qc JOIN assign a ON qc.cell = a.cell),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         {dd_sq_euc("q.qv", "e.embedding")} AS dist
+  FROM cand c
+  JOIN q ON c.query_id = q.query_id
+  JOIN embeddings e ON c.vec_id = e.vec_id
+  WHERE c.vec_id <> c.query_id)
+SELECT query_id, vec_id, dist, rnk FROM (
+  SELECT query_id, vec_id, dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist, vec_id) AS BIGINT) AS rnk
+  FROM scored) t
+WHERE rnk <= {K}
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe: deterministic centroids (every {STRIDE}-th id), nearest-
+    cell assignment, nprobe-cell candidate join, exact re-rank — an
+    approximate-ANN plan whose every step the oracle replays exactly."""
+    emb = _emb(spark, sf_dir)
+    return ivf_search(
+        emb, _queries(emb), k=K, stride=STRIDE, nprobe=NPROBE
+    ).select("query_id", "vec_id", "dist", "rnk")
+
+
+# --- RP forest: reference-parity path (rows-only + recall tests) --------------
+
+@register("ann_rp_forest_topk")
+def ann_rp_forest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k through the Annoy-style forest (O8→O9→O10→O12,
+    ``src/lib.rs:81-149``): 16 trees, leaf ≤ 32, seed 42."""
+    emb = _emb(spark, sf_dir)
+    forest = build_rp_forest(emb, num_trees=16, max_node_size=32, seed=42)
+    return search_rp_forest(forest, emb, _queries(emb), k=K).select(
+        "query_id", "vec_id", "dist", "rnk"
+    )
+
+
+@register("ann_rp_forest_recall")
+def ann_rp_forest_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the forest path vs exact kNN — mechanizes the
+    reference's printed-only quality pass (``src/main.rs:95-123``).
+    Returns one row (n_queries, mean_recall)."""
+    emb = _emb(spark, sf_dir)
+    q = _queries(emb)
+    forest = build_rp_forest(emb, num_trees=16, max_node_size=32, seed=42)
+    approx = search_rp_forest(forest, emb, q, k=K).select("query_id", "vec_id")
+    exact = knn_exact(emb, q, k=K).select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    per_q = hits.groupBy("query_id").agg(
+        (F.count(F.lit(1)).cast("double") / F.lit(float(K))).alias("recall")
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.avg("recall").alias("mean_recall"),
+    )

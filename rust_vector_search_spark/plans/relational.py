@@ -1,0 +1,483 @@
+"""Relational-shell queries over the TPC-H-ish star schema + events —
+SURVEY §2.2's scans/filters/joins/aggregations/windows/sets/rollup/JSON/
+time surface. Each query is declarative DataFrame code (Catalyst handles
+pushdown, pruning, join selection — broadcast hints are given where the
+dimension side is known-small, mirroring what a 100 TB deployment needs).
+
+The reference has no relational layer (SURVEY §2.3); this is the engine
+shell around its vector core, exercised against full DuckDB SQL oracles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from ..session import ensure_deterministic_session
+from ..sources import load_table
+from .registry import davg, dd_avg, dd_sum, dsum, register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_deterministic_session(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q1: pricing summary (scan + filter + hash agg, partial+final) ---------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       {sum_qty} AS sum_qty,
+       {sum_base} AS sum_base_price,
+       {sum_disc} AS sum_disc_price,
+       {sum_charge} AS sum_charge,
+       {avg_qty} AS avg_qty,
+       {avg_price} AS avg_price,
+       {avg_disc} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""".format(
+        sum_qty=dd_sum("l_quantity"),
+        sum_base=dd_sum("l_extendedprice"),
+        sum_disc=dd_sum("l_extendedprice * (1.0 - l_discount)", 6),
+        sum_charge=dd_sum("(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)", 6),
+        avg_qty=dd_avg("l_quantity"),
+        avg_price=dd_avg("l_extendedprice"),
+        avg_disc=dd_avg("l_discount"),
+    ),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dsum(disc_price, 6).alias("sum_disc_price"),
+        dsum(charge, 6).alias("sum_charge"),
+        davg(F.col("l_quantity")).alias("avg_qty"),
+        davg(F.col("l_extendedprice")).alias("avg_price"),
+        davg(F.col("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --- Q3: shipping priority (3-way join + agg + deterministic top-k) --------
+
+@register(
+    "q3_top_unshipped_orders",
+    oracle=f"""
+SELECT l_orderkey,
+       {dd_sum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(revenue, 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+# --- Q5-ish: revenue by nation within a region (5-way join) ----------------
+
+@register(
+    "q5_region_nation_revenue",
+    oracle=f"""
+SELECT n_name,
+       {dd_sum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+)
+def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, 6).alias("revenue"))
+    )
+
+
+# --- Q6: forecast revenue change (pure filter + scalar agg) ----------------
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+SELECT {dd_sum("l_extendedprice * l_discount", 6)} AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --- Q10-ish: returned-item customer ranking -------------------------------
+
+@register(
+    "q10_returned_item_customers",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       {dd_sum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+       COUNT(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum(revenue, 6).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_items")
+    )
+
+
+# --- window: top-3 orders per customer (O12's window pattern) ---------------
+
+@register(
+    "top3_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+  FROM orders) t
+WHERE rnk <= 3
+""",
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+# --- anti join: parts never ordered -----------------------------------------
+
+@register(
+    "parts_never_bulk_ordered",
+    oracle="""
+SELECT p_partkey, p_name FROM part
+WHERE p_partkey NOT IN
+  (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48.0)
+""",
+)
+def parts_never_bulk_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    bulk = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48.0)
+    return part.join(
+        bulk, part.p_partkey == bulk.l_partkey, "left_anti"
+    ).select("p_partkey", "p_name")
+
+
+# --- semi join: customers with at least one open-status order ---------------
+
+@register(
+    "customers_with_open_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+""",
+)
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+# --- rollup ------------------------------------------------------------------
+
+@register(
+    "rollup_returnflag_status",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       {dd_sum("l_quantity")} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+# --- set ops: union/except over customer segments ---------------------------
+
+@register(
+    "setop_customers_without_highvalue_orders",
+    oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000.0
+""",
+)
+def setop_customers_without_highvalue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    hi = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.subtract(hi)  # EXCEPT (distinct) semantics, matching the SQL
+
+
+# --- deterministic pseudo-sampling (O15, oracle-reproducible) ---------------
+
+@register(
+    "modhash_sample_lineitem",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE ((l_orderkey * 2654435761 + l_linenumber) % 97) < 5
+""",
+)
+def modhash_sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15 query sampling (``src/main.rs:67-72`` uses choose_multiple);
+    deterministic multiplicative-hash filter so both engines draw the
+    SAME sample — seeded sampling is engine-specific, modular hashing
+    is not. Same map-side-only shape, scales trivially."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        ((F.col("l_orderkey") * F.lit(2654435761).cast("long") + F.col("l_linenumber"))
+         % 97) < 5
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+# --- events: JSON extraction -------------------------------------------------
+
+@register(
+    "events_json_extract_agg",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- events: tumbling time window -------------------------------------------
+
+@register(
+    "events_hourly_window",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {dd_sum("value", 6)} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), 6).alias("sum_value"),
+    )
+
+
+# --- events: sliding time window (1h window, 30m slide) ---------------------
+
+@register(
+    "events_sliding_window",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT make_timestamp(
+           (epoch_us(ts) // 1800000000) * 1800000000) AS s0,
+         value
+  FROM events),
+exploded AS (
+  SELECT unnest([s0, s0 - INTERVAL 30 MINUTE]) AS window_start, value
+  FROM bucketed)
+SELECT window_start, COUNT(*) AS n_events, {dd_sum("value", 6)} AS sum_value
+FROM exploded
+GROUP BY window_start
+""",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min via F.window — each event lands
+    in exactly 2 windows. The oracle reproduces window-start assignment
+    arithmetic explicitly."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.start.alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+# --- events: sessionization (gap > 30 min ⇒ new session) --------------------
+
+@register(
+    "events_sessionization",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM flagged
+GROUP BY user_id
+""",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization — the batch twin of the streaming
+    session-window operator (streaming/ has the readStream form)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # compare in microseconds — full timestamp precision, like the oracle's
+    # INTERVAL comparison (cast-to-long would truncate to seconds)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 30 * 60 * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --- grouping-sets style distinct counting -----------------------------------
+
+@register(
+    "events_user_activity_distinct",
+    oracle="""
+SELECT user_id,
+       COUNT(DISTINCT event_type) AS n_types,
+       COUNT(*) AS n_events,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+""",
+)
+def events_user_activity_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

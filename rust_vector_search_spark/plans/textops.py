@@ -1,0 +1,308 @@
+"""Text-analysis + dedup-family queries over `documents` — the
+LLM-training-data-pipeline surface (SURVEY §2.2 string functions; BASELINE
+north star). Every query here is oracle-checked: the portable hash for
+all sketching is md5 (bit-identical across engines), so even MinHash-LSH
+and SimHash near-dup joins get full value-hash verification.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import (
+    exact_dedup_text,
+    minhash_lsh_pairs,
+    ngram_jaccard_join,
+    simhash_near_dup_pairs,
+)
+from ..operators.text import (
+    BPE_ISH_PATTERN,
+    STOPWORDS_EN,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from ..session import ensure_deterministic_session
+from ..sources import load_table
+from .registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_deterministic_session(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+_DE_SQL = "['der', 'die', 'das', 'und', 'ist', 'ein', 'nicht', 'zu']"
+_FR_SQL = "['le', 'la', 'les', 'et', 'est', 'un', 'une', 'pas']"
+
+_TRIGRAMS_CTE = """
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM words WHERE len(w) >= 3)
+"""
+
+
+# --- token statistics ---------------------------------------------------------
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_computed,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words
+FROM documents
+""",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir))
+
+
+# --- quality scoring ----------------------------------------------------------
+
+@register(
+    "doc_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         CAST(length(text) AS DOUBLE)
+           - CAST(length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+           AS punct,
+         CAST(len(list_filter(string_split(text, ' '),
+              w -> list_contains({_STOP_LIST_SQL}, w))) AS DOUBLE) AS stop_hits
+  FROM documents)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       (n_chars - (n_words - 1)) / n_words AS mean_word_len,
+       stop_hits / n_words AS stopword_ratio,
+       punct / n_chars AS punct_ratio,
+       CASE WHEN n_words < 5 THEN 0.0 ELSE
+         least(CAST(1.0 AS DOUBLE), n_words / 100.0) * 0.5
+         + least(CAST(1.0 AS DOUBLE), (stop_hits / n_words) * 5.0) * 0.3
+         + (1.0 - least(CAST(1.0 AS DOUBLE), (punct / n_chars) * 10.0)) * 0.2
+       END AS quality_score
+FROM t
+""",
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir))
+
+
+# --- language-ID heuristic ------------------------------------------------------
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text,' '),
+              w -> list_contains({_STOP_LIST_SQL}, w))) AS BIGINT) AS h_en,
+         CAST(len(list_filter(string_split(text,' '),
+              w -> list_contains({_DE_SQL}, w))) AS BIGINT) AS h_de,
+         CAST(len(list_filter(string_split(text,' '),
+              w -> list_contains({_FR_SQL}, w))) AS BIGINT) AS h_fr
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN greatest(h_en, h_de, h_fr) <= 0 THEN 'und'
+            WHEN h_en = greatest(h_en, h_de, h_fr) THEN 'en'
+            WHEN h_de = greatest(h_en, h_de, h_fr) THEN 'de'
+            ELSE 'fr' END AS lang_pred,
+       greatest(h_en, h_de, h_fr) AS marker_hits
+FROM h
+""",
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+# --- document fingerprint (bottom-k sketch) -------------------------------------
+
+@register(
+    "doc_fingerprint_bottom4",
+    oracle=f"""
+WITH {_TRIGRAMS_CTE},
+hashed AS (
+  SELECT DISTINCT doc_id, md5(s.s) AS fp_hash
+  FROM sh, unnest(sh.shingles) AS s(s))
+SELECT doc_id, fp_rank, fp_hash FROM (
+  SELECT doc_id, fp_hash,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY fp_hash) AS BIGINT)
+           AS fp_rank
+  FROM hashed) t
+WHERE fp_rank <= 4
+""",
+)
+def doc_fingerprint_bottom4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(_docs(spark, sf_dir), shingle_n=3, k=4)
+
+
+# --- exact text dedup ------------------------------------------------------------
+
+@register(
+    "dedup_exact_text",
+    oracle="""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes, md5(text) AS content_md5
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def dedup_exact_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_text(_docs(spark, sf_dir))
+
+
+# --- MinHash + LSH near-duplicate pairs -------------------------------------------
+
+_NUM_HASHES = 16
+_SIGS_SQL = ", ".join(
+    f"list_min(list_transform(shingles, s -> md5('{j}:' || s)))"
+    for j in range(_NUM_HASHES)
+)
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+WITH {_TRIGRAMS_CTE},
+sig AS (SELECT doc_id, shingles, [{_SIGS_SQL}] AS sigs FROM sh),
+banded AS (
+  SELECT doc_id,
+         generate_subscripts(sigs, 1) AS band,
+         unnest(list_transform(sigs, x -> md5(x))) AS band_key
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT c.doc_id_a, c.doc_id_b,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       / (CAST(len(sa.shingles) + len(sb.shingles) AS DOUBLE)
+          - CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE))
+         AS jaccard
+FROM cand c
+JOIN sig sa ON c.doc_id_a = sa.doc_id
+JOIN sig sb ON c.doc_id_b = sb.doc_id
+""",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 hashes) + LSH(16 bands × 1 row — tuned for the low
+    natural Jaccard of the synthetic corpus) candidate pairs with exact
+    shingle-Jaccard verification. The md5-as-permutation trick keeps the
+    whole pipeline engine-portable and oracle-checkable."""
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=_NUM_HASHES, bands=_NUM_HASHES, shingle_n=3
+    )
+
+
+# --- exact n-gram Jaccard similarity join -------------------------------------------
+
+@register(
+    "ngram_jaccard_similar_docs",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_sh,
+         unnest(list_distinct(string_split(text, ' '))) AS s
+  FROM documents),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_inter
+  FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_id_a, doc_id_b,
+       CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+FROM inter
+WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.8
+""",
+)
+def ngram_jaccard_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard similarity join via inverted index (no cross
+    join; candidates share ≥1 token)."""
+    return ngram_jaccard_join(_docs(spark, sf_dir), shingle_n=1, threshold=0.8)
+
+
+# --- SimHash near-duplicate pairs ------------------------------------------------
+
+_HEXVAL = "(strpos('0123456789abcdef', substr(h8, {i}, 1)) - 1)"
+_VAL_SQL = " + ".join(
+    f"{_HEXVAL.format(i=i + 1)} * {16 ** (7 - i)}" for i in range(8)
+)
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+  FROM documents),
+hv AS (SELECT doc_id, substr(md5(word), 1, 8) AS h8 FROM w),
+v AS (SELECT doc_id, CAST({_VAL_SQL} AS BIGINT) AS val FROM hv),
+bits AS (
+  SELECT doc_id, val, unnest(range(0, 32)) AS bit FROM v),
+s AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (val >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS sc
+  FROM bits GROUP BY 1, 2),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN sc > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM s GROUP BY doc_id),
+blocked AS (
+  SELECT doc_id, simhash,
+         generate_subscripts(blks, 1) AS blk, unnest(blks) AS blk_val
+  FROM (SELECT doc_id, simhash,
+               [simhash & 255, (simhash >> 8) & 255,
+                (simhash >> 16) & 255, (simhash >> 24) & 255] AS blks
+        FROM fp) t),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         a.simhash AS h_a, b.simhash AS h_b
+  FROM blocked a JOIN blocked b
+    ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id)
+SELECT doc_id_a, doc_id_b,
+       CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(h_a, h_b)) <= 1
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash near-dup pairs with pigeonhole (4×8-bit block)
+    blocking — hamming ≤ 1 pairs (the synthetic corpus has very similar word sets, so the tight radius keeps the output meaningfully 'near-duplicate')."""
+    return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=1)
+
+
+# --- multimodal: binary payload + mapInPandas feature extraction -----------------
+
+@register(
+    "multimodal_binary_features",
+    oracle="""
+WITH sums AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(list_reduce(
+           list_transform(range(1, length(text) + 1),
+                          i -> ascii(substr(text, CAST(i AS INTEGER), 1))),
+           (x, y) -> x + y) AS BIGINT) AS byte_sum
+  FROM documents)
+SELECT doc_id, n_bytes, byte_sum,
+       byte_sum / n_bytes AS mean_byte,
+       'text/plain' AS format
+FROM sums
+""",
+)
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents → opaque BINARY payload
+    column → Arrow-batched mapInPandas feature extraction (the decode
+    step is a deterministic byte-level stub — see operators/multimodal.py
+    — so the whole pipeline stays oracle-checkable)."""
+    from ..operators.multimodal import attach_binary_payload, extract_binary_features
+
+    docs = _docs(spark, sf_dir)
+    return extract_binary_features(attach_binary_payload(docs))

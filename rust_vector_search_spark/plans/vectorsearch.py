@@ -1,0 +1,255 @@
+"""Vector-search queries — the reference's actual computational surface
+(SURVEY §2.1 O3, O11–O14) plus the embedding-similarity extensions, each
+with a bit-exact DuckDB oracle (distances fold in DOUBLE sequentially on
+both engines; see plans/registry.py for the portability contract).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.vector import l2_norm, sq_euc_dist
+from ..operators.dedup import embedding_cosine_pairs, exact_dedup
+from ..operators.knn import all_pairs_topk, knn_exact, knn_exact_cosine
+from ..session import ensure_deterministic_session
+from ..sources import load_table
+from .registry import dd_cosine, dd_dot, dd_sq_euc, register
+
+K = 10
+N_QUERIES = 10
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_deterministic_session(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- O11+O12: exact kNN for a deterministic query set ------------------------
+
+@register(
+    "knn_exact_euclidean",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES})
+SELECT query_id, vec_id, dist, rnk FROM (
+  SELECT q.query_id, e.vec_id,
+         {dd_sq_euc('q.qv', 'e.embedding')} AS dist,
+         CAST(row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {dd_sq_euc('q.qv', 'e.embedding')}, e.vec_id) AS BIGINT) AS rnk
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id) t
+WHERE rnk <= {K}
+""",
+)
+def knn_exact_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k, squared Euclidean (O11 ``src/lib.rs:137-140`` +
+    O12 ``src/lib.rs:142-148``) for queries vec_id < 10."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_exact(emb, queries, k=K).select("query_id", "vec_id", "dist", "rnk")
+
+
+# --- cosine variant (similarity-search baseline) ------------------------------
+
+@register(
+    "knn_exact_cosine",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES})
+SELECT query_id, vec_id, cos_sim, rnk FROM (
+  SELECT q.query_id, e.vec_id,
+         {dd_cosine('q.qv', 'e.embedding')} AS cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {dd_cosine('q.qv', 'e.embedding')} DESC, e.vec_id) AS BIGINT) AS rnk
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id) t
+WHERE rnk <= {K}
+""",
+)
+def knn_exact_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_exact_cosine(emb, queries, k=K).select(
+        "query_id", "vec_id", "cos_sim", "rnk"
+    )
+
+
+# --- O14: all-pairs top-k (exact form on a deterministic subset) -------------
+
+@register(
+    "all_pairs_top3",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 5 = 0)
+SELECT query_id, vec_id, dist, rnk FROM (
+  SELECT q.query_id, e.vec_id,
+         {dd_sq_euc('q.qv', 'e.embedding')} AS dist,
+         CAST(row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {dd_sq_euc('q.qv', 'e.embedding')}, e.vec_id) AS BIGINT) AS rnk
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id) t
+WHERE rnk <= 3
+""",
+)
+def all_pairs_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14 batch all-pairs kNN (``src/main.rs:100-123``) on the
+    deterministic 1-in-5 subset (the reference samples subsets for its
+    quality pass, ``src/main.rs:101-110``)."""
+    emb = _emb(spark, sf_dir)
+    return all_pairs_topk(emb, k=3, sample_mod=5).select(
+        "query_id", "vec_id", "dist", "rnk"
+    )
+
+
+# --- O13: kNN with label lookup ("visualize", src/main.rs:81-93) -------------
+
+@register(
+    "knn_with_doc_labels",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN (0, 1, 2, 3)),
+hits AS (
+  SELECT query_id, vec_id, dist, rnk FROM (
+    SELECT q.query_id, e.vec_id,
+           {dd_sq_euc('q.qv', 'e.embedding')} AS dist,
+           CAST(row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {dd_sq_euc('q.qv', 'e.embedding')}, e.vec_id) AS BIGINT) AS rnk
+    FROM q, embeddings e
+    WHERE e.vec_id <> q.query_id) t
+  WHERE rnk <= {K})
+SELECT h.query_id, h.vec_id, d.source AS neighbor_source,
+       h.dist, sqrt(h.dist) AS euclidean, h.rnk
+FROM hits h JOIN documents d ON h.vec_id = d.doc_id
+""",
+)
+def knn_with_doc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13: the reference resolves words→ids, searches, and maps result
+    ids→words printing √distance (``src/main.rs:81-93``); here the
+    dictionary HashMaps are a broadcast join against `documents`."""
+    emb = _emb(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2, 3)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    hits = knn_exact(emb, queries, k=K)
+    labels = docs.select(
+        F.col("doc_id").alias("vec_id"), F.col("source").alias("neighbor_source")
+    )
+    return (
+        hits.join(F.broadcast(labels), "vec_id")
+        .withColumn("euclidean", F.sqrt(F.col("dist")))
+        .select("query_id", "vec_id", "neighbor_source", "dist", "euclidean", "rnk")
+    )
+
+
+# --- O3: exact dedup ----------------------------------------------------------
+
+@register(
+    "dedup_exact_embeddings",
+    oracle="""
+SELECT MIN(vec_id) AS vec_id, COUNT(*) AS n_dupes
+FROM embeddings
+GROUP BY embedding
+""",
+)
+def dedup_exact_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 exact dedup (``src/lib.rs:64-79``): first-occurrence-wins by
+    full vector value. Spark groups float arrays by value directly — the
+    reference's u32-bit-pattern HashKey (``src/vector.rs:25-31``) is a
+    Rust-ism with no Spark counterpart needed. Also fixes the
+    reference's skip-row-0 bug (SURVEY §1.5.1)."""
+    emb = _emb(spark, sf_dir)
+    return emb.groupBy("embedding").agg(
+        F.min("vec_id").alias("vec_id"), F.count(F.lit(1)).alias("n_dupes")
+    ).select("vec_id", "n_dupes")
+
+
+# --- vector norms (kernel surface check) --------------------------------------
+
+@register(
+    "embedding_norms",
+    oracle=f"""
+SELECT vec_id,
+       {dd_dot('embedding', 'embedding')} AS sq_norm,
+       sqrt({dd_dot('embedding', 'embedding')}) AS l2_norm
+FROM embeddings
+WHERE vec_id < 100
+""",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import dot
+
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 100)
+    return emb.select(
+        "vec_id",
+        dot("embedding", "embedding").alias("sq_norm"),
+        l2_norm("embedding").alias("l2_norm"),
+    )
+
+
+# --- label centroids (element-wise mean by group) ------------------------------
+
+@register(
+    "label_centroids",
+    oracle="""
+SELECT label, CAST(pos AS BIGINT) AS pos,
+       CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE)
+         / COUNT(*) AS centroid_val
+FROM (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings) t
+GROUP BY label, pos
+""",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroid — the grouped generalization of the
+    reference's 2-point `avg` kernel (``src/vector.rs:14-18``); exploded
+    (label, pos, value) form so the oracle hash is order-insensitive."""
+    emb = _emb(spark, sf_dir)
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos0", "val")
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("val").cast("double").cast("decimal(28,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid_val")
+        )
+    )
+
+
+# --- embedding-cosine near-duplicate pairs -------------------------------------
+
+@register(
+    "near_dup_cosine_pairs",
+    oracle=f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       {dd_cosine('a.embedding', 'b.embedding')} AS cos_sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND {dd_cosine('a.embedding', 'b.embedding')} >= 0.4
+""",
+)
+def near_dup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup join, exact form (the correctness
+    baseline; the IVF/LSH bucketed variants in operators/ivf.py are the
+    100 TB path and are recall-checked rather than oracle-checked)."""
+    emb = _emb(spark, sf_dir)
+    return embedding_cosine_pairs(emb, threshold=0.4)

@@ -1,0 +1,52 @@
+"""Fixture-table sources (TESTDATA.md / FIXTURES.md).
+
+The reference's only source is a fastText ``.vec`` text scan
+(``/root/reference/src/main.rs:11-40``); the engine generalizes to
+Parquet scans of the driver-generated star schema + vector tables.
+Columnar Parquet + Catalyst gives predicate pushdown / column pruning
+for free — critical at 100 TB: never read 64-float arrays when only
+ids are needed (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table; plain ``spark.read.parquet`` so filters and
+    projections placed on the result push down into the scan."""
+    if name not in TABLES:
+        raise ValueError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as raw int64
+    # nanos under spark.sql.legacy.parquet.nanosAsLong; convert to a real
+    # timestamp (fixture sub-microsecond parts are zero, so this is exact)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (mirrors the DuckDB
+    oracle harness, which pre-registers the same names)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

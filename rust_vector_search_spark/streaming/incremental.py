@@ -1,0 +1,96 @@
+"""Structured Streaming operators — the incremental face of the engine.
+
+The reference is strictly batch (its index is immutable after
+``build_index``, ``/root/reference/src/lib.rs:81-103``, and dies with the
+process). At pipeline scale, new documents/vectors arrive continuously;
+these operators give the engine an incremental ingest path:
+
+  - ``streaming_windowed_counts``: watermarked tumbling-window aggregation
+    over an event stream (late data dropped past the watermark);
+  - ``streaming_dedup``: exact dedup across micro-batches — the streaming
+    twin of O3 (``src/lib.rs:64-79``) via ``dropDuplicates`` with state
+    bounded by a watermark;
+  - ``incremental_index_ingest``: ``foreachBatch`` that routes each new
+    micro-batch of vectors through the FROZEN forest's hyperplanes and
+    appends them to ``index_leaves`` — the standard "append now, rebuild
+    periodically" ANN maintenance pattern (hyperplanes stay fixed; leaf
+    quality degrades slowly and a periodic batch rebuild resets it).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.index import RPForest
+from ..operators.search import route_queries
+
+__all__ = [
+    "streaming_windowed_counts",
+    "streaming_dedup",
+    "incremental_index_ingest",
+]
+
+
+def streaming_windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts per event_type with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w").start.alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame, key_cols: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup (O3's semantics across micro-batches):
+    keeps the first arrival per key; state is bounded by the watermark
+    (dropDuplicatesWithinWatermark) so it runs forever at scale."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def incremental_index_ingest(
+    vectors_stream: DataFrame,
+    forest: RPForest,
+    leaves_path: str,
+    checkpoint_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Append new vectors to the forest's leaves: each micro-batch is
+    routed through the frozen hyperplanes (same predicate as queries,
+    O6) and written to the leaf table partition-wise."""
+
+    def _route_and_append(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        as_queries = batch.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        )
+        routed = route_queries(forest, as_queries).select(
+            "tree_id",
+            F.col("leaf_path"),
+            F.col("query_id").alias("vec_id"),
+        )
+        routed.write.mode("append").partitionBy("tree_id").parquet(leaves_path)
+
+    return (
+        vectors_stream.writeStream.foreachBatch(_route_and_append)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

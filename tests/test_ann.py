@@ -1,0 +1,114 @@
+"""ANN index correctness: recall vs exact kNN (mechanizing the quality
+pass the reference only prints, /root/reference/src/main.rs:95-123),
+leaf-size invariant (src/lib.rs:51-53), deterministic seeded rebuild
+(SURVEY §1.5.5), candidate-subset invariant, and dedup-first semantics."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyspark.sql.functions as F
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rust_vector_search_spark.operators.index import build_rp_forest  # noqa: E402
+from rust_vector_search_spark.operators.ivf import ivf_search  # noqa: E402
+from rust_vector_search_spark.operators.knn import knn_exact  # noqa: E402
+from rust_vector_search_spark.operators.search import search_rp_forest  # noqa: E402
+
+from conftest import SF_SMOKE  # noqa: E402
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+@pytest.fixture(scope="module")
+def forest(emb):
+    return build_rp_forest(emb, num_trees=16, max_node_size=32, seed=42)
+
+
+def _recall(approx, exact):
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    total = exact.count()
+    return hits / total
+
+
+def test_leaf_size_invariant(forest):
+    sizes = forest.leaves.groupBy("tree_id", "leaf_path").count().collect()
+    assert all(r["count"] <= 32 for r in sizes)
+
+
+def test_every_vector_in_every_tree(forest, emb):
+    n = emb.count()
+    per_tree = forest.leaves.groupBy("tree_id").count().collect()
+    assert len(per_tree) == 16
+    assert all(r["count"] == n for r in per_tree)
+
+
+def test_forest_recall(forest, emb, queries):
+    approx = search_rp_forest(forest, emb, queries, k=K)
+    exact = knn_exact(emb, queries, k=K)
+    r = _recall(
+        approx.select("query_id", "vec_id"), exact.select("query_id", "vec_id")
+    )
+    # the synthetic 64-d corpus is quasi-random (weak cluster structure):
+    # 16 trees route ~50% of the corpus as candidates and locality lifts
+    # recall to ~0.78 (vs 0.50 random baseline). Threshold set with margin.
+    assert r >= 0.70, f"recall@{K} = {r}"
+
+
+def test_approx_results_are_true_distances(forest, emb, queries):
+    """Approximate hits must carry the same distance the exact scorer
+    assigns — the re-rank is exact over the candidate subset."""
+    approx = search_rp_forest(forest, emb, queries, k=K).select(
+        "query_id", "vec_id", "dist"
+    )
+    exact_all = knn_exact(emb, queries, k=500).select(
+        "query_id", "vec_id", F.col("dist").alias("ed")
+    )
+    joined = approx.join(exact_all, ["query_id", "vec_id"])
+    bad = joined.filter(F.abs(F.col("dist") - F.col("ed")) > 0).count()
+    assert bad == 0
+
+
+def test_deterministic_rebuild(emb):
+    f1 = build_rp_forest(emb, num_trees=3, max_node_size=32, seed=7)
+    f2 = build_rp_forest(emb, num_trees=3, max_node_size=32, seed=7)
+    a = {(r.tree_id, r.leaf_path, r.vec_id) for r in f1.leaves.collect()}
+    b = {(r.tree_id, r.leaf_path, r.vec_id) for r in f2.leaves.collect()}
+    assert a == b
+
+
+def test_dedup_first_occurrence_survives(spark):
+    """The reference keeps the FIRST duplicate (and buggily drops row 0,
+    src/lib.rs:71 — fixed here): duplicates must collapse to min id."""
+    base = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, [1.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    forest = build_rp_forest(base, num_trees=2, max_node_size=4, seed=1, dedup=True)
+    ids = {r.vec_id for r in forest.leaves.select("vec_id").distinct().collect()}
+    assert ids == {0, 2}
+
+
+def test_ivf_recall(emb, queries):
+    approx = ivf_search(emb, queries, k=K, stride=20, nprobe=8)
+    exact = knn_exact(emb, queries, k=K)
+    r = _recall(
+        approx.select("query_id", "vec_id"), exact.select("query_id", "vec_id")
+    )
+    # 8 of 25 cells probed ≈ 1/3 of the corpus as candidates
+    assert r >= 0.45, f"IVF recall@{K} = {r} (nprobe=8)"

@@ -1,0 +1,99 @@
+"""Structured Streaming tests: file-source micro-batch ingestion with
+availableNow triggers — real readStream → writeStream round-trips."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyspark.sql.functions as F
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rust_vector_search_spark.operators.index import build_rp_forest  # noqa: E402
+from rust_vector_search_spark.streaming import (  # noqa: E402
+    incremental_index_ingest,
+    streaming_dedup,
+    streaming_windowed_counts,
+)
+
+from conftest import SF_SMOKE  # noqa: E402
+
+
+@pytest.fixture()
+def events_stream(spark, tmp_path):
+    # materialize fixture events (micros timestamps) as a streaming source
+    src = str(tmp_path / "events_src")
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+    batch.write.parquet(src)
+    return spark.readStream.schema(batch.schema).parquet(src), batch
+
+
+def test_streaming_windowed_counts(spark, events_stream, tmp_path):
+    stream, batch = events_stream
+    out = streaming_windowed_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n_events) AS n FROM win_counts").collect()[0].n
+    # append mode emits only windows closed by the watermark; final
+    # windows stay in state, so emitted ≤ total and > 0
+    assert got and 0 < got <= batch.count()
+
+
+def test_streaming_dedup(spark, tmp_path):
+    src = str(tmp_path / "dup_src")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:01"),
+         (2, "2024-01-01 00:00:02"), (2, "2024-01-01 00:00:03"),
+         (3, "2024-01-01 00:00:04")],
+        "k long, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        streaming_dedup(stream, ["k"])
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ks = sorted(r.k for r in spark.sql("SELECT k FROM dedup_out").collect())
+    assert ks == [1, 2, 3]
+
+
+def test_incremental_index_ingest(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    forest = build_rp_forest(old, num_trees=4, max_node_size=32, seed=42)
+
+    src = str(tmp_path / "vec_src")
+    new.write.parquet(src)
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    leaves_path = str(tmp_path / "leaves_inc")
+    q = incremental_index_ingest(
+        stream, forest, leaves_path, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    appended = spark.read.parquet(leaves_path)
+    n_new = new.count()
+    assert appended.count() == n_new * 4  # every vector lands in all 4 trees
+    # appended leaf paths must be real leaves of the frozen forest
+    valid = appended.join(
+        forest.leaves.select("tree_id", "leaf_path").distinct(),
+        ["tree_id", "leaf_path"],
+        "left_anti",
+    ).count()
+    assert valid == 0
