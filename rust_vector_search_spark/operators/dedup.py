@@ -143,21 +143,33 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select(F.col(id_col), F.col("shingles"),
-                        F.posexplode(band_keys).alias("band", "band_key"))
-    left = banded.select(
-        F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("sh_a"),
-        "band", "band_key",
-    )
-    right = banded.select(
-        F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("sh_b"),
-        "band", "band_key",
-    )
+    # band join carries IDS ONLY — never the shingle arrays (which would
+    # be duplicated ×bands through the shuffle); shingles are joined back
+    # for candidate pairs only, bounding the big-payload shuffle by the
+    # candidate count
+    banded = sig.select(F.col(id_col), F.posexplode(band_keys).alias("band", "band_key"))
+    left = banded.select(F.col(id_col).alias("doc_id_a"), "band", "band_key")
+    right = banded.select(F.col(id_col).alias("doc_id_b"), "band", "band_key")
     cand = (
         left.join(right, ["band", "band_key"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b", "sh_a", "sh_b")
+        .select("doc_id_a", "doc_id_b")
         .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    shingle_tbl = sig.select(F.col(id_col), F.col("shingles"))
+    cand = (
+        cand.join(
+            shingle_tbl.select(
+                F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("sh_a")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            shingle_tbl.select(
+                F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("sh_b")
+            ),
+            "doc_id_b",
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
@@ -233,23 +245,21 @@ def simhash(
         F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w")
     )
     hashed = words.select(F.col(id_col), _md5_32bit(F.col("w")).alias("h"))
-    per_bit = hashed.select(
-        F.col(id_col),
+    # one shuffle, 32 conditional-sum agg columns — NOT an explode to
+    # (word × bit) rows, which would 32× the shuffle volume; the per-bit
+    # ±1 sum is 2·Σbit − n_words
+    agg = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_nw"),
         *[
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-            .otherwise(F.lit(-1))
-            .alias(f"b{i}")
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"c{i}")
             for i in range(bits)
         ],
     )
-    agg = per_bit.groupBy(id_col).agg(
-        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
-    )
     fp = F.lit(0).cast("long")
     for i in range(bits):
-        fp = fp + F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ) * F.lit(1 << i).cast("long")
+        fp = fp + F.when(
+            F.lit(2) * F.col(f"c{i}") - F.col("_nw") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 

@@ -8,21 +8,25 @@ driver — useless at 100 TB. Instead the build is LEVEL-SYNCHRONOUS
 (SURVEY §3.2): one DataFrame holds every (tree, vector) assignment, and
 each iteration splits EVERY open node of EVERY tree at once:
 
-  1. count rows per (tree_id, node_path); nodes ≤ max_node_size close
-     into leaves, the rest stay open;
-  2. draw 2 deterministic pseudo-random pivots per open node with a
-     seeded-hash window rank (the reference's ``choose_multiple`` 2-sample,
-     ``src/lib.rs:26-28``, made seedable per SURVEY §1.5.5);
+  1. annotate each row with its node's population and a seeded-hash rank
+     — ONE shuffle on (tree_id, node_path) serves both window functions;
+  2. nodes ≤ max_node_size close into leaves; for open nodes the two
+     rank-1/rank-2 rows are the split pivots (the reference's
+     ``choose_multiple`` 2-sample, ``src/lib.rs:26-28``, made seedable
+     per SURVEY §1.5.5 — the hash is salted with the depth so a
+     degenerate split redraws different pivots next level);
   3. hyperplane per node: normal = b − a, constant = −normal·midpoint
-     (``build_hyperplane``, ``src/lib.rs:22-48``) — a tiny per-node table
-     broadcast back;
+     (``build_hyperplane``, ``src/lib.rs:22-48``) — a tiny per-node
+     table broadcast back (no shuffle);
   4. route every row: side = n·x + c ≥ 0 (ties "above", preserving
      ``src/hyperplane.rs:10``), append the side bit to node_path.
 
-Depth = ceil(log2(n/max_node_size)) iterations of pure DataFrame ops;
-the shuffle key (tree_id, node_path) keeps trees and subtrees co-located,
-and ``localCheckpoint`` every few levels truncates lineage (SURVEY §7.3.1).
-The finished index is two Parquet-able DataFrames — the index IS a table.
+Each level materializes once (eager ``localCheckpoint``) — this both
+truncates lineage (SURVEY §7.3.1) and makes the per-level driver
+decision (how many rows remain open) a metadata check instead of a
+recomputation. Depth = ceil(log2(n/max_node_size)) levels; the shuffle
+key (tree_id, node_path) keeps trees and subtrees co-located. The
+finished index is two Parquet-able DataFrames — the index IS a table.
 """
 
 from __future__ import annotations
@@ -31,9 +35,9 @@ from dataclasses import dataclass
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
 
 from ..functions.vector import avg_vec, dot, point_is_above, sub_vec
-from pyspark.sql.window import Window
 
 __all__ = ["RPForest", "build_rp_forest", "save_index", "load_index"]
 
@@ -50,6 +54,7 @@ class RPForest:
     num_trees: int
     max_node_size: int
     seed: int
+    max_depth: int = 0  # deepest inner-node level; routing needs ≤ max_depth+1 steps
 
 
 def build_rp_forest(
@@ -61,6 +66,7 @@ def build_rp_forest(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dedup: bool = True,
+    checkpoint_interval: int = 1,
 ) -> RPForest:
     """Build the forest (O8 ``build_index``, ``src/lib.rs:81-103``).
 
@@ -75,59 +81,59 @@ def build_rp_forest(
         base = base.join(keep, ["emb", "vec_id"], "left_semi")
 
     trees = spark.range(num_trees).select(F.col("id").cast("int").alias("tree_id"))
-    active = base.crossJoin(trees).select(
-        "tree_id", F.lit("").alias("node_path"), "vec_id", "emb"
+    active = (
+        base.crossJoin(trees)
+        .select("tree_id", F.lit("").alias("node_path"), "vec_id", "emb")
+        .localCheckpoint(eager=True)
     )
 
     all_leaves: list[DataFrame] = []
     all_nodes: list[DataFrame] = []
+    depth_reached = 0
 
     for depth in range(max_depth):
-        counts = active.groupBy("tree_id", "node_path").agg(
-            F.count(F.lit(1)).alias("n")
+        node_w = Window.partitionBy("tree_id", "node_path")
+        rank_w = node_w.orderBy(
+            F.xxhash64("vec_id", "tree_id", "node_path", F.lit(seed), F.lit(depth))
         )
-        open_nodes = counts.filter(F.col("n") > max_node_size).select(
-            "tree_id", "node_path"
+        annotated = active.select(
+            "tree_id",
+            "node_path",
+            "vec_id",
+            "emb",
+            F.count(F.lit(1)).over(node_w).alias("_n"),
+            F.row_number().over(rank_w).alias("_rk"),
         )
-        # rows in closed nodes become leaves
-        closed = active.join(
-            F.broadcast(open_nodes), ["tree_id", "node_path"], "left_anti"
-        )
+
+        closed = annotated.filter(F.col("_n") <= max_node_size)
         all_leaves.append(
             closed.select("tree_id", F.col("node_path").alias("leaf_path"), "vec_id")
         )
-        active = active.join(F.broadcast(open_nodes), ["tree_id", "node_path"], "left_semi")
-        if open_nodes.isEmpty():
-            break
+        opened = annotated.filter(F.col("_n") > max_node_size)
 
-        # 2 deterministic pseudo-random pivots per open node
-        # (O4, src/lib.rs:26-28; seeded per (tree, node, depth) so a
-        # degenerate split redraws different pivots next level)
-        rk = Window.partitionBy("tree_id", "node_path").orderBy(
-            F.xxhash64("vec_id", "tree_id", "node_path", F.lit(seed), F.lit(depth))
-        )
-        pivots = (
-            active.withColumn("rk", F.row_number().over(rk))
-            .filter(F.col("rk") <= 2)
+        # hyperplanes from the two pivot rows of each open node (O5)
+        planes = (
+            opened.filter(F.col("_rk") <= 2)
             .groupBy("tree_id", "node_path")
             .agg(
-                F.max(F.when(F.col("rk") == 1, F.col("emb"))).alias("a"),
-                F.max(F.when(F.col("rk") == 2, F.col("emb"))).alias("b"),
+                F.max(F.when(F.col("_rk") == 1, F.col("emb"))).alias("a"),
+                F.max(F.when(F.col("_rk") == 2, F.col("emb"))).alias("b"),
             )
-        )
-        # hyperplane (O5, src/lib.rs:22-48): normal = b − a,
-        # constant = −normal · midpoint(a, b)
-        planes = pivots.select(
-            "tree_id",
-            "node_path",
-            sub_vec("b", "a").alias("coeffs"),
-            (-dot(sub_vec("b", "a"), avg_vec("a", "b"))).alias("constant"),
+            .select(
+                "tree_id",
+                "node_path",
+                sub_vec("b", "a").alias("coeffs"),
+                (-dot(sub_vec("b", "a"), avg_vec("a", "b"))).alias("constant"),
+            )
+            # plane-normal norm, precomputed once so multi-probe search can
+            # turn n·x + c into a geometric point-to-plane distance
+            .withColumn("coeff_norm", F.sqrt(dot("coeffs", "coeffs")))
         )
         all_nodes.append(planes)
 
-        # route (O6/O7): side bit appended to the path
+        # route open rows (O6/O7): side bit appended to the path
         active = (
-            active.join(F.broadcast(planes), ["tree_id", "node_path"])
+            opened.join(F.broadcast(planes), ["tree_id", "node_path"])
             .withColumn(
                 "side",
                 F.when(
@@ -142,8 +148,14 @@ def build_rp_forest(
                 "emb",
             )
         )
-        if depth % 3 == 2:
+        depth_reached = depth + 1
+        # materialize + check termination every few levels: intermediate
+        # levels chain lazily (their shuffles still execute, but no extra
+        # materialization/job-boundary cost per level)
+        if depth % checkpoint_interval == checkpoint_interval - 1:
             active = active.localCheckpoint(eager=True)
+            if active.rdd.isEmpty():
+                break
 
     # depth cap reached: force-close whatever is still open
     all_leaves.append(
@@ -160,7 +172,8 @@ def build_rp_forest(
     else:
         nodes = spark.createDataFrame(
             [],
-            "tree_id int, node_path string, coeffs array<double>, constant double",
+            "tree_id int, node_path string, coeffs array<double>, "
+            "constant double, coeff_norm double",
         )
     return RPForest(
         nodes=nodes.localCheckpoint(eager=True),
@@ -168,6 +181,7 @@ def build_rp_forest(
         num_trees=num_trees,
         max_node_size=max_node_size,
         seed=seed,
+        max_depth=depth_reached,
     )
 
 
@@ -187,10 +201,15 @@ def save_index(forest: RPForest, path: str) -> None:
 def load_index(
     spark: SparkSession, path: str, num_trees: int, max_node_size: int, seed: int
 ) -> RPForest:
+    nodes = spark.read.parquet(f"{path}/nodes")
+    max_depth = (
+        nodes.agg(F.max(F.length("node_path"))).collect()[0][0] or 0
+    ) + 1
     return RPForest(
-        nodes=spark.read.parquet(f"{path}/nodes"),
+        nodes=nodes,
         leaves=spark.read.parquet(f"{path}/leaves"),
         num_trees=num_trees,
         max_node_size=max_node_size,
         seed=seed,
+        max_depth=max_depth,
     )

@@ -5,8 +5,13 @@ idiomatic Spark form, SURVEY §3.3).
 Routing (O9 ``tree_result``): each query descends every tree; at an
 inner node the side predicate (``src/hyperplane.rs:9-11``) picks the
 child. The reference routes ONE query recursively; here ALL queries
-route through ALL trees at once — one iterative broadcast-join per tree
-level, queries × trees rows in flight, no per-query work on the driver.
+route through ALL trees at once. The descent is a LAZY chain of
+per-depth broadcast hash joins — level d joins only the hyperplanes at
+depth d (a filter on the tiny node table), the loop runs a known number
+of levels (recorded at build time), and NO action fires until the
+results are consumed: the entire multi-level descent executes as one
+Spark job with zero shuffles (queries never repartition; nodes are
+broadcast).
 
 Backfill deviation (SURVEY §1.5.3/§7.3.3): the reference tops up from the
 sibling subtree with per-query sequential feedback (``src/lib.rs:122-124``)
@@ -29,47 +34,125 @@ from pyspark.sql.window import Window
 from ..functions.vector import point_is_above, sq_euc_dist
 from .index import RPForest
 
-__all__ = ["search_rp_forest", "route_queries"]
+__all__ = ["search_rp_forest", "route_queries", "resolve_spill_margin"]
 
 
-def route_queries(forest: RPForest, queries: DataFrame, max_depth: int = 64) -> DataFrame:
+def resolve_spill_margin(queries: DataFrame, frac: float = 0.3) -> float:
+    """Data-scale-free spill margin: for points of norm r in d dims, the
+    projection of a point onto a random unit direction has spread
+    ≈ r/√d; spilling when the query sits within ``frac`` of that spread
+    of a split plane targets exactly the near-boundary cases. One tiny
+    agg over the (small, broadcastable) query set."""
+    from ..functions.vector import dot as _dot
+
+    row = queries.agg(
+        F.avg(_dot("query_vec", "query_vec")).alias("sq"),
+        F.avg(F.size("query_vec")).alias("d"),
+    ).collect()[0]
+    if not row.sq or not row.d:
+        return 0.0
+    return frac * float(row.sq / row.d) ** 0.5
+
+
+def route_queries(
+    forest: RPForest,
+    queries: DataFrame,
+    spill_margin: float | str = 0.0,
+    max_spills: int = 2,
+) -> DataFrame:
     """Descend every (query, tree) pair to its leaf. Returns
-    (query_id, tree_id, leaf_path)."""
+    (query_id, tree_id, leaf_path). Lazy — no job until consumed.
+
+    Multi-probe (``spill_margin`` > 0): when the query lies within
+    ``spill_margin`` geometric distance of a split plane (|n·x + c|/‖n‖),
+    BOTH children are descended (up to ``max_spills`` spills per tree
+    path, so ≤ 2^max_spills leaves per tree). This is the batch analog
+    of Annoy's priority-queue descent: near-boundary queries are exactly
+    the ones whose true neighbors sit on the other side of the plane, so
+    spilling there buys far more recall per candidate than adding whole
+    trees."""
+    if spill_margin == "auto":
+        spill_margin = resolve_spill_margin(queries)
     spark = queries.sparkSession
     trees = spark.range(forest.num_trees).select(
         F.col("id").cast("int").alias("tree_id")
     )
     active = queries.crossJoin(trees).select(
-        "tree_id", F.lit("").alias("node_path"), "query_id", "query_vec"
+        "tree_id",
+        F.lit("").alias("node_path"),
+        "query_id",
+        "query_vec",
+        F.lit(0).alias("spills"),
     )
     nodes = forest.nodes
     routed_parts: list[DataFrame] = []
-    for depth in range(max_depth):
-        stepped = active.join(F.broadcast(nodes), ["tree_id", "node_path"], "left")
-        # no matching inner node ⇒ current path is a leaf
-        at_leaf = stepped.filter(F.col("constant").isNull()).select(
-            "query_id", "tree_id", F.col("node_path").alias("leaf_path")
+    for depth in range(forest.max_depth):
+        level_nodes = nodes.filter(F.length("node_path") == depth)
+        stepped = active.join(
+            F.broadcast(level_nodes), ["tree_id", "node_path"], "left"
         )
-        routed_parts.append(at_leaf)
-        descending = stepped.filter(F.col("constant").isNotNull())
-        if descending.isEmpty():
-            break
-        active = descending.withColumn(
+        # no matching inner node at this depth ⇒ current path is a leaf
+        routed_parts.append(
+            stepped.filter(F.col("constant").isNull()).select(
+                "query_id", "tree_id", F.col("node_path").alias("leaf_path")
+            )
+        )
+        matched = stepped.filter(F.col("constant").isNotNull()).withColumn(
             "side",
             F.when(
-                point_is_above(F.col("coeffs"), F.col("constant"), F.col("query_vec")),
+                point_is_above(
+                    F.col("coeffs"), F.col("constant"), F.col("query_vec")
+                ),
                 F.lit("1"),
             ).otherwise(F.lit("0")),
-        ).select(
+        )
+        main_child = F.struct(
+            F.concat(F.col("node_path"), F.col("side")).alias("p"),
+            F.col("spills").alias("s"),
+        )
+        if spill_margin > 0.0:
+            from ..functions.vector import dot as _dot
+
+            plane_dist = F.abs(
+                (_dot("coeffs", "query_vec") + F.col("constant"))
+                / F.col("coeff_norm")
+            )
+            other_child = F.struct(
+                F.concat(
+                    F.col("node_path"),
+                    F.when(F.col("side") == "1", F.lit("0")).otherwise(F.lit("1")),
+                ).alias("p"),
+                (F.col("spills") + 1).alias("s"),
+            )
+            # EMIT both children from one row (explode) — a union of two
+            # branches would duplicate the whole upstream subtree in the
+            # physical plan, doubling work per level (2^depth blowup)
+            children = F.when(
+                (plane_dist < F.lit(spill_margin)) & (F.col("spills") < max_spills),
+                F.array(main_child, other_child),
+            ).otherwise(F.array(main_child))
+        else:
+            children = F.array(main_child)
+        active = matched.select(
             "tree_id",
-            F.concat(F.col("node_path"), F.col("side")).alias("node_path"),
             "query_id",
             "query_vec",
+            F.explode(children).alias("_c"),
+        ).select(
+            "tree_id",
+            F.col("_c.p").alias("node_path"),
+            "query_id",
+            "query_vec",
+            F.col("_c.s").alias("spills"),
         )
+    # rows that descended past the deepest hyperplane level are at leaves
+    routed_parts.append(
+        active.select("query_id", "tree_id", F.col("node_path").alias("leaf_path"))
+    )
     routed = routed_parts[0]
     for df in routed_parts[1:]:
         routed = routed.unionByName(df)
-    return routed
+    return routed.dropDuplicates(["query_id", "tree_id", "leaf_path"])
 
 
 def search_rp_forest(
@@ -81,10 +164,12 @@ def search_rp_forest(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    spill_margin: float | str = "auto",
+    max_spills: int = 2,
 ) -> DataFrame:
     """Approximate top-k (O9+O10+O12). ``queries`` has (query_id,
     query_vec); returns (query_id, vec_id, dist, rnk)."""
-    routed = route_queries(forest, queries)
+    routed = route_queries(forest, queries, spill_margin, max_spills)
     leaves = forest.leaves
 
     cand = routed.join(leaves, ["tree_id", "leaf_path"]).select("query_id", "vec_id")

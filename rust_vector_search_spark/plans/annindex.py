@@ -122,3 +122,47 @@ def ann_rp_forest_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_queries"),
         F.avg("recall").alias("mean_recall"),
     )
+
+
+# --- MLlib BucketedRandomProjectionLSH baseline (SURVEY §7.1 M2 fallback) ------
+
+@register("ann_mllib_brp_topk")
+def ann_mllib_brp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib's built-in random-projection LSH as a comparison point for
+    the hand-built forest (SURVEY §7.1 M2). Seeded → deterministic for
+    THIS engine, but the hash family isn't SQL-expressible → rows-only.
+    Returns (query_id, vec_id, dist, rnk)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=8,
+        seed=42,
+    ).fit(emb)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("features").alias("qf")
+    )
+    joined = model.approxSimilarityJoin(
+        emb.select("vec_id", "features"),
+        queries.withColumnRenamed("qf", "features"),
+        float("inf"),
+        distCol="euc",
+    ).select(
+        F.col("datasetB.query_id").alias("query_id"),
+        F.col("datasetA.vec_id").alias("vec_id"),
+        (F.col("euc") * F.col("euc")).alias("dist"),
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= K)
+    )

@@ -481,3 +481,137 @@ def events_user_activity_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+# --- cube (grouping sets surface) --------------------------------------------
+
+@register(
+    "cube_event_type_hour",
+    oracle="""
+SELECT event_type,
+       CAST(date_part('hour', ts) AS INTEGER) AS hr,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY CUBE (event_type, CAST(date_part('hour', ts) AS INTEGER))
+""",
+)
+def cube_event_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.cube(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# --- date-part extraction + aggregation --------------------------------------
+
+@register(
+    "orders_by_year_month",
+    oracle=f"""
+SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
+       CAST(date_part('month', o_orderdate) AS INTEGER) AS mo,
+       COUNT(*) AS n_orders,
+       {dd_sum("o_totalprice")} AS sum_price
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def orders_by_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
+# --- as-of join: latest preceding 'click' for each 'purchase' ----------------
+
+@register(
+    "asof_click_before_purchase",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+  FROM events
+  WHERE event_type IN ('click', 'purchase'))
+SELECT event_id, user_id, ts, last_click_ts
+FROM tagged
+WHERE event_type = 'purchase'
+""",
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join in its scale-correct Spark form: instead of a per-row
+    range join (quadratic blowup), union both event streams and take a
+    running windowed max of the 'click' timestamps — one shuffle on
+    user_id, linear work, the standard batch as-of pattern."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.withColumn(
+        "last_click_ts",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+    )
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "last_click_ts"
+    )
+
+
+# --- histogram (fixed-width binning) ------------------------------------------
+
+@register(
+    "events_value_histogram",
+    oracle="""
+SELECT event_type,
+       CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / F.lit(50.0)).cast("long").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- set op: INTERSECT ----------------------------------------------------------
+
+@register(
+    "setop_nations_in_both_segments",
+    oracle="""
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+INTERSECT
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+""",
+)
+def setop_nations_in_both_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    return a.intersect(b)
+
+
+# --- approximate distinct counting (sketch surface; rows-only) -----------------
+
+@register("events_approx_distinct_users")
+def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality per event type — the sketch the exact
+    COUNT(DISTINCT) queries fall back to at 100 TB (one pass, bounded
+    memory, mergeable partials). Sketch internals are engine-specific,
+    so this registers rows-only; the exact twin is
+    events_user_activity_distinct."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

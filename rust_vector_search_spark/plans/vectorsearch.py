@@ -253,3 +253,36 @@ def near_dup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path and are recall-checked rather than oracle-checked)."""
     emb = _emb(spark, sf_dir)
     return embedding_cosine_pairs(emb, threshold=0.4)
+
+
+# --- radius (range) search: all neighbors within distance r --------------------
+
+@register(
+    "radius_search",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES})
+SELECT q.query_id, e.vec_id,
+       {dd_sq_euc('q.qv', 'e.embedding')} AS dist
+FROM q, embeddings e
+WHERE e.vec_id <> q.query_id
+  AND {dd_sq_euc('q.qv', 'e.embedding')} <= 15.0
+""",
+)
+def radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range query: every neighbor within squared distance ≤ 15 — the
+    distance-threshold (theta-join) variant of kNN; same broadcast-
+    queries shape, filter instead of window."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    pairs = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    return pairs.select(
+        "query_id",
+        "vec_id",
+        sq_euc_dist("query_vec", "embedding").alias("dist"),
+    ).filter(F.col("dist") <= 15.0)

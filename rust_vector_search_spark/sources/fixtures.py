@@ -39,9 +39,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # nanos under spark.sql.legacy.parquet.nanosAsLong; convert to a real
     # timestamp (fixture sub-microsecond parts are zero, so this is exact)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # integer division — float division of int64 nanos (> 2^53) would
+        # round the low microsecond digit
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 

@@ -64,10 +64,9 @@ def test_forest_recall(forest, emb, queries):
     r = _recall(
         approx.select("query_id", "vec_id"), exact.select("query_id", "vec_id")
     )
-    # the synthetic 64-d corpus is quasi-random (weak cluster structure):
-    # 16 trees route ~50% of the corpus as candidates and locality lifts
-    # recall to ~0.78 (vs 0.50 random baseline). Threshold set with margin.
-    assert r >= 0.70, f"recall@{K} = {r}"
+    # 16 trees + auto multi-probe spill: measured 0.965 on this fixture
+    # (0.82 without spill). Gate at 0.9 per BASELINE.md with margin.
+    assert r >= 0.90, f"recall@{K} = {r}"
 
 
 def test_approx_results_are_true_distances(forest, emb, queries):

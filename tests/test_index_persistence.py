@@ -1,0 +1,55 @@
+"""Index persistence: the forest is a table (SURVEY §1.1) — save/load
+round-trip must preserve structure and search results. A NEW capability
+vs the reference, whose index dies with the process (src/lib.rs:15-19)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rust_vector_search_spark.operators.index import (  # noqa: E402
+    build_rp_forest,
+    load_index,
+    save_index,
+)
+from rust_vector_search_spark.operators.search import search_rp_forest  # noqa: E402
+
+from conftest import SF_SMOKE  # noqa: E402
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    forest = build_rp_forest(emb, num_trees=4, max_node_size=32, seed=42)
+    before = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in search_rp_forest(forest, emb, q, k=5).collect()
+    }
+
+    path = str(tmp_path / "idx")
+    save_index(forest, path)
+    loaded = load_index(spark, path, num_trees=4, max_node_size=32, seed=42)
+
+    assert loaded.leaves.count() == forest.leaves.count()
+    assert loaded.nodes.count() == forest.nodes.count()
+    after = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in search_rp_forest(loaded, emb, q, k=5).collect()
+    }
+    assert before == after
+
+
+def test_partitioned_by_tree(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    forest = build_rp_forest(emb, num_trees=3, max_node_size=64, seed=1)
+    path = str(tmp_path / "idx2")
+    save_index(forest, path)
+    # partition pruning: tree_id dirs exist on disk
+    dirs = {d for d in os.listdir(f"{path}/leaves") if d.startswith("tree_id=")}
+    assert dirs == {"tree_id=0", "tree_id=1", "tree_id=2"}

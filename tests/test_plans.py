@@ -1,0 +1,90 @@
+"""Physical-plan shape tests: the scale contract (SURVEY §4). These
+assert the properties that make the engine viable at 100 TB —
+filter/column pushdown into parquet scans, broadcast joins for small
+sides, and zero Python UDFs in hot paths (whole-stage codegen) — so a
+regression that silently de-optimizes a plan fails CI, not a cluster."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rust_vector_search_spark.operators.knn import knn_exact  # noqa: E402
+from rust_vector_search_spark.plans import QUERIES  # noqa: E402
+
+from conftest import SF_SMOKE  # noqa: E402
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_filter_pushdown(spark):
+    plan = plan_of(QUERIES["q6_forecast_revenue"](spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    # shipdate + discount + quantity predicates reach the parquet scan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    assert "l_discount" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q6_column_pruning(spark):
+    plan = plan_of(QUERIES["q6_forecast_revenue"](spark, SF_SMOKE))
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_extendedprice" in read_schema
+    # untouched wide columns are NOT read
+    assert "l_returnflag" not in read_schema
+    assert "l_partkey" not in read_schema
+
+
+def test_knn_broadcasts_queries(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = plan_of(knn_exact(emb, q, k=10))
+    assert "Broadcast" in plan  # query side broadcast, corpus stays distributed
+    assert "SortMergeJoin" not in plan
+
+
+def test_hot_paths_have_no_python_udf(spark):
+    """Distance math must stay JVM-side (higher-order functions), never
+    row-at-a-time Python (SURVEY §2.2 UDF row: zero UDFs in hot path)."""
+    for name in ("knn_exact_euclidean", "ann_ivf_topk", "dedup_minhash_lsh_pairs",
+                 "q1_pricing_summary", "dedup_simhash_pairs"):
+        plan = plan_of(QUERIES[name](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+        assert "PythonUDF" not in plan, f"{name} fell off the JVM path"
+
+
+def test_multimodal_uses_arrow_batches(spark):
+    """The one deliberate Python crossing must be Arrow-batched
+    mapInPandas, not row-at-a-time UDF."""
+    plan = plan_of(QUERIES["multimodal_binary_features"](spark, SF_SMOKE))
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dim_joins_broadcast(spark):
+    plan = plan_of(QUERIES["q5_region_nation_revenue"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partial_plus_final_aggregation(spark):
+    """Map-side partial aggregation must precede the exchange — the
+    shape that keeps a 100 TB groupBy's shuffle proportional to group
+    count, not row count. (AQE's pre-execution explain hides codegen
+    annotation, so we assert the agg/exchange/agg sandwich.)"""
+    plan = plan_of(QUERIES["q1_pricing_summary"](spark, SF_SMOKE))
+    agg_then_exchange = plan.find("HashAggregate")
+    exchange = plan.find("Exchange")
+    assert agg_then_exchange != -1 and exchange != -1
+    assert plan.count("HashAggregate") >= 2  # partial + final

@@ -26,7 +26,7 @@ def events_stream(spark, tmp_path):
     # materialize fixture events (micros timestamps) as a streaming source
     src = str(tmp_path / "events_src")
     batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
     )
     batch.write.parquet(src)
     return spark.readStream.schema(batch.schema).parquet(src), batch
