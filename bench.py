@@ -32,8 +32,10 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
     "knn_exact_euclidean",
+    "knn_exact_fast",
     "knn_exact_cosine",
     "all_pairs_top3",
+    "near_dup_cosine_bucketed",
     "ann_ivf_topk",
     "ann_rp_forest_topk",
 ]

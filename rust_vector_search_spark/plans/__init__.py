@@ -13,5 +13,6 @@ from . import relational  # noqa: E402,F401  (registration side effects)
 from . import vectorsearch  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
 from . import annindex  # noqa: E402,F401
+from . import streamingops  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "register"]

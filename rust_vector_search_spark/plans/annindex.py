@@ -166,3 +166,25 @@ def ann_mllib_brp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= K)
     )
+
+
+# --- the index is a table: structure statistics (rows-only) -------------------
+
+@register("ann_index_stats")
+def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queryability of the persisted index (SURVEY §1.1: 'the index is
+    itself a queryable table'): per-tree leaf count, depth range, and
+    occupancy — the operational health check a 100 TB deployment runs
+    after every build/append cycle."""
+    emb = _emb(spark, sf_dir)
+    forest = build_rp_forest(emb, num_trees=8, max_node_size=32, seed=42)
+    per_leaf = forest.leaves.groupBy("tree_id", "leaf_path").agg(
+        F.count(F.lit(1)).alias("leaf_n")
+    )
+    return per_leaf.groupBy("tree_id").agg(
+        F.count(F.lit(1)).alias("n_leaves"),
+        F.sum("leaf_n").alias("n_vectors"),
+        F.min(F.length("leaf_path")).alias("min_depth"),
+        F.max(F.length("leaf_path")).alias("max_depth"),
+        F.max("leaf_n").alias("max_leaf_size"),
+    )

@@ -615,3 +615,119 @@ def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+# --- percentiles (exact, interpolated) ---------------------------------------
+
+@register(
+    "events_value_percentiles",
+    oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events
+GROUP BY event_type
+""",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (verified bit-identical to
+    quantile_cont). The 100 TB variant swaps in approx_percentile
+    (t-digest sketch, one pass, mergeable) — see
+    events_approx_distinct_users for the sketch-surface pattern."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+
+
+# --- GROUPING SETS (the general form behind rollup/cube) ---------------------
+
+@register(
+    "grouping_sets_lineitem",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows, {dd_sum("l_quantity")} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+""",
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(1) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )
+
+
+# --- MapType surface: JSON props as a map, exploded --------------------------
+
+@register(
+    "events_props_as_map",
+    oracle="""
+-- json_each isn't available in this DuckDB build; unnest json_keys in
+-- a subquery instead (fixture props carry the single key 'k', but this
+-- form stays correct for arbitrary key sets)
+WITH kv AS (
+  SELECT event_type,
+         unnest(json_keys(props)) AS prop_key,
+         props
+  FROM events)
+SELECT event_type, prop_key,
+       CAST(SUM(CAST(json_extract_string(props, '$.' || prop_key) AS BIGINT))
+            AS BIGINT) AS sum_value,
+       COUNT(*) AS n
+FROM kv
+GROUP BY 1, 2
+""",
+)
+def events_props_as_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props JSON → MapType → explode to (key, value) rows — the MapType
+    face of the engine (the reference's HashMaps are join tables,
+    SURVEY §1.1; this covers true map columns)."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,bigint>")).alias(
+            "prop_key", "prop_val"
+        ),
+    )
+    return m.groupBy("event_type", "prop_key").agg(
+        F.sum("prop_val").alias("sum_value"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# --- salted aggregation (skew mitigation, result-identical) ------------------
+
+@register(
+    "salted_agg_orders_by_status",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       {dd_sum("o_totalprice")} AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def salted_agg_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a deliberately LOW-cardinality
+    key (3 statuses over all orders — the straggler-reducer shape at
+    100 TB). The oracle is the PLAIN aggregate: salting must be
+    result-invisible. See operators/skew.py."""
+    from ..operators.skew import salted_agg
+
+    o = _t(spark, sf_dir, "orders")
+    return salted_agg(
+        o,
+        ["o_orderstatus"],
+        {"sum_price": F.col("o_totalprice").cast("decimal(28,2)")},
+        num_salts=16,
+    )

@@ -1,0 +1,67 @@
+"""Structured-Streaming queries surfaced through the batch contract:
+each entry runs a REAL readStream → writeStream micro-batch pipeline
+(availableNow trigger → memory sink) over the fixture events and returns
+the sink's contents as a DataFrame. Rows-only checks (streaming state
+semantics — watermark retention, append-mode emission — are engine
+internals no batch SQL oracle can replay; the deterministic windowed
+MATH is oracle-checked separately via events_hourly_window)."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import ensure_deterministic_session
+from ..sources import load_table
+from ..streaming import streaming_dedup, streaming_windowed_counts
+from .registry import register
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    ensure_deterministic_session(spark)
+    batch = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    batch.write.mode("overwrite").parquet(src)
+    return spark.readStream.schema(batch.schema).parquet(src)
+
+
+def _run_to_memory(out, name_prefix: str) -> str:
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return name
+
+
+@register("streaming_hourly_counts")
+def streaming_hourly_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts executed as a real stream
+    (file source → availableNow micro-batches → memory sink). Append
+    mode emits only watermark-closed windows — the late-data contract
+    a batch engine cannot express."""
+    stream = _events_stream(spark, sf_dir)
+    name = _run_to_memory(
+        streaming_windowed_counts(stream, window="1 hour", watermark="2 hours"),
+        "hourly",
+    )
+    return spark.table(name)
+
+
+@register("streaming_dedup_users")
+def streaming_dedup_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (O3 across micro-batches,
+    dropDuplicatesWithinWatermark): first event per user survives."""
+    stream = _events_stream(spark, sf_dir)
+    name = _run_to_memory(
+        streaming_dedup(stream, ["user_id"], ts_col="ts", watermark="90 days"),
+        "dedup",
+    )
+    return spark.table(name).select("user_id", "event_id")

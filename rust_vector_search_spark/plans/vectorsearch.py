@@ -286,3 +286,72 @@ def radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         sq_euc_dist("query_vec", "embedding").alias("dist"),
     ).filter(F.col("dist") <= 15.0)
+
+
+# --- BLAS fast-path brute force (rows-only; id-set-equal to the HOF twin) -----
+
+@register("knn_exact_fast")
+def knn_exact_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched numpy/BLAS twin of knn_exact_euclidean: per-batch
+    matrix-multiply distance block + partial top-k map-side, tiny final
+    window. The 100 TB brute-force shape. Rows-only (BLAS reassociates
+    float sums → not oracle-bit-exact); tests/test_ann.py asserts the
+    returned ids match the HOF path exactly."""
+    from ..operators.knn import knn_exact_fast
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_exact_fast(emb, queries, k=K).select(
+        "query_id", "vec_id", "dist", "rnk"
+    )
+
+
+# --- bucketed cosine near-dup: the scale path, still oracle-checked -----------
+
+_IVF_STRIDE = 20
+_CD = dd_sq_euc("e.embedding", "c.cv")
+
+@register(
+    "near_dup_cosine_bucketed",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {_IVF_STRIDE} = 0),
+assign AS (
+  SELECT vec_id, cell, embedding FROM (
+    SELECT e.vec_id, c.c_id AS cell, e.embedding,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_CD}, c.c_id) AS crn
+    FROM embeddings e, cent c) t
+  WHERE crn = 1)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       {dd_cosine('a.embedding', 'b.embedding')} AS cos_sim
+FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE {dd_cosine('a.embedding', 'b.embedding')} >= 0.4
+""",
+)
+def near_dup_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: candidates limited to SAME-IVF-CELL
+    pairs (an equi-join on cell id — O(Σ cell²) instead of O(N²)), then
+    exact cosine. Deterministic cells keep it fully oracle-checkable;
+    the recall cost vs the exact cross-join variant is the standard
+    bucketing tradeoff (mitigate with multi-cell assignment)."""
+    from ..operators.ivf import ivf_assign
+    from ..functions.vector import cosine_sim
+
+    emb = _emb(spark, sf_dir)
+    assign = ivf_assign(emb, stride=_IVF_STRIDE).join(emb, "vec_id").select(
+        "vec_id", "cell", "embedding"
+    )
+    a = assign.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("cell"), F.col("embedding").alias("v_a")
+    )
+    b = assign.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("cell"), F.col("embedding").alias("v_b")
+    )
+    pairs = a.join(b, "cell").filter(F.col("vec_id_a") < F.col("vec_id_b"))
+    return pairs.select(
+        "vec_id_a", "vec_id_b", cosine_sim("v_a", "v_b").alias("cos_sim")
+    ).filter(F.col("cos_sim") >= 0.4)

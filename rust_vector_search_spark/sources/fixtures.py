@@ -28,6 +28,13 @@ TABLES = (
     "embeddings",
 )
 
+# fixture parquets are single-row-group files — a scan can't split below
+# row-group granularity, so without help every downstream computation runs
+# in ONE task. Fact tables get spread across the cluster on load; dimension
+# tables stay single-partition (they broadcast anyway). A real 100 TB
+# deployment has many files/row groups and skips this entirely.
+_FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table; plain ``spark.read.parquet`` so filters and
@@ -42,6 +49,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer division — float division of int64 nanos (> 2^53) would
         # round the low microsecond digit
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name in _FACT_TABLES:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     return df
 
 

@@ -111,3 +111,15 @@ def test_ivf_recall(emb, queries):
     )
     # 8 of 25 cells probed ≈ 1/3 of the corpus as candidates
     assert r >= 0.45, f"IVF recall@{K} = {r} (nprobe=8)"
+
+
+def test_fast_knn_matches_hof_path(emb, queries):
+    """BLAS fast path must return the same neighbor ids/ranks as the
+    Catalyst HOF path (distances reassociate, ids must not)."""
+    from rust_vector_search_spark.operators.knn import knn_exact_fast
+
+    slow = knn_exact(emb, queries, k=K).select("query_id", "vec_id", "rnk")
+    fast = knn_exact_fast(emb, queries, k=K).select("query_id", "vec_id", "rnk")
+    a = {(r.query_id, r.vec_id, r.rnk) for r in slow.collect()}
+    b = {(r.query_id, r.vec_id, r.rnk) for r in fast.collect()}
+    assert a == b
