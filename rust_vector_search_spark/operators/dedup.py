@@ -136,7 +136,11 @@ def minhash_lsh_pairs(
     pairs. Shuffle volume: |docs|·bands band keys + candidate pairs only
     — never the quadratic pair space."""
     rows = num_hashes // bands
-    sig = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n)
+    # materialize signatures once — the banding branch and the verify
+    # branch both consume them, and the 16-way salted-md5 computation is
+    # the most expensive map-side step in the pipeline
+    sig = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n
+                            ).localCheckpoint(eager=True)
     band_keys = F.array(
         *[
             F.md5(F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]))
@@ -156,23 +160,27 @@ def minhash_lsh_pairs(
         .select("doc_id_a", "doc_id_b")
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
-    shingle_tbl = sig.select(F.col(id_col), F.col("shingles"))
+    # exact-Jaccard verify on 64-bit-hashed shingle arrays: long-array
+    # array_intersect is ~8× cheaper than string hashsets (1.2s vs 10s+
+    # at sf0.1 for both the string-intersect and exploded-join forms).
+    # Counts equal the string intersection unless xxhash64 collides
+    # within a pair's shingles (P ≈ n²/2⁶⁵ per pair — negligible).
+    shh = sig.select(
+        F.col(id_col),
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("h"),
+    )
     cand = (
         cand.join(
-            shingle_tbl.select(
-                F.col(id_col).alias("doc_id_a"), F.col("shingles").alias("sh_a")
-            ),
+            shh.select(F.col(id_col).alias("doc_id_a"), F.col("h").alias("h_a")),
             "doc_id_a",
         )
         .join(
-            shingle_tbl.select(
-                F.col(id_col).alias("doc_id_b"), F.col("shingles").alias("sh_b")
-            ),
+            shh.select(F.col(id_col).alias("doc_id_b"), F.col("h").alias("h_b")),
             "doc_id_b",
         )
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    inter = F.size(F.array_intersect("h_a", "h_b")).cast("double")
+    union = (F.size("h_a") + F.size("h_b")).cast("double") - inter
     return cand.select(
         "doc_id_a",
         "doc_id_b",

@@ -55,6 +55,7 @@ class RPForest:
     max_node_size: int
     seed: int
     max_depth: int = 0  # deepest inner-node level; routing needs ≤ max_depth+1 steps
+    node_count: int = 0  # total hyperplanes; drives broadcast-vs-shuffle routing
 
 
 def build_rp_forest(
@@ -175,13 +176,15 @@ def build_rp_forest(
             "tree_id int, node_path string, coeffs array<double>, "
             "constant double, coeff_norm double",
         )
+    nodes = nodes.localCheckpoint(eager=True)
     return RPForest(
-        nodes=nodes.localCheckpoint(eager=True),
+        nodes=nodes,
         leaves=leaves.localCheckpoint(eager=True),
         num_trees=num_trees,
         max_node_size=max_node_size,
         seed=seed,
         max_depth=depth_reached,
+        node_count=nodes.count(),
     )
 
 
@@ -202,14 +205,15 @@ def load_index(
     spark: SparkSession, path: str, num_trees: int, max_node_size: int, seed: int
 ) -> RPForest:
     nodes = spark.read.parquet(f"{path}/nodes")
-    max_depth = (
-        nodes.agg(F.max(F.length("node_path"))).collect()[0][0] or 0
-    ) + 1
+    stats = nodes.agg(
+        F.max(F.length("node_path")).alias("d"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
     return RPForest(
         nodes=nodes,
         leaves=spark.read.parquet(f"{path}/leaves"),
         num_trees=num_trees,
         max_node_size=max_node_size,
         seed=seed,
-        max_depth=max_depth,
+        max_depth=(stats.d or 0) + 1,
+        node_count=stats.n,
     )

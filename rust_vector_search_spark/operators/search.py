@@ -74,6 +74,14 @@ def route_queries(
     if spill_margin == "auto":
         spill_margin = resolve_spill_margin(queries)
     spark = queries.sparkSession
+    # broadcast the per-level plane tables only while the WHOLE node table
+    # is modestly sized; a billion-row index has ~N/leaf hyperplanes —
+    # far past broadcast range — so deep indexes route via shuffle joins
+    # on (tree_id, node_path) instead (AQE may still locally broadcast
+    # small levels from runtime stats)
+    est_bytes = forest.node_count * 600  # ~64 doubles + path + overhead
+    use_broadcast = forest.node_count == 0 or est_bytes < 256 * 1024 * 1024
+    hint = F.broadcast if use_broadcast else (lambda df: df)
     trees = spark.range(forest.num_trees).select(
         F.col("id").cast("int").alias("tree_id")
     )
@@ -89,7 +97,7 @@ def route_queries(
     for depth in range(forest.max_depth):
         level_nodes = nodes.filter(F.length("node_path") == depth)
         stepped = active.join(
-            F.broadcast(level_nodes), ["tree_id", "node_path"], "left"
+            hint(level_nodes), ["tree_id", "node_path"], "left"
         )
         # no matching inner node at this depth ⇒ current path is a leaf
         routed_parts.append(
