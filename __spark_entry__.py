@@ -9,11 +9,16 @@ of SURVEY.md §2, each SQL-expressible one paired with a DuckDB twin.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from rust_vector_search_spark.plans import ORACLES, QUERIES
+# make the sibling package importable regardless of the driver's CWD
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rust_vector_search_spark.plans import ORACLES, QUERIES  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

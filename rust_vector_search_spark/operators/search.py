@@ -178,6 +178,11 @@ def search_rp_forest(
     """Approximate top-k (O9+O10+O12). ``queries`` has (query_id,
     query_vec); returns (query_id, vec_id, dist, rnk)."""
     routed = route_queries(forest, queries, spill_margin, max_spills)
+    if backfill:
+        # routed feeds BOTH the candidate join and the underfull-leaf
+        # scan — materialize once instead of running the whole multi-level
+        # descent twice
+        routed = routed.localCheckpoint(eager=True)
     leaves = forest.leaves
 
     cand = routed.join(leaves, ["tree_id", "leaf_path"]).select("query_id", "vec_id")

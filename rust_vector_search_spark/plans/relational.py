@@ -731,3 +731,52 @@ def salted_agg_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"sum_price": F.col("o_totalprice").cast("decimal(28,2)")},
         num_salts=16,
     )
+
+
+# --- session windows (batch form of the streaming session-window op) ---------
+
+@register(
+    "events_session_windows",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {sum_value} AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+""".format(sum_value=dd_sum("value", 6)),
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows via F.session_window — Spark's native
+    session operator, used here in BATCH mode (same operator drives the
+    streaming form in streaming/). session_window's end = last event +
+    gap; the oracle reconstructs sessions with the lag/cumsum idiom."""
+    ev = _t(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy(F.col("user_id"), sw)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

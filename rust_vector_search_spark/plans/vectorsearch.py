@@ -355,3 +355,38 @@ def near_dup_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "vec_id_a", "vec_id_b", cosine_sim("v_a", "v_b").alias("cos_sim")
     ).filter(F.col("cos_sim") >= 0.4)
+
+
+# --- grouped pandas UDAF: per-label cluster statistics (rows-only) ------------
+
+@register("label_cluster_stats")
+def label_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas UDAF surface: per-label centroid norm and
+    intra-cluster spread via numpy — the grouped-custom-aggregate shape
+    (Arrow-batched, one group per task). Rows-only: BLAS reassociation
+    is not oracle-bit-exact; tests cross-check the centroid against the
+    oracle-checked label_centroids query."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+
+    def _stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+        c = X.mean(axis=0)
+        d = np.sqrt(((X - c) ** 2).sum(axis=1))
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vectors": [len(X)],
+                "centroid_norm": [float(np.sqrt((c * c).sum()))],
+                "mean_dist_to_centroid": [float(d.mean())],
+                "max_dist_to_centroid": [float(d.max())],
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        _stats,
+        schema="label int, n_vectors long, centroid_norm double, "
+        "mean_dist_to_centroid double, max_dist_to_centroid double",
+    )

@@ -123,3 +123,21 @@ def test_fast_knn_matches_hof_path(emb, queries):
     a = {(r.query_id, r.vec_id, r.rnk) for r in slow.collect()}
     b = {(r.query_id, r.vec_id, r.rnk) for r in fast.collect()}
     assert a == b
+
+
+def test_label_cluster_stats_consistent_with_centroids(spark):
+    """The pandas-UDAF centroid must agree with the oracle-checked
+    HOF/decimal centroid query (within float tolerance)."""
+    import math
+
+    from rust_vector_search_spark.plans import QUERIES
+
+    sf = SF_SMOKE
+    stats = {r.label: r for r in QUERIES["label_cluster_stats"](spark, sf).collect()}
+    cents = QUERIES["label_centroids"](spark, sf).collect()
+    by_label = {}
+    for r in cents:
+        by_label.setdefault(r.label, {})[r.pos] = r.centroid_val
+    for label, poses in by_label.items():
+        norm = math.sqrt(sum(v * v for v in poses.values()))
+        assert math.isclose(norm, stats[label].centroid_norm, rel_tol=1e-9)

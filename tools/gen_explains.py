@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Regenerate EXPLAINS.md: capture .explain("formatted") for flagship
+queries and annotate the scale-relevant plan properties."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rust_vector_search_spark.plans import QUERIES  # noqa: E402
+from rust_vector_search_spark.session import get_spark  # noqa: E402
+
+NOTES = {
+    "q6_forecast_revenue": (
+        "All three predicates reach the parquet scan (PushedFilters); "
+        "ReadSchema carries only the 4 referenced columns of 16."
+    ),
+    "knn_exact_euclidean": (
+        "The query side broadcasts (BroadcastNestedLoopJoin over 10 rows); "
+        "the corpus never shuffles until the per-query top-k window; "
+        "distance math is a Catalyst higher-order expression inside "
+        "codegen - no Python."
+    ),
+    "q5_region_nation_revenue": (
+        "Every dimension joins as BroadcastHashJoin; the only exchanges "
+        "are the partial->final aggregation on n_name."
+    ),
+    "multimodal_binary_features": (
+        "The single deliberate Python crossing: MapInPandas (Arrow "
+        "batches), flanked by JVM-side projection."
+    ),
+}
+
+
+def main() -> None:
+    spark = get_spark(app_name="explains", master="local[8]", shuffle_partitions=8)
+    out = [
+        "# EXPLAINS — physical-plan evidence (generated from live sessions)",
+        "",
+        '`.explain("formatted")` captures for flagship queries at sf0.001,',
+        "with the scale-relevant properties annotated. Regenerate with",
+        "`python tools/gen_explains.py`.",
+        "",
+    ]
+    for name, note in NOTES.items():
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        out.append(f"## {name}\n\n**Why this plan is right at 100 TB:** {note}\n")
+        out.append("```")
+        out.append(buf.getvalue().strip()[:4000])
+        out.append("```\n")
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "EXPLAINS.md"), "w") as f:
+        f.write("\n".join(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
