@@ -780,3 +780,87 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --- pivot (wide-format conditional aggregation) -----------------------------
+
+@register(
+    "pivot_orderstatus_by_segment",
+    oracle=f"""
+SELECT c_mktsegment,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P,
+       {dd_sum("o_totalprice")} AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def pivot_orderstatus_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot: order-status counts per market segment via
+    .pivot(values=...) — explicit value list keeps the plan one-pass
+    (no distinct-values pre-scan) and the output schema static."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    counts = (
+        j.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    sums = j.groupBy("c_mktsegment").agg(dsum(F.col("o_totalprice")).alias("sum_price"))
+    return counts.join(sums, "c_mktsegment").select(
+        "c_mktsegment", "F", "O", "P", "sum_price"
+    )
+
+
+# --- banded range join: co-occurring events within 60 s ----------------------
+
+@register(
+    "range_join_close_events",
+    oracle="""
+SELECT a.event_id AS event_id_a, b.event_id AS event_id_b, a.user_id,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND b.ts >= a.ts - INTERVAL 60 SECOND
+ AND b.ts <= a.ts + INTERVAL 60 SECOND
+""",
+)
+def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: same-user event pairs within ±60 s.
+    Scale-correct BANDED form: each event lands in its 60-s time bucket,
+    candidates come from equi-joining (user_id, bucket) with each side
+    exploded to adjacent buckets — turning the O(n²)-per-user theta join
+    into an equi-join whose candidate set is only neighboring buckets —
+    then the exact |Δt| ≤ 60 s predicate filters. Same technique as the
+    LSH band joins: bucket, equi-join, verify."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    bucket = (F.col("us") / F.lit(60_000_000)).cast("long")
+    # left side explodes to {b-1, b, b+1} so any pair within 60 s shares
+    # a (user, bucket) key exactly once on the right side's home bucket
+    a = ev.select(
+        F.col("event_id").alias("event_id_a"),
+        "user_id",
+        F.col("us").alias("us_a"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bkt"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("event_id_b"),
+        "user_id",
+        F.col("us").alias("us_b"),
+        bucket.alias("bkt"),
+    )
+    pairs = (
+        a.join(b, ["user_id", "bkt"])
+        .filter(F.col("event_id_a") < F.col("event_id_b"))
+        .filter(F.abs(F.col("us_b") - F.col("us_a")) <= 60_000_000)
+        .dropDuplicates(["event_id_a", "event_id_b"])
+    )
+    return pairs.select(
+        "event_id_a", "event_id_b", "user_id",
+        (F.col("us_b") - F.col("us_a")).alias("gap_us"),
+    )

@@ -390,3 +390,36 @@ def label_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="label int, n_vectors long, centroid_norm double, "
         "mean_dist_to_centroid double, max_dist_to_centroid double",
     )
+
+
+# --- O14 set-form: per-query neighbor SETS (collect_set parity) ---------------
+
+@register(
+    "all_pairs_top3_sets",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 5 = 0),
+ranked AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {dd_sq_euc('q.qv', 'e.embedding')}, e.vec_id)
+             AS rnk
+    FROM q, embeddings e
+    WHERE e.vec_id <> q.query_id) t
+  WHERE rnk <= 3)
+SELECT query_id, list_sort(list(vec_id)) AS neighbor_set
+FROM ranked
+GROUP BY query_id
+""",
+)
+def all_pairs_top3_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14's actual return shape — neighbor SETS per query
+    (``search_approximate_as_hashset``, ``src/main.rs:125-136``): the
+    DashSet becomes collect_set, sorted so the set is hash-comparable."""
+    emb = _emb(spark, sf_dir)
+    top = all_pairs_topk(emb, k=3, sample_mod=5)
+    return top.groupBy("query_id").agg(
+        F.sort_array(F.collect_set("vec_id")).alias("neighbor_set")
+    )

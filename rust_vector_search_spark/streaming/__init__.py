@@ -1,11 +1,13 @@
 from .incremental import (
     incremental_index_ingest,
+    stateful_user_counters,
     streaming_dedup,
     streaming_windowed_counts,
 )
 
 __all__ = [
     "incremental_index_ingest",
+    "stateful_user_counters",
     "streaming_dedup",
     "streaming_windowed_counts",
 ]

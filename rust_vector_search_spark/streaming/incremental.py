@@ -30,6 +30,7 @@ __all__ = [
     "streaming_windowed_counts",
     "streaming_dedup",
     "incremental_index_ingest",
+    "stateful_user_counters",
 ]
 
 
@@ -93,4 +94,35 @@ def incremental_index_ingest(
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def stateful_user_counters(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-user running event counter with explicit state — the
+    arbitrary-stateful-processing escape hatch for operators Spark's
+    built-in windows can't express (per-key ML state, CEP, custom
+    sessionizers). State is a single long per user, carried across
+    micro-batches by the state store."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _count(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        batch_rows = 0
+        for pdf in pdfs:
+            batch_rows += len(pdf)
+        total += batch_rows
+        state.update((total,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events_total": [total],
+             "n_events_batch": [batch_rows]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _count,
+        outputStructType="user_id long, n_events_total long, n_events_batch long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -97,3 +97,36 @@ def test_incremental_index_ingest(spark, tmp_path):
         "left_anti",
     ).count()
     assert valid == 0
+
+
+def test_stateful_user_counters(spark, tmp_path):
+    """applyInPandasWithState: totals must equal per-user batch counts,
+    and state must carry across micro-batches (two source files ⇒
+    maxFilesPerTrigger=1 forces two batches)."""
+    from rust_vector_search_spark.streaming import stateful_user_counters
+
+    src = str(tmp_path / "st_src")
+    df1 = spark.createDataFrame([(1, 10), (1, 11), (2, 20)], "user_id long, v long")
+    df2 = spark.createDataFrame([(1, 12), (3, 30)], "user_id long, v long")
+    df1.coalesce(1).write.parquet(src)
+    df2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful_user_counters(stream)
+        .writeStream.format("memory")
+        .queryName("st_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, max(n_events_total) AS total FROM st_counts GROUP BY user_id"
+    ).collect()
+    got = {r.user_id: r.total for r in rows}
+    assert got == {1: 3, 2: 1, 3: 1}
