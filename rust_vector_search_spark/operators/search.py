@@ -160,6 +160,10 @@ def route_queries(
     routed = routed_parts[0]
     for df in routed_parts[1:]:
         routed = routed.unionByName(df)
+    # the union stacks (levels × partitions) map tasks — hundreds of
+    # near-empty tasks; narrow-merge them back to cluster parallelism
+    # before the dedup shuffle
+    routed = routed.coalesce(spark.sparkContext.defaultParallelism)
     return routed.dropDuplicates(["query_id", "tree_id", "leaf_path"])
 
 
