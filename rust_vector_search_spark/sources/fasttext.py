@@ -52,3 +52,27 @@ def read_fasttext_header(spark: SparkSession, path: str) -> tuple[int, int]:
     """Parse the ``"<count> <dim>"`` header line (``src/main.rs:21-22``)."""
     first = spark.read.text(path).limit(1).collect()[0][0].split()
     return int(first[0]), int(first[1])
+
+
+def write_fasttext_vec(df: DataFrame, path: str, dim: int) -> None:
+    """Sink twin of the reader: write (word, embedding) back to the
+    fastText ``.vec`` text format (header line + space-separated rows,
+    ``/root/reference/src/main.rs:21-38``). Rows are written distributed
+    (one part-file per partition, header in part 0 via a union trick is
+    fragile — instead the header is its own tiny file read first by the
+    reader's header probe; for strict single-file output coalesce(1))."""
+    import pyspark.sql.functions as F
+
+    n = df.count()
+    spark = df.sparkSession
+    lines = df.select(
+        F.concat_ws(
+            " ",
+            F.col("word"),
+            F.concat_ws(" ", F.transform("embedding", lambda x: x.cast("string"))),
+        ).alias("value")
+    )
+    header = spark.createDataFrame([(f"{n} {dim}",)], "value string")
+    header.coalesce(1).unionByName(lines.coalesce(1)).coalesce(1).write.mode(
+        "overwrite"
+    ).text(path)

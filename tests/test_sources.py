@@ -83,3 +83,34 @@ def test_load_all_fixture_tables(spark):
         df = load_table(spark, SF_SMOKE, t)
         assert df.count() > 0
     assert dict(load_table(spark, SF_SMOKE, "events").dtypes)["ts"] == "timestamp"
+
+
+def test_vec_write_read_roundtrip(spark, tmp_path):
+    from rust_vector_search_spark.sources.fasttext import write_fasttext_vec
+
+    src = spark.createDataFrame(
+        [(0, "aa", [1.0, 2.5]), (1, "bb", [-0.5, 3.0])],
+        "vec_id long, word string, embedding array<float>",
+    )
+    out = str(tmp_path / "roundtrip.vec")
+    write_fasttext_vec(src, out, dim=2)
+    back = read_fasttext_vec(spark, out, dim=2)
+    rows = {r.word: r.embedding for r in back.collect()}
+    assert rows == {"aa": [1.0, 2.5], "bb": [-0.5, 3.0]}
+
+
+def test_golden_micro_knn(spark):
+    """SURVEY §5.4 golden micro-fixture: hand-computed nearest
+    neighbors on a 4-point corpus with exact distances."""
+    from rust_vector_search_spark.operators.knn import knn_exact
+    import pyspark.sql.functions as F
+
+    corpus = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 2.0]), (3, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = [(r.vec_id, r.dist) for r in knn_exact(corpus, q, k=3).orderBy("rnk").collect()]
+    assert got == [(1, 1.0), (2, 4.0), (3, 25.0)]
