@@ -39,6 +39,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_join",
     "simhash",
+    "simhash_blocked_pairs",
     "simhash_near_dup_pairs",
     "embedding_cosine_pairs",
 ]
@@ -132,9 +133,11 @@ def minhash_lsh_pairs(
     sharing ANY band key become candidates (banded LSH); candidates are
     then verified with exact shingle-set Jaccard.
 
-    Returns (doc_id_a, doc_id_b, jaccard_est, jaccard) for candidate
-    pairs. Shuffle volume: |docs|·bands band keys + candidate pairs only
-    — never the quadratic pair space."""
+    Returns (doc_id_a, doc_id_b, jaccard) for candidate pairs — the
+    exact verified Jaccard only (banded signatures gate candidacy but no
+    signature-based estimate column is emitted). Shuffle volume:
+    |docs|·bands band keys + candidate pairs only — never the quadratic
+    pair space."""
     rows = num_hashes // bands
     # materialize signatures once — the banding branch and the verify
     # branch both consume them, and the 16-way salted-md5 computation is
@@ -271,41 +274,58 @@ def simhash(
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
-def simhash_near_dup_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
+def simhash_blocked_pairs(
+    fps: DataFrame,
+    max_hamming: int,
     id_col: str = "doc_id",
-    max_hamming: int = 8,
+    fp_col: str = "simhash",
     bits: int = 32,
-    chunks: int = 4,
+    chunks: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs by pigeonhole blocking: split the fingerprint
-    into ``chunks`` byte blocks; any pair within hamming ≤ (chunks-1) per
-    block budget shares at least one exact block → candidates come from
-    ``chunks`` equi-joins on 8-bit block values, then exact hamming
-    (bit_count of xor) filters. Returns (doc_id_a, doc_id_b, hamming)."""
-    fps = simhash(docs, text_col, id_col, bits)
-    block_bits = bits // chunks
-    mask = (1 << block_bits) - 1
+    """Pigeonhole-blocked hamming pairs over a (id, fingerprint) table.
+
+    The fingerprint is split into ``chunks`` bit blocks (near-even widths
+    covering all ``bits``); a pair with hamming ≤ chunks−1 must share at
+    least one exact block, so candidates come from ``chunks`` equi-joins
+    on block values and exact hamming (bit_count of xor) filters them.
+
+    ``chunks`` defaults to ``max_hamming + 1`` — the smallest count that
+    makes the pigeonhole guarantee COMPLETE for the requested radius. An
+    explicit ``chunks < max_hamming + 1`` is rejected (it would silently
+    drop pairs whose differing bits span every block). NB the guarantee's
+    price: block width = bits/chunks, so a wide radius on a narrow
+    fingerprint (e.g. hamming ≤ 8 on 32 bits → 3-bit blocks) degenerates
+    toward quadratic candidates; use a wider fingerprint instead.
+
+    Returns (doc_id_a, doc_id_b, hamming ≤ max_hamming)."""
+    if chunks is None:
+        chunks = max_hamming + 1
+    if chunks < max_hamming + 1:
+        raise ValueError(
+            f"chunks={chunks} cannot guarantee hamming<={max_hamming} recall; "
+            f"need chunks >= {max_hamming + 1}"
+        )
+    if chunks > bits:
+        raise ValueError(f"chunks={chunks} > bits={bits}")
+    # near-even block boundaries covering all `bits` (widths differ by ≤1)
+    bounds = [c * bits // chunks for c in range(chunks + 1)]
+    blocks = []
+    for c in range(chunks):
+        lo, width = bounds[c], bounds[c + 1] - bounds[c]
+        mask = (1 << width) - 1
+        blocks.append(
+            F.shiftright(F.col(fp_col), lo).bitwiseAND(F.lit(mask)).cast("long")
+        )
     blocked = fps.select(
         F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), c * block_bits)
-                    .bitwiseAND(F.lit(mask))
-                    .cast("long")
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("blk", "blk_val"),
+        F.col(fp_col),
+        F.posexplode(F.array(*blocks)).alias("blk", "blk_val"),
     )
     a = blocked.select(
-        F.col(id_col).alias("doc_id_a"), F.col("simhash").alias("h_a"), "blk", "blk_val"
+        F.col(id_col).alias("doc_id_a"), F.col(fp_col).alias("h_a"), "blk", "blk_val"
     )
     b = blocked.select(
-        F.col(id_col).alias("doc_id_b"), F.col("simhash").alias("h_b"), "blk", "blk_val"
+        F.col(id_col).alias("doc_id_b"), F.col(fp_col).alias("h_b"), "blk", "blk_val"
     )
     cand = (
         a.join(b, ["blk", "blk_val"])
@@ -316,6 +336,24 @@ def simhash_near_dup_pairs(
     return (
         cand.select("doc_id_a", "doc_id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bits: int = 32,
+    chunks: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: fingerprint (``simhash``) then pigeonhole
+    block join (``simhash_blocked_pairs``). ``chunks`` is derived from
+    ``max_hamming`` so the default is complete for the requested radius.
+    Returns (doc_id_a, doc_id_b, hamming)."""
+    fps = simhash(docs, text_col, id_col, bits)
+    return simhash_blocked_pairs(
+        fps, max_hamming, id_col=id_col, fp_col="simhash", bits=bits, chunks=chunks
     )
 
 

@@ -4,9 +4,25 @@
 The reference builds each tree by sequential recursion (``build_a_tree``,
 ``src/lib.rs:50-62``) parallelized per-tree with rayon (``src/lib.rs:93-96``).
 A literal translation would put one tree per task and recurse on the
-driver — useless at 100 TB. Instead the build is LEVEL-SYNCHRONOUS
-(SURVEY §3.2): one DataFrame holds every (tree, vector) assignment, and
-each iteration splits EVERY open node of EVERY tree at once:
+driver — useless at 100 TB. Instead the build is HYBRID:
+
+  PHASE 1 (distributed, level-synchronous, SURVEY §3.2): one DataFrame
+  holds every (tree, vector) assignment and each iteration splits every
+  node whose population exceeds ``local_threshold`` — only the top
+  O(log(N/threshold)) levels, where a node's rows genuinely span many
+  partitions, pay a full-corpus shuffle.
+
+  PHASE 2 (partition-local): once a subtree's population fits in one
+  task (≤ ``local_threshold`` rows), the WHOLE remaining subtree builds
+  inside a single Arrow-batched ``applyInPandas`` group — numpy
+  recursion, zero further shuffles. This is the reference's per-tree
+  rayon recursion reborn as a per-subtree Spark task: at 1e9 vectors it
+  replaces ~15 of ~25 full-corpus shuffle levels with one embarrassingly
+  parallel pass. Pivot ranks use md5 of (vec_id, tree, path, seed,
+  depth) — deterministic and partition-order-independent (rows are
+  sorted by vec_id before ranking), so rebuilds are bit-identical.
+
+Each distributed iteration splits EVERY open node of EVERY tree at once:
 
   1. annotate each row with its node's population and a seeded-hash rank
      — ONE shuffle on (tree_id, node_path) serves both window functions;
@@ -56,6 +72,74 @@ class RPForest:
     seed: int
     max_depth: int = 0  # deepest inner-node level; routing needs ≤ max_depth+1 steps
     node_count: int = 0  # total hyperplanes; drives broadcast-vs-shuffle routing
+    dim: int = 0  # embedding dimensionality; sizes the broadcast estimate
+
+
+def _subtree_builder(max_node_size: int, max_depth: int, seed: int):
+    """Phase-2 kernel: build one subtree locally. Returns an
+    applyInPandas function emitting kind='node'/'leaf' rows."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def _build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        tree_id = int(pdf["tree_id"].iloc[0])
+        start_path = str(pdf["node_path"].iloc[0])
+        vec_ids = pdf["vec_id"].to_numpy()
+        # group arrival order is partition-scheduling-dependent — sort by
+        # vec_id so pivot ranking sees a canonical order (determinism)
+        order = np.argsort(vec_ids)
+        vec_ids = vec_ids[order]
+        X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["emb"].to_numpy()])
+        X = X[order]
+
+        nodes: list[tuple] = []  # (path, coeffs, constant, coeff_norm)
+        leaves: list[tuple] = []  # (path, vec_id)
+        stack: list[tuple[str, "np.ndarray"]] = [(start_path, np.arange(len(vec_ids)))]
+        while stack:
+            path, idx = stack.pop()
+            depth = len(path)
+            if len(idx) <= max_node_size or depth >= max_depth:
+                leaves.extend((path, int(vec_ids[i])) for i in idx)
+                continue
+            # seeded 2-sample (O4): two smallest md5 ranks; salting with
+            # depth redraws pivots if a degenerate split recurses
+            ranks = sorted(
+                range(len(idx)),
+                key=lambda j: hashlib.md5(
+                    f"{vec_ids[idx[j]]}:{tree_id}:{path}:{seed}:{depth}".encode()
+                ).hexdigest(),
+            )
+            a, b = X[idx[ranks[0]]], X[idx[ranks[1]]]
+            normal = b - a
+            constant = -float(normal @ ((a + b) / 2.0))
+            nodes.append(
+                (path, normal.tolist(), constant, float(np.sqrt(normal @ normal)))
+            )
+            side = (X[idx] @ normal + constant) >= 0.0  # ties "above"
+            stack.append((path + "1", idx[side]))
+            stack.append((path + "0", idx[~side]))
+
+        return pd.DataFrame(
+            {
+                "tree_id": [tree_id] * (len(nodes) + len(leaves)),
+                "path": [p for p, *_ in nodes] + [p for p, _ in leaves],
+                "kind": ["node"] * len(nodes) + ["leaf"] * len(leaves),
+                "vec_id": [None] * len(nodes) + [v for _, v in leaves],
+                "coeffs": [c for _, c, *_ in nodes] + [None] * len(leaves),
+                "constant": [k for _, _, k, _ in nodes] + [None] * len(leaves),
+                "coeff_norm": [n for *_, n in nodes] + [None] * len(leaves),
+            }
+        )
+
+    return _build
+
+
+_SUBTREE_SCHEMA = (
+    "tree_id int, path string, kind string, vec_id long, "
+    "coeffs array<double>, constant double, coeff_norm double"
+)
 
 
 def build_rp_forest(
@@ -68,35 +152,59 @@ def build_rp_forest(
     vec_col: str = "embedding",
     dedup: bool = True,
     checkpoint_interval: int = 1,
+    local_threshold: int = 8192,
 ) -> RPForest:
     """Build the forest (O8 ``build_index``, ``src/lib.rs:81-103``).
 
     ``dedup=True`` mirrors the reference's exact dedup before build
     (``src/lib.rs:87-88``) — duplicate vectors would defeat hyperplane
     splits (a node of identical points can never separate) and create
-    hot leaves; SURVEY §7.3.4."""
+    hot leaves; SURVEY §7.3.4.
+
+    ``local_threshold``: node populations at or below this finish their
+    subtree inside one applyInPandas task (phase 2); set 0 to force the
+    pure level-synchronous build. Sized so a group's vectors fit one
+    task comfortably (8192 × 300 d × 8 B ≈ 20 MB)."""
     spark = emb.sparkSession
     base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
     if dedup:
         keep = base.groupBy("emb").agg(F.min("vec_id").alias("vec_id"))
         base = base.join(keep, ["emb", "vec_id"], "left_semi")
 
+    first = base.select(F.size("emb").alias("d")).head(1)
+    dim = int(first[0].d) if first else 0
+    n_base = base.count()
+
     trees = spark.range(num_trees).select(F.col("id").cast("int").alias("tree_id"))
-    active = (
-        base.crossJoin(trees)
-        .select("tree_id", F.lit("").alias("node_path"), "vec_id", "emb")
-        .localCheckpoint(eager=True)
+    active = base.crossJoin(trees).select(
+        "tree_id", F.lit("").alias("node_path"), "vec_id", "emb"
     )
 
     all_leaves: list[DataFrame] = []
     all_nodes: list[DataFrame] = []
-    depth_reached = 0
+    local_parts: list[DataFrame] = []
+    split_floor = max(local_threshold, max_node_size)
 
-    for depth in range(max_depth):
+    if n_base <= split_floor:
+        # whole per-tree corpus already fits one phase-2 task: skip the
+        # synchronous loop entirely (no window shuffle, no checkpoints)
+        local_parts.append(active)
+        active = active.limit(0)
+        levels = range(0)
+    else:
+        active = active.localCheckpoint(eager=True)
+        levels = range(max_depth)
+
+    for depth in levels:
         node_w = Window.partitionBy("tree_id", "node_path")
         rank_w = node_w.orderBy(
             F.xxhash64("vec_id", "tree_id", "node_path", F.lit(seed), F.lit(depth))
         )
+        # ONE checkpoint per level, placed right after the window shuffle:
+        # every downstream consumer (leaf filter, plane agg, routing, and
+        # the final leaves/nodes unions) reads the materialized level
+        # instead of re-running the shuffle — previously the unions
+        # re-executed each level's window 2-3× at collect time
         annotated = active.select(
             "tree_id",
             "node_path",
@@ -104,13 +212,20 @@ def build_rp_forest(
             "emb",
             F.count(F.lit(1)).over(node_w).alias("_n"),
             F.row_number().over(rank_w).alias("_rk"),
-        )
+        ).localCheckpoint(eager=True)
 
         closed = annotated.filter(F.col("_n") <= max_node_size)
         all_leaves.append(
             closed.select("tree_id", F.col("node_path").alias("leaf_path"), "vec_id")
         )
-        opened = annotated.filter(F.col("_n") > max_node_size)
+        # small-but-splittable nodes leave the synchronous loop: their
+        # whole subtree finishes locally in phase 2
+        local_parts.append(
+            annotated.filter(
+                (F.col("_n") > max_node_size) & (F.col("_n") <= split_floor)
+            ).select("tree_id", "node_path", "vec_id", "emb")
+        )
+        opened = annotated.filter(F.col("_n") > split_floor)
 
         # hyperplanes from the two pivot rows of each open node (O5)
         planes = (
@@ -149,19 +264,46 @@ def build_rp_forest(
                 "emb",
             )
         )
-        depth_reached = depth + 1
-        # materialize + check termination every few levels: intermediate
-        # levels chain lazily (their shuffles still execute, but no extra
-        # materialization/job-boundary cost per level)
+        # termination probe runs on the checkpointed level — a narrow
+        # filter scan, not a shuffle recompute
         if depth % checkpoint_interval == checkpoint_interval - 1:
-            active = active.localCheckpoint(eager=True)
-            if active.rdd.isEmpty():
+            if opened.rdd.isEmpty():
                 break
 
     # depth cap reached: force-close whatever is still open
     all_leaves.append(
         active.select("tree_id", F.col("node_path").alias("leaf_path"), "vec_id")
     )
+
+    # PHASE 2: finish every deferred subtree locally — one shuffle
+    # (the groupBy) then embarrassingly parallel numpy recursion
+    if local_parts:
+        local_df = local_parts[0]
+        for df in local_parts[1:]:
+            local_df = local_df.unionByName(df)
+        local_out = (
+            local_df.groupBy("tree_id", "node_path")
+            .applyInPandas(
+                _subtree_builder(max_node_size, max_depth, seed), _SUBTREE_SCHEMA
+            )
+            # consumed by BOTH the nodes and leaves unions — materialize
+            # once so the subtree recursion doesn't run twice
+            .localCheckpoint(eager=True)
+        )
+        all_nodes.append(
+            local_out.filter(F.col("kind") == "node").select(
+                "tree_id",
+                F.col("path").alias("node_path"),
+                "coeffs",
+                "constant",
+                "coeff_norm",
+            )
+        )
+        all_leaves.append(
+            local_out.filter(F.col("kind") == "leaf").select(
+                "tree_id", F.col("path").alias("leaf_path"), "vec_id"
+            )
+        )
 
     leaves = all_leaves[0]
     for df in all_leaves[1:]:
@@ -177,14 +319,18 @@ def build_rp_forest(
             "constant double, coeff_norm double",
         )
     nodes = nodes.localCheckpoint(eager=True)
+    stats = nodes.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.length("node_path")).alias("d")
+    ).collect()[0]
     return RPForest(
         nodes=nodes,
         leaves=leaves.localCheckpoint(eager=True),
         num_trees=num_trees,
         max_node_size=max_node_size,
         seed=seed,
-        max_depth=depth_reached,
-        node_count=nodes.count(),
+        max_depth=(stats.d if stats.d is not None else -1) + 1,
+        node_count=stats.n,
+        dim=dim,
     )
 
 
@@ -206,7 +352,9 @@ def load_index(
 ) -> RPForest:
     nodes = spark.read.parquet(f"{path}/nodes")
     stats = nodes.agg(
-        F.max(F.length("node_path")).alias("d"), F.count(F.lit(1)).alias("n")
+        F.max(F.length("node_path")).alias("d"),
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size("coeffs")).alias("dim"),
     ).collect()[0]
     return RPForest(
         nodes=nodes,
@@ -216,4 +364,5 @@ def load_index(
         seed=seed,
         max_depth=(stats.d or 0) + 1,
         node_count=stats.n,
+        dim=int(stats.dim or 0),
     )

@@ -54,6 +54,76 @@ def resolve_spill_margin(queries: DataFrame, frac: float = 0.3) -> float:
     return frac * float(row.sq / row.d) ** 0.5
 
 
+def _route_local(
+    forest: RPForest,
+    queries: DataFrame,
+    spill_margin: float,
+    max_spills: int,
+) -> DataFrame:
+    """Broadcast-node-map descent (the small/medium-index fast path).
+
+    Semantics identical to the join-chain descent: side = n·x + c ≥ 0
+    (ties "above", ``src/hyperplane.rs:10``); multi-probe spills BOTH
+    children while |n·x + c|/‖n‖ < spill_margin and spills < max_spills.
+    Each (query, tree) reaches each leaf path at most once by
+    construction, so no dedup shuffle is needed."""
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    node_map = {
+        (r.tree_id, r.node_path): (
+            np.asarray(r.coeffs, dtype=np.float64),
+            float(r.constant),
+            float(r.coeff_norm),
+        )
+        for r in forest.nodes.select(
+            "tree_id", "node_path", "coeffs", "constant", "coeff_norm"
+        ).collect()
+    }
+    bc = spark.sparkContext.broadcast(node_map)
+    num_trees = forest.num_trees
+    margin = float(spill_margin)
+
+    def _route(batches):
+        nm = bc.value
+        for pdf in batches:
+            out_q: list = []
+            out_t: list = []
+            out_p: list = []
+            for qid, qv in zip(pdf["query_id"], pdf["query_vec"]):
+                x = np.asarray(qv, dtype=np.float64)
+                for t in range(num_trees):
+                    stack = [("", 0)]
+                    while stack:
+                        path, spills = stack.pop()
+                        nd = nm.get((t, path))
+                        if nd is None:  # no inner node here ⇒ leaf
+                            out_q.append(qid)
+                            out_t.append(t)
+                            out_p.append(path)
+                            continue
+                        coeffs, const, nrm = nd
+                        v = float(coeffs @ x) + const
+                        side = "1" if v >= 0.0 else "0"
+                        stack.append((path + side, spills))
+                        if (
+                            margin > 0.0
+                            and spills < max_spills
+                            and nrm > 0.0
+                            and abs(v) / nrm < margin
+                        ):
+                            other = "0" if side == "1" else "1"
+                            stack.append((path + other, spills + 1))
+            yield pd.DataFrame(
+                {"query_id": out_q, "tree_id": out_t, "leaf_path": out_p}
+            )
+
+    return queries.select("query_id", "query_vec").mapInPandas(
+        _route, "query_id long, tree_id int, leaf_path string"
+    )
+
+
 def route_queries(
     forest: RPForest,
     queries: DataFrame,
@@ -74,13 +144,21 @@ def route_queries(
     if spill_margin == "auto":
         spill_margin = resolve_spill_margin(queries)
     spark = queries.sparkSession
-    # broadcast the per-level plane tables only while the WHOLE node table
-    # is modestly sized; a billion-row index has ~N/leaf hyperplanes —
-    # far past broadcast range — so deep indexes route via shuffle joins
-    # on (tree_id, node_path) instead (AQE may still locally broadcast
-    # small levels from runtime stats)
-    est_bytes = forest.node_count * 600  # ~64 doubles + path + overhead
+    # broadcast the node table only while it is modestly sized; a
+    # billion-row index has ~N/leaf hyperplanes — far past broadcast
+    # range — so deep indexes route via shuffle joins on
+    # (tree_id, node_path) instead.
+    # per-node payload is dominated by the coeffs array — size it from the
+    # ACTUAL dimensionality (a 300-d node is ~2.5 KB, 4× a 64-d one; a
+    # hardcoded guess would push near-GB node tables through broadcast)
+    per_node = (forest.dim or 64) * 8 + 120  # coeffs + path/constant/overhead
+    est_bytes = forest.node_count * per_node
     use_broadcast = forest.node_count == 0 or est_bytes < 256 * 1024 * 1024
+    if use_broadcast and forest.node_count > 0:
+        # FAST PATH: ship the whole node map once (sc.broadcast) and
+        # descend every (query, tree) in ONE narrow mapInPandas pass —
+        # no per-level joins, no shuffles; executors hold the map once.
+        return _route_local(forest, queries, float(spill_margin), max_spills)
     hint = F.broadcast if use_broadcast else (lambda df: df)
     trees = spark.range(forest.num_trees).select(
         F.col("id").cast("int").alias("tree_id")
@@ -197,8 +275,13 @@ def search_rp_forest(
         leaf_sizes = leaves.groupBy("tree_id", "leaf_path").agg(
             F.count(F.lit(1)).alias("leaf_n")
         )
+        # leaf_sizes has ~one row per leaf (≈ node_count) — broadcast only
+        # while that is small; a billion-row corpus has tens of millions
+        # of leaves, far past broadcast range
+        sizes_small = forest.node_count < 2_000_000
+        size_hint = F.broadcast if sizes_small else (lambda df: df)
         underfull = (
-            routed.join(F.broadcast(leaf_sizes), ["tree_id", "leaf_path"], "left")
+            routed.join(size_hint(leaf_sizes), ["tree_id", "leaf_path"], "left")
             .filter((F.col("leaf_n") < k) | F.col("leaf_n").isNull())
             .filter(F.length("leaf_path") > 0)
             .select(
@@ -213,11 +296,26 @@ def search_rp_forest(
                 ).alias("sibling_prefix"),
             )
         )
-        sib = underfull.join(
-            leaves,
-            (underfull.tree_id == leaves.tree_id)
-            & leaves.leaf_path.startswith(underfull.sibling_prefix),
-        ).select("query_id", "vec_id")
+        # "leaf under sibling prefix" as an EQUI-join: explode each leaf
+        # into its ancestor prefixes (bounded by depth) and join on the
+        # exact (tree_id, prefix) key. A startswith() predicate here would
+        # plan as BroadcastNestedLoopJoin — O(|leaves| × |underfull|), a
+        # scale-killer on skewed corpora with many underfull leaves.
+        # (root-level leaves have no sibling and sequence(1,0) counts DOWN
+        # in Spark — exclude them before the ancestor transform)
+        leaf_ancestors = leaves.filter(F.length("leaf_path") > 0).select(
+            "tree_id",
+            "vec_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(leaf_path)),"
+                    " i -> substring(leaf_path, 1, i))"
+                )
+            ).alias("sibling_prefix"),
+        )
+        sib = underfull.join(leaf_ancestors, ["tree_id", "sibling_prefix"]).select(
+            "query_id", "vec_id"
+        )
         cand = cand.unionByName(sib)
 
     cand = cand.distinct()  # O10: DashSet union ⇒ shuffle distinct

@@ -29,9 +29,16 @@ def salted_agg(
 ) -> DataFrame:
     """Two-phase aggregation: ``sum_cols`` maps output name → addend
     Column (summed exactly; pass decimal-cast addends for the oracle
-    contract). A `n_rows` count is always included."""
-    salt = (F.crc32(F.concat_ws("§", *[F.col(c) for c in group_cols]).cast("string"))
-            + F.monotonically_increasing_id()) % num_salts
+    contract). A `n_rows` count is always included.
+
+    The salt is derived DETERMINISTICALLY from the full row content
+    (xxhash64 over every column) — never from
+    monotonically_increasing_id(), whose value changes on task retry /
+    stage recompute and, feeding a shuffle key, would re-salt rows into
+    different groups and double-count or drop them. Rows identical in
+    every column share a salt (their map-side partial agg collapses them
+    anyway); any value diversity under a hot key spreads it."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts))
     phase1 = (
         df.withColumn("_salt", salt)
         .groupBy(*group_cols, "_salt")

@@ -809,8 +809,12 @@ def pivot_orderstatus_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
     )
     sums = j.groupBy("c_mktsegment").agg(dsum(F.col("o_totalprice")).alias("sum_price"))
+    # Spark's pivot yields NULL for a (segment, status) combo with no
+    # rows; the oracle's COUNT(*) FILTER yields 0 — coalesce to match
     return counts.join(sums, "c_mktsegment").select(
-        "c_mktsegment", "F", "O", "P", "sum_price"
+        "c_mktsegment",
+        *[F.coalesce(F.col(s), F.lit(0).cast("long")).alias(s) for s in ("F", "O", "P")],
+        "sum_price",
     )
 
 

@@ -409,7 +409,7 @@ ranked AS (
     FROM q, embeddings e
     WHERE e.vec_id <> q.query_id) t
   WHERE rnk <= 3)
-SELECT query_id, list_sort(list(vec_id)) AS neighbor_set
+SELECT query_id, array_to_string(list_sort(list(vec_id)), ',') AS neighbor_set
 FROM ranked
 GROUP BY query_id
 """,
@@ -417,9 +417,13 @@ GROUP BY query_id
 def all_pairs_top3_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O14's actual return shape — neighbor SETS per query
     (``search_approximate_as_hashset``, ``src/main.rs:125-136``): the
-    DashSet becomes collect_set, sorted so the set is hash-comparable."""
+    DashSet becomes collect_set, serialized as a sorted comma-joined
+    STRING so the set is hashable by the driver's pandas canonicalizer
+    (ARRAY columns crash its sort_values; r01 ERR)."""
     emb = _emb(spark, sf_dir)
     top = all_pairs_topk(emb, k=3, sample_mod=5)
     return top.groupBy("query_id").agg(
-        F.sort_array(F.collect_set("vec_id")).alias("neighbor_set")
+        F.concat_ws(",", F.sort_array(F.collect_set("vec_id"))).alias(
+            "neighbor_set"
+        )
     )
