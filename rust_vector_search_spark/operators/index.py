@@ -171,9 +171,10 @@ def build_rp_forest(
         keep = base.groupBy("emb").agg(F.min("vec_id").alias("vec_id"))
         base = base.join(keep, ["emb", "vec_id"], "left_semi")
 
-    first = base.select(F.size("emb").alias("d")).head(1)
-    dim = int(first[0].d) if first else 0
-    n_base = base.count()
+    probe = base.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("emb")).alias("d")
+    ).collect()[0]
+    n_base, dim = int(probe.n), int(probe.d or 0)
 
     trees = spark.range(num_trees).select(F.col("id").cast("int").alias("tree_id"))
     active = base.crossJoin(trees).select(
@@ -318,13 +319,19 @@ def build_rp_forest(
             "tree_id int, node_path string, coeffs array<double>, "
             "constant double, coeff_norm double",
         )
-    nodes = nodes.localCheckpoint(eager=True)
+    if n_base > split_floor:
+        # phase 1 ran: the unions mix narrow views with re-derivable
+        # aggregates (planes) — materialize them once
+        nodes = nodes.localCheckpoint(eager=True)
+        leaves = leaves.localCheckpoint(eager=True)
+    # else: nodes/leaves are narrow filters of the already-checkpointed
+    # phase-2 output — extra checkpoints would only add jobs
     stats = nodes.agg(
         F.count(F.lit(1)).alias("n"), F.max(F.length("node_path")).alias("d")
     ).collect()[0]
     return RPForest(
         nodes=nodes,
-        leaves=leaves.localCheckpoint(eager=True),
+        leaves=leaves,
         num_trees=num_trees,
         max_node_size=max_node_size,
         seed=seed,

@@ -124,6 +124,31 @@ def ann_rp_forest_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- FLAGSHIP: approximate all-pairs self-kNN through the forest --------------
+
+@register("all_pairs_approx_top3")
+def all_pairs_approx_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship workload (``src/main.rs:100-123``):
+    ``search_approximate`` over the WHOLE corpus — every vector is a
+    query against the forest, k=3. This is the shape a 100 TB dedup
+    pipeline actually runs: corpus-as-queries, candidates from routed
+    leaves (+ sibling backfill + multi-probe spill), exact re-rank on
+    the candidate set only. Rows-only (seeded build not SQL-replayable);
+    recall ≥ 0.9 vs the exact ``all_pairs_top3`` is asserted in
+    tests/test_ann.py::test_all_pairs_approx_recall."""
+    emb = _emb(spark, sf_dir)
+    forest = build_rp_forest(emb, num_trees=16, max_node_size=32, seed=42)
+    corpus_queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # max_spills=1: at k=3 one spill already holds recall ≈ 0.98 (vs
+    # 0.99 at 2) while halving the candidate volume — the right
+    # cost/recall point for corpus-sized query batches
+    return search_rp_forest(
+        forest, emb, corpus_queries, k=3, max_spills=1
+    ).select("query_id", "vec_id", "dist", "rnk")
+
+
 # --- MLlib BucketedRandomProjectionLSH baseline (SURVEY §7.1 M2 fallback) ------
 
 @register("ann_mllib_brp_topk")

@@ -103,6 +103,24 @@ def test_dedup_first_occurrence_survives(spark):
     assert ids == {0, 2}
 
 
+def test_all_pairs_approx_recall(spark):
+    """Flagship gate (VERDICT r1 #2): corpus-as-queries through the
+    forest must recover ≥ 0.9 of the exact all-pairs top-3 at sf0.01."""
+    from rust_vector_search_spark.plans import QUERIES
+
+    sf = os.path.join(os.path.dirname(SF_SMOKE), "sf0.01")
+    approx = QUERIES["all_pairs_approx_top3"](spark, sf).select(
+        "query_id", "vec_id"
+    )
+    ex = QUERIES["all_pairs_top3"](spark, sf)
+    # all_pairs_top3 samples vec_id % 5 == 0 queries; restrict approx to
+    # the same query set for an apples-to-apples recall
+    exact = ex.select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    r = hits / exact.count()
+    assert r >= 0.90, f"all-pairs approx recall@3 = {r}"
+
+
 def test_ivf_recall(emb, queries):
     approx = ivf_search(emb, queries, k=K, stride=20, nprobe=8)
     exact = knn_exact(emb, queries, k=K)
