@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..session import ensure_deterministic_session
 from ..sources import load_table
 from ..streaming import streaming_dedup, streaming_windowed_counts
-from .registry import register
+from .registry import dd_sum, register
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
@@ -41,12 +41,28 @@ def _run_to_memory(out, name_prefix: str) -> str:
     return name
 
 
-@register("streaming_hourly_counts")
+@register(
+    "streaming_hourly_counts",
+    oracle=f"""
+SELECT * FROM (
+  SELECT date_trunc('hour', ts) AS window_start,
+         event_type,
+         COUNT(*) AS n_events,
+         {dd_sum("value", 6)} AS sum_value
+  FROM events
+  GROUP BY 1, 2) t
+WHERE window_start + INTERVAL 1 HOUR
+      <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+""",
+)
 def streaming_hourly_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window counts executed as a real stream
     (file source → availableNow micro-batches → memory sink). Append
-    mode emits only watermark-closed windows — the late-data contract
-    a batch engine cannot express."""
+    mode emits exactly the windows closed by the FINAL watermark
+    (max event time − 2 h) — with a static source that emitted set is a
+    pure function of the data, so batch SQL CAN replay it: the oracle
+    aggregates hourly and keeps windows whose end ≤ max(ts) − 2 h. The
+    decimal-cast sum makes values bit-deterministic across runs."""
     stream = _events_stream(spark, sf_dir)
     name = _run_to_memory(
         streaming_windowed_counts(stream, window="1 hour", watermark="2 hours"),

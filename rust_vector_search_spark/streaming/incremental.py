@@ -39,11 +39,22 @@ def streaming_windowed_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Tumbling-window counts per event_type with late-data watermark."""
+    """Tumbling-window counts per event_type with late-data watermark.
+
+    The value sum is decimal-cast (order-independent exact addition) so
+    the emitted rows are bit-deterministic across runs — with a static
+    source + availableNow trigger the append-mode output is then a pure
+    function of the data (windows closed by the final watermark), which
+    makes this streaming pipeline ORACLE-CHECKABLE by batch SQL."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
         .select(
             F.col("w").start.alias("window_start"),
             "event_type",
