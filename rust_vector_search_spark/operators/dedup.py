@@ -198,35 +198,58 @@ def ngram_jaccard_join(
     shingle_n: int = 1,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity join via inverted index: explode
-    shingles, equi-join on shingle, count co-occurrences, J = |∩|/|∪|.
+    """EXACT n-gram Jaccard similarity join via PREFIX FILTERING (the
+    SSJoin/PPJoin family: Chaudhuri et al. ICDE'06, Xiao et al. WWW'08).
 
-    The inverted-index join only materializes pairs sharing ≥1 shingle —
-    the sparse-overlap structure a cross join ignores. Hot shingles
-    (stopwords) are the skew risk at scale: mitigations are a document-
-    frequency cap on shingles (drop shingles in >X% of docs) + AQE."""
+    A naive inverted-index join degenerates toward quadratic on
+    low-entropy vocabularies: every stop-shingle pairs most of the
+    corpus. Prefix filtering fixes that WITHOUT losing recall: order
+    tokens globally by (document frequency, token) and index only each
+    document's first ⌊(1−t)·|d|⌋+1 tokens under that order — any pair
+    with J ≥ t must collide inside these prefixes. Stop-shingles sort
+    LAST (highest df), so they are structurally excluded from candidate
+    generation unless a document is tiny; no lossy df cap is needed and
+    the result is still the exact J ≥ t pair set.
+
+    Verification computes exact Jaccard on xxhash64-hashed shingle
+    arrays (array_intersect on longs — same trick as the MinHash verify),
+    bounded by the candidate count, never the pair space."""
     sh = docs.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
     )
     sizes = sh.select(F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh"))
     tok = sizes.select(F.col(id_col), F.col("n_sh"), F.explode("shingles").alias("s"))
-    a = tok.select(F.col(id_col).alias("doc_id_a"), F.col("n_sh").alias("n_a"), "s")
-    b = tok.select(F.col(id_col).alias("doc_id_b"), F.col("n_sh").alias("n_b"), "s")
-    inter = (
+    doc_freq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    rk_w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("s").asc())
+    prefix = (
+        tok.join(doc_freq, "s")
+        .withColumn("rk", F.row_number().over(rk_w))
+        .filter(
+            F.col("rk")
+            <= F.floor(F.lit(1.0 - threshold) * F.col("n_sh")).cast("int") + 1
+        )
+    )
+    a = prefix.select(F.col(id_col).alias("doc_id_a"), "s")
+    b = prefix.select(F.col(id_col).alias("doc_id_b"), "s")
+    cand = (
         a.join(b, "s")
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select("doc_id_a", "doc_id_b")
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
-    jac = inter.select(
-        "doc_id_a",
-        "doc_id_b",
-        (
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
-        ).alias("jaccard"),
+    hh = sizes.select(
+        F.col(id_col), F.transform("shingles", lambda s: F.xxhash64(s)).alias("h")
     )
-    return jac.filter(F.col("jaccard") >= threshold)
+    paired = cand.join(
+        hh.select(F.col(id_col).alias("doc_id_a"), F.col("h").alias("h_a")), "doc_id_a"
+    ).join(
+        hh.select(F.col(id_col).alias("doc_id_b"), F.col("h").alias("h_b")), "doc_id_b"
+    )
+    inter = F.size(F.array_intersect("h_a", "h_b")).cast("double")
+    union = (F.size("h_a") + F.size("h_b")).cast("double") - inter
+    return paired.select(
+        "doc_id_a", "doc_id_b", (inter / union).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 _HEX = "0123456789abcdef"

@@ -104,3 +104,85 @@ def test_cosine_pairs_find_planted_vector_dups(spark):
     }
     hits = sum(1 for i in range(N_PLANTED) if (i, i + OFFSET) in found)
     assert hits == N_PLANTED  # scaling preserves cosine exactly (≈1.0)
+
+
+def test_ngram_jaccard_prefix_filter_candidate_bounded(spark):
+    """Adversarial low-vocab fixture (VERDICT r1 #8): every doc shares
+    the same 5 stop-tokens, plus 2 unique tokens. A naive inverted-index
+    join pairs ALL n(n-1)/2 docs through the stopwords; prefix filtering
+    must (a) return the exact J >= t pair set, (b) generate candidates
+    only through prefix (rare) tokens — near-zero here."""
+    import pyspark.sql.functions as FF
+    from pyspark.sql.window import Window
+
+    n = 200
+    stop = "the a of and to"
+    rows = [(i, f"{stop} tok{i}a tok{i}b") for i in range(n)]
+    # two planted near-dup pairs that DO share rare tokens
+    rows.append((n, f"{stop} tok0a tok0b"))        # J = 1.0 with doc 0
+    rows.append((n + 1, f"{stop} tok1a uniq{n+1}"))  # J = 6/8 with doc 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in ngram_jaccard_join(docs, shingle_n=1, threshold=0.75).collect()
+    }
+    assert got == {(0, n), (1, n + 1)}, got
+
+    # candidate volume: replicate the prefix-index join and count —
+    # must be O(planted), not O(n^2) (naive join yields ~n^2/2 pairs)
+    from rust_vector_search_spark.operators.dedup import word_shingles
+
+    sh = docs.select("doc_id", word_shingles(FF.col("text"), 1).alias("sh"))
+    tok = sh.select(
+        "doc_id", FF.size("sh").alias("n_sh"), FF.explode("sh").alias("s")
+    )
+    dfreq = tok.groupBy("s").agg(FF.count(FF.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(FF.col("df").asc(), FF.col("s").asc())
+    prefix = (
+        tok.join(dfreq, "s")
+        .withColumn("rk", FF.row_number().over(w))
+        .filter(FF.col("rk") <= FF.floor(FF.lit(0.25) * FF.col("n_sh")).cast("int") + 1)
+    )
+    a = prefix.select(FF.col("doc_id").alias("da"), "s")
+    b = prefix.select(FF.col("doc_id").alias("db"), "s")
+    n_cand = (
+        a.join(b, "s").filter(FF.col("da") < FF.col("db"))
+        .select("da", "db").distinct().count()
+    )
+    assert n_cand <= 10, f"prefix candidates {n_cand} (naive would be ~{n*(n-1)//2})"
+
+
+def test_simhash_pigeonhole_guarantee_hamming_4_to_8(spark):
+    """Property (ADVICE r1): with chunks derived from max_hamming the
+    blocked join must find EVERY pair within the radius. Planted
+    fingerprints at hamming 4..8 over 32 bits, fed straight into
+    simhash_blocked_pairs."""
+    import random
+
+    from rust_vector_search_spark.operators.dedup import simhash_blocked_pairs
+
+    rng = random.Random(7)
+    rows = []
+    expected = set()
+    next_id = 0
+    for h in range(4, 9):
+        for _ in range(10):
+            base = rng.getrandbits(32)
+            bits = rng.sample(range(32), h)
+            mut = base
+            for bit in bits:
+                mut ^= 1 << bit
+            a, b = next_id, next_id + 1
+            next_id += 2
+            rows += [(a, base), (b, mut)]
+            expected.add((min(a, b), max(a, b), h))
+    fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+    for max_h in (4, 6, 8):
+        got = {
+            (r.doc_id_a, r.doc_id_b, r.hamming)
+            for r in simhash_blocked_pairs(fps, max_hamming=max_h).collect()
+        }
+        want = {p for p in expected if p[2] <= max_h}
+        missing = want - got
+        assert not missing, f"max_hamming={max_h}: missed {missing}"
