@@ -88,3 +88,21 @@ def test_partial_plus_final_aggregation(spark):
     exchange = plan.find("Exchange")
     assert agg_then_exchange != -1 and exchange != -1
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_backfill_has_no_nested_loop_join(spark):
+    """VERDICT r1 #3: the sibling-subtree backfill must plan as an
+    equi-join (ancestor-prefix keys), never BroadcastNestedLoopJoin —
+    O(|leaves| x |underfull|) is a scale-killer on skewed corpora."""
+    from rust_vector_search_spark.operators.index import build_rp_forest
+    from rust_vector_search_spark.operators.search import search_rp_forest
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    forest = build_rp_forest(emb, num_trees=4, max_node_size=8, seed=42)
+    # k > leaf size so the backfill path is exercised, not pruned
+    plan = plan_of(search_rp_forest(forest, emb, q, k=16, backfill=True))
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
