@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Scale probe at the reference's dimensionality (VERDICT r1 #6): build
+and search an RP forest over N×300-d synthetic vectors (seeded Gaussian
+— wiki-news-300d stands in; the container has no network), measure
+build / search wall-clock and recall@10 vs exact BLAS kNN.
+
+Data is a seeded Gaussian-mixture (n/50 clusters, sigma 0.25) — the
+cluster structure real embedding corpora have. Pass ``--gaussian`` for
+unstructured i.i.d. Gaussian, the degenerate worst case for ANY
+space-partitioning index (measured: recall 0.39 at 20k, reference
+config — recorded in BASELINE.md as the adversarial floor).
+
+Usage: python tools/scale_probe.py [n_vectors] [num_trees] [leaf] [--gaussian]
+Defaults: 100_000 vectors, the reference's 50 trees / leaf 5.
+NB: local-mode driver JVM holds all per-level checkpoint blocks — run
+with SPARK_GRAFT_DRIVER_MEM=48g for n >= 100k.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+import pyspark.sql.functions as F  # noqa: E402
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--gaussian"]
+    gaussian = "--gaussian" in sys.argv
+    n = int(args[0]) if len(args) > 0 else 100_000
+    num_trees = int(args[1]) if len(args) > 1 else 50
+    leaf = int(args[2]) if len(args) > 2 else 5
+    dim, n_queries, k = 300, 100, 10
+
+    from rust_vector_search_spark.operators.index import build_rp_forest
+    from rust_vector_search_spark.operators.knn import knn_exact_fast
+    from rust_vector_search_spark.operators.search import search_rp_forest
+    from rust_vector_search_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe")
+
+    work = tempfile.mkdtemp(prefix="scale_probe_")
+    try:
+        kind = "gaussian" if gaussian else f"{n // 50}-cluster mixture"
+        print(f"generating {n} x {dim}-d vectors ({kind}, seed 42) ...", flush=True)
+        rng = np.random.default_rng(42)
+        import pandas as pd
+
+        centers = None if gaussian else rng.standard_normal((n // 50, dim))
+        chunks = []
+        for lo in range(0, n, 20_000):
+            hi = min(lo + 20_000, n)
+            if gaussian:
+                X = rng.standard_normal((hi - lo, dim)).astype(np.float32)
+            else:
+                which = rng.integers(0, len(centers), hi - lo)
+                X = (
+                    centers[which] + 0.25 * rng.standard_normal((hi - lo, dim))
+                ).astype(np.float32)
+            chunks.append(
+                pd.DataFrame({"vec_id": np.arange(lo, hi), "embedding": list(X)})
+            )
+        spark.createDataFrame(pd.concat(chunks)).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(f"{work}/emb")
+        emb = spark.read.parquet(f"{work}/emb")
+        emb.count()
+
+        t0 = time.time()
+        forest = build_rp_forest(
+            emb, num_trees=num_trees, max_node_size=leaf, seed=42, max_depth=32
+        )
+        t_build = time.time() - t0
+        print(
+            f"RESULT build: {t_build:.1f}s  trees={num_trees} leaf<={leaf} "
+            f"nodes={forest.node_count} depth={forest.max_depth}",
+            flush=True,
+        )
+
+        q = emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        t0 = time.time()
+        approx = search_rp_forest(forest, emb, q, k=k).select(
+            "query_id", "vec_id"
+        ).localCheckpoint(eager=True)
+        n_approx = approx.count()
+        t_search = time.time() - t0
+        print(f"RESULT search: {t_search:.1f}s  ({n_approx} result rows)", flush=True)
+
+        exact = knn_exact_fast(emb, q, k=k).select("query_id", "vec_id")
+        hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+        total = n_queries * k
+        print(
+            f"RESULT recall@{k}: {hits / total:.3f}  "
+            f"({n} x {dim}-d, {num_trees} trees, leaf<={leaf})",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
