@@ -38,6 +38,7 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_pairs",
     "ngram_jaccard_join",
+    "connected_components",
     "simhash",
     "simhash_blocked_pairs",
     "simhash_near_dup_pairs",
@@ -378,6 +379,63 @@ def simhash_near_dup_pairs(
     return simhash_blocked_pairs(
         fps, max_hamming, id_col=id_col, fp_col="simhash", bits=bits, chunks=chunks
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list — the step that
+    turns near-duplicate PAIRS into duplicate CLUSTERS (pick one
+    survivor per component). Returns (node, component_id) where
+    component_id = min node id in the component: a unique fixpoint, so
+    the result is deterministic and oracle-checkable.
+
+    Iterative min-label propagation: label(u) ← min(label(u),
+    min_{v∈N(u)} label(v)) until no label changes (checked per round on
+    a localCheckpointed frame; duplicate-cluster graphs are near-cliques
+    from band/bucket joins, so convergence is 1–2 rounds in practice,
+    bounded by graph diameter ≤ ``max_iters`` in general). Each round is
+    one join + one groupBy on (node) — shuffle-bound, no driver-side
+    graph, scales with the edge list."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
+                ).alias("label"),
+                (
+                    F.coalesce(F.col("nb_label"), F.col("label")) < F.col("label")
+                ).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component_id"))
 
 
 def embedding_cosine_pairs(

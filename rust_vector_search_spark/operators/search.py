@@ -153,7 +153,14 @@ def route_queries(
     # hardcoded guess would push near-GB node tables through broadcast)
     per_node = (forest.dim or 64) * 8 + 120  # coeffs + path/constant/overhead
     est_bytes = forest.node_count * per_node
-    use_broadcast = forest.node_count == 0 or est_bytes < 256 * 1024 * 1024
+    # default gate 256 MB; deployments with fat executors can raise it
+    # (SPARK_GRAFT_BC_NODES_MB) — e.g. a 1M-node/300-d index is ~2.5 GB,
+    # still far cheaper to ship once than to re-shuffle per level when
+    # the query batch is small
+    import os as _os
+
+    gate = int(_os.environ.get("SPARK_GRAFT_BC_NODES_MB", "256")) * 1024 * 1024
+    use_broadcast = forest.node_count == 0 or est_bytes < gate
     if use_broadcast and forest.node_count > 0:
         # FAST PATH: ship the whole node map once (sc.broadcast) and
         # descend every (query, tree) in ONE narrow mapInPandas pass —

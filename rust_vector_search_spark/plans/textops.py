@@ -11,6 +11,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import (
+    connected_components,
     exact_dedup_text,
     minhash_lsh_pairs,
     ngram_jaccard_join,
@@ -198,6 +199,65 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole pipeline engine-portable and oracle-checkable."""
     return minhash_lsh_pairs(
         _docs(spark, sf_dir), num_hashes=_NUM_HASHES, bands=_NUM_HASHES, shingle_n=3
+    )
+
+
+# --- pairs → clusters: connected components over near-dup pairs ---------------------
+
+@register(
+    "dedup_minhash_components",
+    oracle=f"""
+WITH RECURSIVE {_TRIGRAMS_CTE},
+sig AS (SELECT doc_id, shingles, [{_SIGS_SQL}] AS sigs FROM sh),
+banded AS (
+  SELECT doc_id,
+         generate_subscripts(sigs, 1) AS band,
+         unnest(list_transform(sigs, x -> md5(x))) AS band_key
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+jac AS (
+  SELECT c.doc_id_a, c.doc_id_b
+  FROM cand c
+  JOIN sig sa ON c.doc_id_a = sa.doc_id
+  JOIN sig sb ON c.doc_id_b = sb.doc_id
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / (CAST(len(sa.shingles) + len(sb.shingles) AS DOUBLE)
+           - CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE))
+        >= 0.5),
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM jac
+  UNION
+  SELECT doc_id_b, doc_id_a FROM jac),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+comp AS (SELECT u, LEAST(u, MIN(v)) AS cid FROM reach GROUP BY u)
+SELECT d.doc_id, CAST(COALESCE(c.cid, d.doc_id) AS BIGINT) AS component_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+""",
+)
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → CLUSTERS: the dedup-pipeline step the pair queries feed.
+    MinHash near-dup pairs (J ≥ 0.5) become connected components via
+    iterative min-label propagation (operators/dedup.connected_components
+    — shuffle-bound, no driver-side graph); every document maps to its
+    component id (singletons map to themselves). component_id = min
+    doc_id in the component, a unique fixpoint ⇒ oracle-checkable
+    (DuckDB replays the closure with a recursive CTE)."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=_NUM_HASHES, bands=_NUM_HASHES, shingle_n=3
+    ).filter(F.col("jaccard") >= 0.5)
+    comp = connected_components(pairs)
+    return docs.select("doc_id").join(
+        comp, docs.doc_id == comp.node, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id"),
     )
 
 

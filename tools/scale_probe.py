@@ -39,6 +39,11 @@ def main() -> None:
     leaf = int(args[2]) if len(args) > 2 else 5
     dim, n_queries, k = 300, 100, 10
 
+    # a leaf<=5 index over >=100k vectors has ~n/leaf nodes (GB-scale at
+    # 300-d) — raise the node-map broadcast gate so routing takes the
+    # single-pass descent instead of per-level joins
+    os.environ.setdefault("SPARK_GRAFT_BC_NODES_MB", "6144")
+
     from rust_vector_search_spark.operators.index import build_rp_forest
     from rust_vector_search_spark.operators.knn import knn_exact_fast
     from rust_vector_search_spark.operators.search import search_rp_forest
@@ -75,7 +80,12 @@ def main() -> None:
 
         t0 = time.time()
         forest = build_rp_forest(
-            emb, num_trees=num_trees, max_node_size=leaf, seed=42, max_depth=32
+            emb,
+            num_trees=num_trees,
+            max_node_size=leaf,
+            seed=42,
+            max_depth=32,
+            local_threshold=16384,
         )
         t_build = time.time() - t0
         print(
