@@ -177,23 +177,36 @@ def build_rp_forest(
     n_base, dim = int(probe.n), int(probe.d or 0)
 
     trees = spark.range(num_trees).select(F.col("id").cast("int").alias("tree_id"))
-    active = base.crossJoin(trees).select(
-        "tree_id", F.lit("").alias("node_path"), "vec_id", "emb"
-    )
 
     all_leaves: list[DataFrame] = []
     all_nodes: list[DataFrame] = []
-    local_parts: list[DataFrame] = []
+    local_parts: list[DataFrame] = []  # SLIM (tree_id, node_path, vec_id)
     split_floor = max(local_threshold, max_node_size)
 
     if n_base <= split_floor:
         # whole per-tree corpus already fits one phase-2 task: skip the
         # synchronous loop entirely (no window shuffle, no checkpoints)
-        local_parts.append(active)
-        active = active.limit(0)
+        emb_by_id = base
+        local_parts.append(
+            base.select("vec_id").crossJoin(trees).select(
+                "tree_id", F.lit("").alias("node_path"), "vec_id"
+            )
+        )
+        active = None
         levels = range(0)
     else:
-        active = active.localCheckpoint(eager=True)
+        # vectors live ONCE in a by-id side table; the per-level loop
+        # shuffles only the slim (tree_id, node_path, vec_id) assignment
+        # rows (~30× less volume than carrying a 300-d payload through
+        # every level — at 1e9×300-d that is TBs per level saved) and
+        # joins the payload back per level for pivot planes and routing
+        emb_by_id = base.localCheckpoint(eager=True)
+        active = (
+            emb_by_id.select("vec_id")
+            .crossJoin(trees)
+            .select("tree_id", F.lit("").alias("node_path"), "vec_id")
+            .localCheckpoint(eager=True)
+        )
         levels = range(max_depth)
 
     for depth in levels:
@@ -204,13 +217,11 @@ def build_rp_forest(
         # ONE checkpoint per level, placed right after the window shuffle:
         # every downstream consumer (leaf filter, plane agg, routing, and
         # the final leaves/nodes unions) reads the materialized level
-        # instead of re-running the shuffle — previously the unions
-        # re-executed each level's window 2-3× at collect time
+        # instead of re-running the shuffle
         annotated = active.select(
             "tree_id",
             "node_path",
             "vec_id",
-            "emb",
             F.count(F.lit(1)).over(node_w).alias("_n"),
             F.row_number().over(rank_w).alias("_rk"),
         ).localCheckpoint(eager=True)
@@ -224,13 +235,15 @@ def build_rp_forest(
         local_parts.append(
             annotated.filter(
                 (F.col("_n") > max_node_size) & (F.col("_n") <= split_floor)
-            ).select("tree_id", "node_path", "vec_id", "emb")
+            ).select("tree_id", "node_path", "vec_id")
         )
         opened = annotated.filter(F.col("_n") > split_floor)
 
-        # hyperplanes from the two pivot rows of each open node (O5)
+        # hyperplanes from the two pivot rows of each open node (O5) —
+        # only ≤ 2 rows per node fetch their vector
         planes = (
             opened.filter(F.col("_rk") <= 2)
+            .join(emb_by_id, "vec_id")
             .groupBy("tree_id", "node_path")
             .agg(
                 F.max(F.when(F.col("_rk") == 1, F.col("emb"))).alias("a"),
@@ -248,9 +261,12 @@ def build_rp_forest(
         )
         all_nodes.append(planes)
 
-        # route open rows (O6/O7): side bit appended to the path
+        # route open rows (O6/O7): fetch vectors for the side predicate,
+        # emit the slim next-level assignment (payload never crosses the
+        # window shuffle)
         active = (
-            opened.join(F.broadcast(planes), ["tree_id", "node_path"])
+            opened.join(emb_by_id, "vec_id")
+            .join(F.broadcast(planes), ["tree_id", "node_path"])
             .withColumn(
                 "side",
                 F.when(
@@ -262,7 +278,6 @@ def build_rp_forest(
                 "tree_id",
                 F.concat(F.col("node_path"), F.col("side")).alias("node_path"),
                 "vec_id",
-                "emb",
             )
         )
         # termination probe runs on the checkpointed level — a narrow
@@ -272,16 +287,21 @@ def build_rp_forest(
                 break
 
     # depth cap reached: force-close whatever is still open
-    all_leaves.append(
-        active.select("tree_id", F.col("node_path").alias("leaf_path"), "vec_id")
-    )
+    if active is not None:
+        all_leaves.append(
+            active.select("tree_id", F.col("node_path").alias("leaf_path"), "vec_id")
+        )
 
-    # PHASE 2: finish every deferred subtree locally — one shuffle
-    # (the groupBy) then embarrassingly parallel numpy recursion
+    # PHASE 2: finish every deferred subtree locally — the vectors join
+    # the slim assignments ONCE here (the only payload-bearing shuffle),
+    # then embarrassingly parallel numpy recursion
     if local_parts:
         local_df = local_parts[0]
         for df in local_parts[1:]:
             local_df = local_df.unionByName(df)
+        local_df = local_df.join(emb_by_id, "vec_id").select(
+            "tree_id", "node_path", "vec_id", "emb"
+        )
         local_out = (
             local_df.groupBy("tree_id", "node_path")
             .applyInPandas(

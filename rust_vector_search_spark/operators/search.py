@@ -320,6 +320,17 @@ def search_rp_forest(
                 )
             ).alias("sibling_prefix"),
         )
+        # prune the explode BEFORE its shuffle: only ancestor rows whose
+        # length occurs among the actual sibling prefixes survive (a
+        # small-leaf index with k > leaf size makes EVERY routed leaf
+        # underfull — without this, |leaves| × depth rows enter the join)
+        plens = underfull.select(
+            F.length("sibling_prefix").alias("_plen")
+        ).distinct()
+        leaf_ancestors = leaf_ancestors.join(
+            F.broadcast(plens),
+            F.length("sibling_prefix") == F.col("_plen"),
+        ).drop("_plen")
         sib = underfull.join(leaf_ancestors, ["tree_id", "sibling_prefix"]).select(
             "query_id", "vec_id"
         )

@@ -47,6 +47,12 @@ def get_spark(
         # nanos (converted to micros in sources.fixtures.load_table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # node-table collects for the broadcast-map routing fast path can
+        # exceed the 1g default on large leaf-5 indexes
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "2g"),
+        )
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -39,10 +39,12 @@ def main() -> None:
     leaf = int(args[2]) if len(args) > 2 else 5
     dim, n_queries, k = 300, 100, 10
 
-    # a leaf<=5 index over >=100k vectors has ~n/leaf nodes (GB-scale at
-    # 300-d) — raise the node-map broadcast gate so routing takes the
-    # single-pass descent instead of per-level joins
-    os.environ.setdefault("SPARK_GRAFT_BC_NODES_MB", "6144")
+    # NB: measured at 320k nodes / 300-d (20k × 50 trees): the join-chain
+    # fallback routes 100 queries in ~123 s vs ~239 s for a force-raised
+    # broadcast node-map gate (per-worker unpickle of a ~1 GB python dict
+    # dominates) — the default 256 MB gate picks the right path; don't
+    # override SPARK_GRAFT_BC_NODES_MB here.
+    os.environ.setdefault("SPARK_GRAFT_MAX_RESULT", "8g")
 
     from rust_vector_search_spark.operators.index import build_rp_forest
     from rust_vector_search_spark.operators.knn import knn_exact_fast
