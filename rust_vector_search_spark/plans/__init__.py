@@ -28,6 +28,7 @@ from . import streamingops  # noqa: E402,F401
 # — keep their driver slots
 _ORACLE_TAIL = [
     "dedup_minhash_components",
+    "streaming_dedup_users",
 ]
 
 _ROWS_ONLY_PRIORITY = [
@@ -35,7 +36,6 @@ _ROWS_ONLY_PRIORITY = [
     "ann_rp_forest_topk",
     "ann_rp_forest_recall",
     "ann_index_stats",
-    "streaming_dedup_users",
     "ann_mllib_brp_topk",
     "events_approx_distinct_users",
     "knn_exact_fast",

@@ -20,11 +20,20 @@ from ..streaming import streaming_dedup, streaming_windowed_counts
 from .registry import dd_sum, register
 
 
-def _events_stream(spark: SparkSession, sf_dir: str):
+def _events_stream(spark: SparkSession, sf_dir: str, ordered: bool = False):
     ensure_deterministic_session(spark)
     batch = load_table(spark, sf_dir, "events")
     src = tempfile.mkdtemp(prefix="stream_src_")
-    batch.write.mode("overwrite").parquet(src)
+    if ordered:
+        # ONE file, globally (ts, event_id)-sorted ⇒ the stream replays
+        # rows in a deterministic arrival order — which makes
+        # arrival-order-dependent operators (dropDuplicates*) a pure
+        # function of the data, hence oracle-checkable
+        batch.orderBy("ts", "event_id").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+    else:
+        batch.write.mode("overwrite").parquet(src)
     return spark.readStream.schema(batch.schema).parquet(src)
 
 
@@ -71,11 +80,25 @@ def streaming_hourly_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("streaming_dedup_users")
+@register(
+    "streaming_dedup_users",
+    oracle="""
+SELECT user_id, event_id FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events) t
+WHERE rn = 1
+""",
+)
 def streaming_dedup_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (O3 across micro-batches,
-    dropDuplicatesWithinWatermark): first event per user survives."""
-    stream = _events_stream(spark, sf_dir)
+    dropDuplicatesWithinWatermark): first ARRIVAL per user survives.
+    The source is written as one (ts, event_id)-sorted file, so arrival
+    order — and therefore WHICH event survives — is deterministic: the
+    min-(ts, event_id) row per user, which batch SQL replays with a
+    row_number window."""
+    stream = _events_stream(spark, sf_dir, ordered=True)
     name = _run_to_memory(
         streaming_dedup(stream, ["user_id"], ts_col="ts", watermark="90 days"),
         "dedup",
