@@ -88,33 +88,63 @@ def _route_local(
     def _route(batches):
         nm = bc.value
         for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"query_id": [], "tree_id": [], "leaf_path": []}
+                )
+                continue
+            qid = pdf["query_id"].to_numpy()
+            Q = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["query_vec"]]
+            )
             out_q: list = []
             out_t: list = []
             out_p: list = []
-            for qid, qv in zip(pdf["query_id"], pdf["query_vec"]):
-                x = np.asarray(qv, dtype=np.float64)
-                for t in range(num_trees):
-                    stack = [("", 0)]
-                    while stack:
-                        path, spills = stack.pop()
-                        nd = nm.get((t, path))
-                        if nd is None:  # no inner node here ⇒ leaf
-                            out_q.append(qid)
-                            out_t.append(t)
-                            out_p.append(path)
-                            continue
-                        coeffs, const, nrm = nd
-                        v = float(coeffs @ x) + const
-                        side = "1" if v >= 0.0 else "0"
-                        stack.append((path + side, spills))
-                        if (
-                            margin > 0.0
-                            and spills < max_spills
-                            and nrm > 0.0
-                            and abs(v) / nrm < margin
-                        ):
-                            other = "0" if side == "1" else "1"
-                            stack.append((path + other, spills + 1))
+            # BATCHED frontier descent: all queries at one (tree, path)
+            # evaluate the node with a single matrix-vector product —
+            # one numpy op per touched node instead of a python-level
+            # dot per (query, node) visit
+            frontier: dict = {
+                (t, ""): (np.arange(len(qid)), np.zeros(len(qid), np.int8))
+                for t in range(num_trees)
+            }
+            while frontier:
+                nxt: dict = {}
+
+                def _add(key, idx, sp):
+                    if key in nxt:
+                        i0, s0 = nxt[key]
+                        nxt[key] = (
+                            np.concatenate([i0, idx]),
+                            np.concatenate([s0, sp]),
+                        )
+                    else:
+                        nxt[key] = (idx, sp)
+
+                for (t, path), (idx, sp) in frontier.items():
+                    nd = nm.get((t, path))
+                    if nd is None:  # no inner node here ⇒ leaf
+                        out_q.extend(qid[idx])
+                        out_t.extend([t] * len(idx))
+                        out_p.extend([path] * len(idx))
+                        continue
+                    coeffs, const, nrm = nd
+                    v = Q[idx] @ coeffs + const
+                    above = v >= 0.0
+                    if above.any():
+                        _add((t, path + "1"), idx[above], sp[above])
+                    below = ~above
+                    if below.any():
+                        _add((t, path + "0"), idx[below], sp[below])
+                    if margin > 0.0 and nrm > 0.0:
+                        near = (np.abs(v) / nrm < margin) & (sp < max_spills)
+                        spill_up = near & below  # opposite of taken side
+                        spill_dn = near & above
+                        if spill_up.any():
+                            _add((t, path + "1"), idx[spill_up], sp[spill_up] + 1)
+                        if spill_dn.any():
+                            _add((t, path + "0"), idx[spill_dn], sp[spill_dn] + 1)
+                frontier = nxt
             yield pd.DataFrame(
                 {"query_id": out_q, "tree_id": out_t, "leaf_path": out_p}
             )
@@ -323,14 +353,18 @@ def search_rp_forest(
         # prune the explode BEFORE its shuffle: only ancestor rows whose
         # length occurs among the actual sibling prefixes survive (a
         # small-leaf index with k > leaf size makes EVERY routed leaf
-        # underfull — without this, |leaves| × depth rows enter the join)
-        plens = underfull.select(
-            F.length("sibling_prefix").alias("_plen")
-        ).distinct()
-        leaf_ancestors = leaf_ancestors.join(
-            F.broadcast(plens),
-            F.length("sibling_prefix") == F.col("_plen"),
-        ).drop("_plen")
+        # underfull — without this, |leaves| × depth rows enter the
+        # join). The pruning itself costs one extra job (computing the
+        # distinct prefix lengths), so only pay it when the exploded
+        # ancestor table is actually big.
+        if forest.node_count >= 500_000:
+            plens = underfull.select(
+                F.length("sibling_prefix").alias("_plen")
+            ).distinct()
+            leaf_ancestors = leaf_ancestors.join(
+                F.broadcast(plens),
+                F.length("sibling_prefix") == F.col("_plen"),
+            ).drop("_plen")
         sib = underfull.join(leaf_ancestors, ["tree_id", "sibling_prefix"]).select(
             "query_id", "vec_id"
         )
