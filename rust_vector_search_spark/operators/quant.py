@@ -1,0 +1,137 @@
+"""Int8 embedding quantization — the storage/shuffle-footprint scale
+path for similarity search over ``array<float>`` columns.
+
+At 100 TB the dominant ANN costs are storage and shuffle bytes, not
+FLOPs: per-vector symmetric int8 quantization cuts both 4× (300-d
+float32 → 300 B + one scale), at a recall cost that an exact re-rank
+over a small quantized-prefilter candidate set recovers. This mirrors
+the standard SQ8 scheme (Faiss ``ScalarQuantizer``/Annoy-style), kept
+deliberately rational-arithmetic-only (round, multiply, divide — no
+transcendentals) so every step is bit-reproducible in any engine and
+the whole pipeline stays oracle-checkable.
+
+No reference twin: the reference stores full f32 vectors
+(``/root/reference/src/vector.rs``); this is a scale-path extension.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
+
+__all__ = ["quantize_int8", "int8_prefilter_topk"]
+
+
+def _q_dot(a: str, b: str) -> Column:
+    """Integer dot product of two equally-sized int arrays (HOF)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization:
+    ``scale = max|x| / 127``, ``q_i = round(x_i / scale)`` ∈ [−127, 127].
+
+    Returns (id, scale DOUBLE, qvec ARRAY<INT>, qnorm2 LONG) where
+    qnorm2 = Σ q_i² (precomputed so distance scoring needs only the
+    cross-term). Zero vectors get scale 0 and all-zero codes."""
+    absmax = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = (absmax / F.lit(127.0)).alias("scale")
+    out = emb.select(F.col(id_col), F.col(vec_col), scale)
+    qvec = F.when(
+        F.col("scale") == 0.0,
+        F.transform(F.col(vec_col), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") / F.col("scale"), 0).cast("int"),
+        )
+    )
+    out = out.select(F.col(id_col), F.col("scale"), qvec.alias("qvec"))
+    return out.withColumn("qnorm2", _q_dot("qvec", "qvec"))
+
+
+def int8_prefilter_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    prefilter_k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantized prefilter + exact re-rank top-k (squared euclidean).
+
+    Approximate distance from int8 codes only:
+    ``d̂(a,b) = s_a²·Σq_a² + s_b²·Σq_b² − 2·s_a·s_b·Σ(q_a·q_b)`` —
+    ranks the corpus per query, keeps ``prefilter_k`` candidates, then
+    re-scores EXACTLY from the full-precision vectors and returns the
+    top ``k``. Only the prefilter stage ever ships int8 codes (4× fewer
+    bytes through the shuffle than f32); the exact stage joins the fat
+    vectors for candidate rows only. Deterministic ties: (dist, vec_id).
+    """
+    from ..functions.vector import sq_euc_dist
+
+    qc = quantize_int8(
+        queries.select(
+            F.col("query_id").alias("_qid"), F.col("query_vec").alias("_qv")
+        ),
+        "_qid",
+        "_qv",
+    ).select(
+        F.col("_qid").alias("query_id"),
+        F.col("scale").alias("q_scale"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("qnorm2").alias("q_qnorm2"),
+    )
+    cc = quantize_int8(emb, id_col, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("scale").alias("c_scale"),
+        F.col("qvec").alias("c_qvec"),
+        F.col("qnorm2").alias("c_qnorm2"),
+    )
+    cross = F.broadcast(qc).crossJoin(cc).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    approx = (
+        F.col("q_scale") * F.col("q_scale") * F.col("q_qnorm2")
+        + F.col("c_scale") * F.col("c_scale") * F.col("c_qnorm2")
+        - F.lit(2.0) * F.col("q_scale") * F.col("c_scale") * _q_dot("q_qvec", "c_qvec")
+    )
+    scored = cross.select(
+        "query_id", "vec_id", approx.alias("approx_dist")
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("vec_id").asc()
+    )
+    cand = (
+        scored.withColumn("_prn", F.row_number().over(w_pre))
+        .filter(F.col("_prn") <= prefilter_k)
+        .select("query_id", "vec_id")
+    )
+    vecs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    exact = (
+        cand.join(vecs, "vec_id")
+        .join(
+            F.broadcast(queries.select("query_id", "query_vec")), "query_id"
+        )
+        .select(
+            "query_id", "vec_id", sq_euc_dist("query_vec", "_v").alias("dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

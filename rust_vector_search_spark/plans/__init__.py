@@ -29,6 +29,8 @@ from . import streamingops  # noqa: E402,F401
 _ORACLE_TAIL = [
     "dedup_minhash_components",
     "streaming_dedup_users",
+    "ann_int8_rerank_topk",
+    "doc_bm25_hash_join_scan",
 ]
 
 _ROWS_ONLY_PRIORITY = [

@@ -91,6 +91,76 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "dist", "rnk")
 
 
+# --- int8 quantized prefilter + exact re-rank (storage scale path) -----------
+
+_PREFILTER_K = 50
+
+_QDOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), i -> "
+    "CAST({a}[i] * {b}[i] AS DOUBLE)))"
+)
+
+@register(
+    "ann_int8_rerank_topk",
+    oracle=f"""
+WITH quant AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale,
+         embedding
+  FROM embeddings),
+codes AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INTEGER))
+         END AS qvec
+  FROM quant),
+normed AS (
+  SELECT vec_id, scale, qvec,
+         {_QDOT.format(a='qvec', b='qvec')} AS qnorm2
+  FROM codes),
+pre AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         ((q.scale * q.scale) * q.qnorm2 + (c.scale * c.scale) * c.qnorm2)
+           - (((2.0 * q.scale) * c.scale) * {_QDOT.format(a='q.qvec', b='c.qvec')})
+           AS approx_dist
+  FROM normed q, normed c
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_dist, vec_id) AS prn
+    FROM pre) t
+  WHERE prn <= {_PREFILTER_K})
+SELECT query_id, vec_id, dist, rnk FROM (
+  SELECT ca.query_id, ca.vec_id,
+         {dd_sq_euc('q.embedding', 'e.embedding')} AS dist,
+         CAST(row_number() OVER (PARTITION BY ca.query_id
+                                 ORDER BY {dd_sq_euc('q.embedding', 'e.embedding')},
+                                          ca.vec_id) AS BIGINT) AS rnk
+  FROM cand ca
+  JOIN embeddings q ON ca.query_id = q.vec_id
+  JOIN embeddings e ON ca.vec_id = e.vec_id) t
+WHERE rnk <= {K}
+""",
+)
+def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized prefilter (4× smaller codes through the shuffle —
+    the storage/bandwidth scale path) + exact re-rank over the
+    prefilter_k candidate set. Quantization is rational arithmetic only
+    (max/127 scale, round, integer dot), so the DuckDB oracle replays
+    the prefilter BIT-exactly — an approximate-ANN plan that is still
+    fully hash-checkable."""
+    from ..operators.quant import int8_prefilter_topk
+
+    emb = _emb(spark, sf_dir)
+    return int8_prefilter_topk(
+        emb, _queries(emb), k=K, prefilter_k=_PREFILTER_K
+    ).select("query_id", "vec_id", "dist", "rnk")
+
+
 # --- RP forest: reference-parity path (rows-only + recall tests) --------------
 
 @register("ann_rp_forest_topk")

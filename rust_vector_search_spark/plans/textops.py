@@ -202,6 +202,106 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BM25 relevance scoring (retrieval over the corpus) -----------------------------
+
+_BM25_TERMS = ("hash", "join", "scan")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_sql() -> str:
+    tf = {
+        t: f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+        for t in _BM25_TERMS
+    }
+    parts = []
+    for t in _BM25_TERMS:
+        parts.append(
+            f"(((CAST(s.n_docs AS DOUBLE) - df_{t}) + 0.5) / (df_{t} + 0.5))"
+            f" * ((tf_{t} * ({_BM25_K1} + 1.0))"
+            f" / (tf_{t} + {_BM25_K1}"
+            f" * ((1.0 - {_BM25_B}) + {_BM25_B} * (doclen / s.avgdl))))"
+        )
+    score = f"(({parts[0]} + {parts[1]}) + {parts[2]})"
+    tf_cols = ",\n         ".join(
+        f"CAST({tf[t]} AS DOUBLE) AS tf_{t}" for t in _BM25_TERMS
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(count(*) FILTER (WHERE tf_{t} > 0) AS DOUBLE) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    any_tf = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS doclen,
+         {tf_cols}
+  FROM documents),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(doclen) AS DOUBLE) / count(*) AS avgdl,
+         {df_cols}
+  FROM tok)
+SELECT t.doc_id, {score} AS bm25
+FROM tok t, stats s
+WHERE ({any_tf}) > 0
+"""
+
+
+@register("doc_bm25_hash_join_scan", oracle=_bm25_sql())
+def doc_bm25_hash_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document for the fixed query
+    ('hash', 'join', 'scan') — the retrieval-scoring op a training-data
+    pipeline uses for corpus filtering/search (k1=1.2, b=0.75).
+
+    Engine-parity notes: idf uses the RATIONAL odds form
+    (N − df + 0.5)/(df + 0.5) — i.e. exp() of the classic log-idf —
+    because +,−,×,÷ are exactly specified by IEEE-754 while log() may
+    differ across math libraries; monotone in df, so ranking semantics
+    are preserved and every value is bit-reproducible. Per-term
+    frequencies come from HOF filters (no explode/re-aggregation, so no
+    float reassociation), and the 3-term sum is explicitly
+    left-associated to match the oracle."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    def _tf(term: str):
+        # NB: a `lambda x, t=term` would declare TWO params and make
+        # Spark pass the array INDEX as the second — bind via closure
+        return lambda x: x == F.lit(term)
+
+    tok = docs.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("doclen"),
+        *[
+            F.size(F.filter(toks, _tf(t))).cast("double").alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("doclen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{t}") > 0, 1))
+            .cast("double")
+            .alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    j = tok.crossJoin(F.broadcast(stats))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    terms = []
+    for t in _BM25_TERMS:
+        idf = ((F.col("n_docs").cast("double") - F.col(f"df_{t}")) + F.lit(0.5)) / (
+            F.col(f"df_{t}") + F.lit(0.5)
+        )
+        denom = F.col(f"tf_{t}") + k1 * (
+            (F.lit(1.0) - b) + b * (F.col("doclen") / F.col("avgdl"))
+        )
+        terms.append(idf * ((F.col(f"tf_{t}") * (k1 + F.lit(1.0))) / denom))
+    score = (terms[0] + terms[1]) + terms[2]
+    any_tf = F.col("tf_hash") + F.col("tf_join") + F.col("tf_scan")
+    return j.filter(any_tf > 0).select("doc_id", score.alias("bm25"))
+
+
 # --- pairs → clusters: connected components over near-dup pairs ---------------------
 
 @register(
