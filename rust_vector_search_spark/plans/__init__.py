@@ -31,6 +31,8 @@ _ORACLE_TAIL = [
     "streaming_dedup_users",
     "ann_int8_rerank_topk",
     "doc_bm25_hash_join_scan",
+    "stratified_sample_orders",
+    "doc_pii_flags",
 ]
 
 _ROWS_ONLY_PRIORITY = [

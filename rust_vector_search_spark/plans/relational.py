@@ -868,3 +868,42 @@ def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id_a", "event_id_b", "user_id",
         (F.col("us_b") - F.col("us_a")).alias("gap_us"),
     )
+
+
+# --- deterministic stratified sampling (balanced training-data selection) -----
+
+@register(
+    "stratified_sample_orders",
+    oracle="""
+SELECT o_orderkey, o_orderpriority FROM (
+  SELECT o_orderkey, o_orderpriority,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY md5(CAST(o_orderkey AS VARCHAR)),
+                                     o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders) t
+WHERE rn <= CAST(ceil(0.1 * n) AS BIGINT)
+""",
+)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% stratified sample per o_orderpriority stratum —
+    the balanced-selection op a training-data pipeline uses to equalize
+    class mixes. Rank within stratum by md5 of the key (an
+    engine-portable 'random' order, same trick as O15's modhash
+    sampling) and keep the first ceil(0.1·n); exact per-stratum
+    fractions, no RNG, bit-reproducible."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    nw = Window.partitionBy("o_orderpriority")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(nw).alias("_n"),
+        )
+        .filter(F.col("_rn") <= F.ceil(F.lit(0.1) * F.col("_n")).cast("long"))
+        .select("o_orderkey", "o_orderpriority")
+    )

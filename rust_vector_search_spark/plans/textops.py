@@ -466,3 +466,75 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return extract_binary_features(attach_binary_payload(docs))
+
+
+# --- PII / safety flags (portable string ops only — no regex dialects) ----------
+
+@register(
+    "doc_pii_flags",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         CASE WHEN strpos(text, '@') > 0
+                   AND strpos(substr(text, strpos(text, '@') + 1), '.') > 0
+              THEN 1 ELSE 0 END AS has_email_shape,
+         CASE WHEN strpos(text, 'http://') > 0
+                   OR strpos(text, 'https://') > 0
+              THEN 1 ELSE 0 END AS has_url,
+         CAST(length(text)
+              - length(replace(replace(replace(replace(replace(
+                  replace(replace(replace(replace(replace(text,
+                  '0',''),'1',''),'2',''),'3',''),'4',''),
+                  '5',''),'6',''),'7',''),'8',''),'9','')) AS DOUBLE)
+           / length(text) AS digit_ratio
+  FROM documents
+  WHERE length(text) > 0)
+SELECT doc_id, has_email_shape, has_url, digit_ratio,
+       CASE WHEN has_email_shape = 1 OR has_url = 1 OR digit_ratio > 0.3
+            THEN 1 ELSE 0 END AS flagged
+FROM f
+""",
+)
+def doc_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / safety screening signals per document — the filter pass a
+    training-data pipeline runs before ingestion: email-shaped content
+    (@ followed by a dot), URLs, digit-density (id/phone-number dumps).
+    Deliberately built from position/replace string ops, NOT regex:
+    Java and RE2 regex dialects diverge (lookahead, word boundaries),
+    while strpos/replace/length semantics are identical everywhere —
+    the whole query stays bit-reproducible. The fixture corpus is
+    synthetic lorem-style text, so flags are expected ~all-zero; the
+    signal shapes (not the hit rate) are what the oracle locks in."""
+    docs = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    at = F.instr(F.col("text"), "@")
+    after_at = F.substring_index(F.col("text"), "@", -1)
+    has_email = F.when(
+        (at > 0) & (F.instr(after_at, ".") > 0), F.lit(1)
+    ).otherwise(F.lit(0))
+    has_url = F.when(
+        (F.instr(F.col("text"), "http://") > 0)
+        | (F.instr(F.col("text"), "https://") > 0),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    no_digits = F.col("text")
+    for d in "0123456789":
+        no_digits = F.replace(no_digits, F.lit(d), F.lit(""))
+    digit_ratio = (
+        (F.length("text") - F.length(no_digits)).cast("double")
+        / F.length("text")
+    )
+    out = docs.select(
+        "doc_id",
+        has_email.alias("has_email_shape"),
+        has_url.alias("has_url"),
+        digit_ratio.alias("digit_ratio"),
+    )
+    return out.withColumn(
+        "flagged",
+        F.when(
+            (F.col("has_email_shape") == 1)
+            | (F.col("has_url") == 1)
+            | (F.col("digit_ratio") > 0.3),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
