@@ -37,6 +37,7 @@ HEADLINE = [
     "all_pairs_top3",
     "near_dup_cosine_bucketed",
     "ann_ivf_topk",
+    "ann_int8_rerank_topk",
     "ann_rp_forest_topk",
     "all_pairs_approx_top3",
 ]
