@@ -1,0 +1,95 @@
+"""Behavioral tests for the r2 pipeline operators — properties the
+oracle value-hash can't express: quantization error bounds, prefilter
+recall, component correctness on planted graphs, exact stratum
+fractions."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rust_vector_search_spark.operators.dedup import connected_components  # noqa: E402
+from rust_vector_search_spark.operators.knn import knn_exact  # noqa: E402
+from rust_vector_search_spark.operators.quant import (  # noqa: E402
+    int8_prefilter_topk,
+    quantize_int8,
+)
+
+from conftest import SF_SMOKE  # noqa: E402
+
+
+def test_int8_reconstruction_error_bound(spark):
+    """|x − q·scale| ≤ scale/2 for every element (symmetric rounding)."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(100)
+    q = quantize_int8(emb)
+    joined = emb.join(q, "vec_id").select(
+        F.max(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col("qvec"),
+                    lambda x, c: F.abs(
+                        x.cast("double") - c.cast("double") * F.col("scale")
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            )
+            - F.col("scale") / F.lit(2.0)
+        ).alias("worst_excess")
+    )
+    worst = joined.collect()[0].worst_excess
+    assert worst <= 1e-12, worst
+
+
+def test_int8_prefilter_recall(spark):
+    """Quantized prefilter (50 of 500) must recover ~all exact top-10."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = int8_prefilter_topk(emb, queries, k=10, prefilter_k=50).select(
+        "query_id", "vec_id"
+    )
+    exact = knn_exact(emb, queries, k=10).select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    assert hits / exact.count() >= 0.95
+
+
+def test_connected_components_planted_graph(spark):
+    """Chain 1-2-3, pair 10-11, singleton edge 20-20 absent: components
+    collapse to min ids transitively."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_id_a long, doc_id_b long"
+    )
+    got = {
+        (r.node, r.component_id)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_stratified_sample_exact_fractions(spark):
+    """Every stratum yields exactly ceil(0.1·n) rows."""
+    from rust_vector_search_spark.plans import QUERIES
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    want = {
+        r.o_orderpriority: math.ceil(0.1 * r.n)
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {
+        r.o_orderpriority: r.n
+        for r in QUERIES["stratified_sample_orders"](spark, SF_SMOKE)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
