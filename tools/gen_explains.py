@@ -33,6 +33,22 @@ NOTES = {
         "The single deliberate Python crossing: MapInPandas (Arrow "
         "batches), flanked by JVM-side projection."
     ),
+    "all_pairs_approx_top3": (
+        "The flagship: corpus-as-queries routing is one MapInPandas pass "
+        "over a broadcast node map (no per-level joins); candidates come "
+        "from leaf/backfill EQUI-joins (no NestedLoop anywhere), and the "
+        "exact re-rank scores only the candidate set inside codegen."
+    ),
+    "ann_int8_rerank_topk": (
+        "Quantized codes (4x smaller than f32) are what crosses the "
+        "prefilter exchange; the full-precision vectors join back for "
+        "candidate rows only — the storage/bandwidth scale path."
+    ),
+    "dedup_minhash_components": (
+        "Each label-propagation round is one shuffle join + one "
+        "aggregation on the edge list; no driver-side graph structure — "
+        "component count/size never bounds memory."
+    ),
 }
 
 
