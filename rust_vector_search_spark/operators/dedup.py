@@ -399,7 +399,13 @@ def connected_components(
     from band/bucket joins, so convergence is 1–2 rounds in practice,
     bounded by graph diameter ≤ ``max_iters`` in general). Each round is
     one join + one groupBy on (node) — shuffle-bound, no driver-side
-    graph, scales with the edge list."""
+    graph, scales with the edge list.
+
+    Raises ``RuntimeError`` if labels are still changing when
+    ``max_iters`` is exhausted — a silent truncation would return WRONG
+    component ids for any graph whose diameter exceeds the budget (e.g.
+    a >20-hop near-dup chain). Callers on pathological graphs should
+    raise ``max_iters`` (cost is O(diameter) rounds)."""
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
@@ -435,6 +441,11 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iters={max_iters} "
+            "rounds (graph diameter exceeds the budget); raise max_iters"
+        )
     return labels.select("node", F.col("label").alias("component_id"))
 
 

@@ -293,9 +293,21 @@ def search_rp_forest(
     exclude_self: bool = True,
     spill_margin: float | str = "auto",
     max_spills: int = 2,
+    broadcast_queries: bool | str = "auto",
 ) -> DataFrame:
     """Approximate top-k (O9+O10+O12). ``queries`` has (query_id,
-    query_vec); returns (query_id, vec_id, dist, rnk)."""
+    query_vec); returns (query_id, vec_id, dist, rnk).
+
+    ``broadcast_queries`` controls the re-rank join strategy. A bounded
+    query batch (the reference's interactive path, ``src/main.rs:81-93``)
+    is far smaller than the candidate set — broadcast it. But the
+    flagship all-pairs workload (``src/main.rs:100-123``) passes the
+    WHOLE corpus as queries; broadcasting a corpus-sized table is a
+    100×-scale OOM, so that path must shuffle-hash-join on ``query_id``
+    instead (the window that follows repartitions on ``query_id`` anyway,
+    so the shuffle is reused, not extra). ``"auto"`` estimates the query
+    payload from count × dim (same shape as the node-map gate above) and
+    broadcasts only under ``SPARK_GRAFT_BC_QUERIES_MB`` (default 256)."""
     routed = route_queries(forest, queries, spill_margin, max_spills)
     if backfill:
         # routed feeds BOTH the candidate join and the underfull-leaf
@@ -372,10 +384,22 @@ def search_rp_forest(
 
     cand = cand.distinct()  # O10: DashSet union ⇒ shuffle distinct
 
+    if broadcast_queries == "auto":
+        import os as _os
+
+        q_gate = (
+            int(_os.environ.get("SPARK_GRAFT_BC_QUERIES_MB", "256")) * 1024 * 1024
+        )
+        per_query = (forest.dim or 64) * 8 + 120
+        # one cheap count job on the (already materialized upstream) query
+        # source; ~bytes = count × (dim doubles + row overhead)
+        broadcast_queries = queries.count() * per_query < q_gate
+    q_hint = F.broadcast if broadcast_queries else (lambda df: df)
+
     vecs = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     scored = (
         cand.join(vecs, "vec_id")
-        .join(F.broadcast(queries), "query_id")
+        .join(q_hint(queries), "query_id")
         .select(
             "query_id", "vec_id", sq_euc_dist("query_vec", "v").alias("dist")
         )

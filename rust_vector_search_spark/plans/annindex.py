@@ -218,9 +218,13 @@ def all_pairs_approx_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference-default forest (50 trees, leaf ≤ 5) + one spill: at sf0.1
     # this measures recall 0.90 at ~2/3 the runtime of the old
     # 16-tree/leaf-32 config (0.835); max_spills=1 halves candidate
-    # volume vs 2 — the right cost/recall point for corpus-sized batches
+    # volume vs 2 — the right cost/recall point for corpus-sized batches.
+    # broadcast_queries=False: the query set IS the corpus here —
+    # broadcasting it would ship the whole corpus to every executor
+    # (~2.4 TB at 1e9×300-d); the re-rank shuffle-hash-joins on query_id
+    # instead, and the top-k window reuses that partitioning.
     return search_rp_forest(
-        forest, emb, corpus_queries, k=3, max_spills=1
+        forest, emb, corpus_queries, k=3, max_spills=1, broadcast_queries=False
     ).select("query_id", "vec_id", "dist", "rnk")
 
 

@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..session import ensure_deterministic_session
 from ..sources import load_table
-from ..streaming import streaming_dedup, streaming_windowed_counts
+from ..streaming import (
+    streaming_dedup,
+    streaming_first_per_key,
+    streaming_windowed_counts,
+)
 from .registry import dd_sum, register
 
 
@@ -37,12 +41,12 @@ def _events_stream(spark: SparkSession, sf_dir: str, ordered: bool = False):
     return spark.readStream.schema(batch.schema).parquet(src)
 
 
-def _run_to_memory(out, name_prefix: str) -> str:
+def _run_to_memory(out, name_prefix: str, output_mode: str = "append") -> str:
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -92,15 +96,37 @@ WHERE rn = 1
 """,
 )
 def streaming_dedup_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup (O3 across micro-batches,
-    dropDuplicatesWithinWatermark): first ARRIVAL per user survives.
-    The source is written as one (ts, event_id)-sorted file, so arrival
-    order — and therefore WHICH event survives — is deterministic: the
-    min-(ts, event_id) row per user, which batch SQL replays with a
-    row_number window."""
+    """Streaming first-event-per-user (O3's survivor semantics across
+    micro-batches) via a STATEFUL MIN AGGREGATION in complete mode —
+    not dropDuplicatesWithinWatermark, whose survivor is whichever row
+    reaches the state partition first (arrival order across file splits
+    is not guaranteed, so the result would be schedule-dependent). The
+    min-(ts, event_id) row per user is a pure function of the data under
+    ANY arrival order / parallelism, which is what lets batch SQL replay
+    it with a row_number window."""
+    stream = _events_stream(spark, sf_dir)
+    name = _run_to_memory(
+        streaming_first_per_key(
+            stream, ["user_id"], ts_col="ts", tiebreak_col="event_id"
+        ),
+        "dedup",
+        output_mode="complete",
+    )
+    return spark.table(name).select("user_id", "event_id")
+
+
+@register("streaming_dedup_arrival_order")
+def streaming_dedup_arrival_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark-bounded streaming dedup operator itself
+    (dropDuplicatesWithinWatermark) — the state-bounded form an
+    unbounded-key production stream runs. Registered rows-only: WHICH
+    duplicate survives is arrival-order-dependent (schedule-sensitive),
+    so only the survivor COUNT per user (= distinct users) is stable,
+    not the value hash. The deterministic oracle-checked twin is
+    ``streaming_dedup_users``."""
     stream = _events_stream(spark, sf_dir, ordered=True)
     name = _run_to_memory(
         streaming_dedup(stream, ["user_id"], ts_col="ts", watermark="90 days"),
-        "dedup",
+        "dedup_arr",
     )
     return spark.table(name).select("user_id", "event_id")

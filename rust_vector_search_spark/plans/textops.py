@@ -507,7 +507,10 @@ def doc_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal shapes (not the hit rate) are what the oracle locks in."""
     docs = _docs(spark, sf_dir).filter(F.length("text") > 0)
     at = F.instr(F.col("text"), "@")
-    after_at = F.substring_index(F.col("text"), "@", -1)
+    # everything after the FIRST '@' — matches the oracle's
+    # substr(text, strpos(text,'@')+1). (substring_index(..., -1) would
+    # take the text after the LAST '@': 'a@x.y@z' must flag 1, not 0.)
+    after_at = F.expr("substring(text, instr(text, '@') + 1)")
     has_email = F.when(
         (at > 0) & (F.instr(after_at, ".") > 0), F.lit(1)
     ).otherwise(F.lit(0))

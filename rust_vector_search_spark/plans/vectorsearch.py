@@ -427,3 +427,68 @@ def all_pairs_top3_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_set"
         )
     )
+
+
+# --- O1: the reference's ONLY input format, driver-checked ---------------------
+
+import os as _os
+
+_VEC_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "data",
+    "sample100.vec",
+)
+
+_VEC_LINES = f"string_split(content, chr(10))"
+
+
+@register(
+    "fasttext_vec_scan",
+    oracle=f"""
+WITH raw AS (SELECT content FROM read_text('{_VEC_FIXTURE}')),
+lines AS (
+  SELECT i - 1 AS line_no, ln
+  FROM (SELECT unnest({_VEC_LINES}) AS ln,
+               generate_subscripts({_VEC_LINES}, 1) AS i
+        FROM raw)),
+body AS (
+  SELECT CAST(line_no - 1 AS BIGINT) AS vec_id,
+         string_split(trim(ln), ' ') AS parts
+  FROM lines
+  WHERE line_no >= 1 AND length(trim(ln)) > 0)
+SELECT vec_id,
+       parts[1] AS word,
+       CAST(len(parts) - 1 AS INTEGER) AS dim,
+       list_reduce(list_transform(parts[2:],
+                                  x -> CAST(CAST(x AS FLOAT) AS DOUBLE)),
+                   (x, y) -> x + y) AS l1_sum,
+       list_reduce(list_transform(parts[2:],
+                                  x -> CAST(CAST(x AS FLOAT) AS DOUBLE)
+                                       * CAST(CAST(x AS FLOAT) AS DOUBLE)),
+                   (x, y) -> x + y) AS sq_norm
+FROM body
+""",
+)
+def fasttext_vec_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — the fastText ``.vec`` text scan, the reference's ONLY input
+    format (``/root/reference/src/main.rs:11-40``): skip the
+    "<count> <dim>" header, split on whitespace, first token → word,
+    rest → float vector, ids by line order. Runs over a committed
+    100 x 16 fixture (data/sample100.vec, exact binary fractions so
+    float parsing is bit-identical across engines); emits per-row parse
+    proofs — word, arity, and two sequential-fold checksums — rather
+    than the raw ARRAY column (driver canonicalizer can't hash arrays).
+    The sf_dir argument is unused: this is a format test, not a fixture
+    table."""
+    ensure_deterministic_session(spark)
+    from ..sources.fasttext import read_fasttext_vec
+
+    vecs = read_fasttext_vec(spark, _VEC_FIXTURE)
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return vecs.select(
+        "vec_id",
+        "word",
+        F.size("embedding").alias("dim"),
+        F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x).alias("l1_sum"),
+        F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x).alias("sq_norm"),
+    )

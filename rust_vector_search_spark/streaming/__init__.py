@@ -2,6 +2,7 @@ from .incremental import (
     incremental_index_ingest,
     stateful_user_counters,
     streaming_dedup,
+    streaming_first_per_key,
     streaming_windowed_counts,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "incremental_index_ingest",
     "stateful_user_counters",
     "streaming_dedup",
+    "streaming_first_per_key",
     "streaming_windowed_counts",
 ]

@@ -29,6 +29,7 @@ from ..operators.search import route_queries
 __all__ = [
     "streaming_windowed_counts",
     "streaming_dedup",
+    "streaming_first_per_key",
     "incremental_index_ingest",
     "stateful_user_counters",
 ]
@@ -72,6 +73,38 @@ def streaming_dedup(
     (dropDuplicatesWithinWatermark) so it runs forever at scale."""
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
+    )
+
+
+def streaming_first_per_key(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Deterministic streaming first-EVENT-per-key: a stateful min
+    aggregation over (ts, tiebreak) structs, run in COMPLETE output mode.
+
+    Why this exists next to ``streaming_dedup``: dropDuplicates* keeps
+    whichever row REACHES the state partition first, and arrival order
+    across file splits / task parallelism is not guaranteed — the
+    survivor is engine-schedule-dependent. The min-(ts, tiebreak) row is
+    a pure function of the data, identical under any arrival order, any
+    parallelism, any micro-batch split — which is what makes this form
+    oracle-checkable (batch twin: row_number over (ts, tiebreak) = 1).
+
+    State is one struct per key (bounded by key cardinality, not event
+    count); for unbounded key spaces use ``streaming_dedup`` and accept
+    the arrival-order survivor."""
+    firsts = F.min(F.struct(ts_col, tiebreak_col)).alias("_first")
+    return (
+        stream.groupBy(*key_cols)
+        .agg(firsts)
+        .select(
+            *key_cols,
+            F.col(f"_first.{ts_col}").alias(ts_col),
+            F.col(f"_first.{tiebreak_col}").alias(tiebreak_col),
+        )
     )
 
 

@@ -74,6 +74,25 @@ def test_connected_components_planted_graph(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
 
 
+def test_connected_components_long_chain_raises_not_truncates(spark):
+    """VERDICT r2 #3: a 30-node chain (diameter 29) cannot converge in
+    max_iters=5 rounds — the operator must RAISE, never silently return
+    unconverged (= wrong) component ids; with budget it labels the whole
+    chain with its min id."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_id_a long, doc_id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=5)
+    got = {
+        (r.node, r.component_id)
+        for r in connected_components(chain, max_iters=40).collect()
+    }
+    assert got == {(i, 0) for i in range(31)}
+
+
 def test_stratified_sample_exact_fractions(spark):
     """Every stratum yields exactly ceil(0.1·n) rows."""
     from rust_vector_search_spark.plans import QUERIES

@@ -90,6 +90,42 @@ def test_partial_plus_final_aggregation(spark):
     assert plan.count("HashAggregate") >= 2  # partial + final
 
 
+def test_corpus_as_queries_rerank_not_broadcast(spark):
+    """VERDICT r2 #1: the flagship all-pairs path passes the WHOLE corpus
+    as queries — the re-rank must NOT broadcast the query side there
+    (corpus-sized broadcast = 100x-scale OOM), while bounded query
+    batches still get the broadcast fast path. Differential assertion
+    with auto-broadcast off so only explicit hints can broadcast."""
+    from rust_vector_search_spark.operators.index import build_rp_forest
+    from rust_vector_search_spark.operators.search import search_rp_forest
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus_q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    forest = build_rp_forest(emb, num_trees=2, max_node_size=8, seed=42)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = plan_of(
+            search_rp_forest(
+                forest, emb, corpus_q, k=3, backfill=False,
+                broadcast_queries=False,
+            )
+        )
+        hinted = plan_of(
+            search_rp_forest(
+                forest, emb, corpus_q, k=3, backfill=False,
+                broadcast_queries=True,
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in gated, gated[:2000]
+    assert "BroadcastNestedLoop" not in gated
+    assert "BroadcastHashJoin" in hinted  # the bounded-batch fast path survives
+
+
 def test_backfill_has_no_nested_loop_join(spark):
     """VERDICT r1 #3: the sibling-subtree backfill must plan as an
     equi-join (ancestor-prefix keys), never BroadcastNestedLoopJoin —
