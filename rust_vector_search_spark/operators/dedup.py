@@ -198,6 +198,7 @@ def ngram_jaccard_join(
     id_col: str = "doc_id",
     shingle_n: int = 1,
     threshold: float = 0.5,
+    per_doc_top_k: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity join via PREFIX FILTERING (the
     SSJoin/PPJoin family: Chaudhuri et al. ICDE'06, Xiao et al. WWW'08).
@@ -214,7 +215,16 @@ def ngram_jaccard_join(
 
     Verification computes exact Jaccard on xxhash64-hashed shingle
     arrays (array_intersect on longs — same trick as the MinHash verify),
-    bounded by the candidate count, never the pair space."""
+    bounded by the candidate count, never the pair space.
+
+    ``per_doc_top_k``: the J ≥ t PAIR set itself is output-bound — on a
+    dense near-dup corpus it grows with pair density (~3M pairs at
+    sf0.1), not corpus size. With ``per_doc_top_k`` set, pairs are
+    symmetrized to (doc_id, partner_id) and only each document's k most
+    similar partners are kept (rank by jaccard desc, partner_id asc), so
+    the result is ≤ k·|docs| rows — the shape a dedup pipeline actually
+    consumes. Returns (doc_id, partner_id, jaccard, rnk) in that mode,
+    (doc_id_a, doc_id_b, jaccard) canonical pairs otherwise."""
     sh = docs.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
     )
@@ -248,9 +258,28 @@ def ngram_jaccard_join(
     )
     inter = F.size(F.array_intersect("h_a", "h_b")).cast("double")
     union = (F.size("h_a") + F.size("h_b")).cast("double") - inter
-    return paired.select(
+    pairs = paired.select(
         "doc_id_a", "doc_id_b", (inter / union).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+    if per_doc_top_k is None:
+        return pairs
+    sym = pairs.select(
+        F.col("doc_id_a").alias("doc_id"),
+        F.col("doc_id_b").alias("partner_id"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_id_b").alias("doc_id"),
+            F.col("doc_id_a").alias("partner_id"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("partner_id").asc()
+    )
+    return sym.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+        F.col("rnk") <= per_doc_top_k
+    )
 
 
 _HEX = "0123456789abcdef"

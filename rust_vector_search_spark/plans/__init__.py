@@ -17,22 +17,30 @@ from . import streamingops  # noqa: E402,F401
 
 # ---- registration ORDER is part of the driver contract ----------------------
 # The external driver checks queries in dict (= insertion) order and caps
-# the run at 50 (CORRECTNESS_r01 contained exactly the first 50 registered
-# queries; the 8 dropped ones all run clean locally in <1 min). Reorder so
-# the capped window holds every ORACLE-bearing query (the hash-checked
-# gate); rows-only queries follow, highest-value first, and are all
-# verified by tools/run_correctness.py → CORRECTNESS_LOCAL.json.
-# oracle-bearing queries deliberately placed AFTER the driver's 50-slot
-# window (new this round; verified by CORRECTNESS_LOCAL.json) so the 50
-# r1-era oracle queries — incl. the ones VERDICT r1 flagged as unchecked
-# — keep their driver slots
-_ORACLE_TAIL = [
-    "dedup_minhash_components",
-    "streaming_dedup_users",
-    "ann_int8_rerank_topk",
-    "doc_bm25_hash_join_scan",
-    "stratified_sample_orders",
-    "doc_pii_flags",
+# the run at 50. The window policy (VERDICT r2 #2 / ADVICE r2): the
+# RISKIEST, NEWEST oracle-bearing code paths get driver slots; a fixed
+# list of long-stable relational twins — each with a same-category
+# sibling still inside the window — is demoted past the cap. Demoted
+# queries keep their oracles and remain regression-guarded by
+# tools/run_correctness.py → CORRECTNESS_LOCAL.json, which covers the
+# FULL registry every round. tests/test_registry_window.py pins the
+# window invariants (50 oracle-bearing slots; every non-window oracle
+# query is in the demoted list), so adding an oracle query without
+# choosing a demotion fails CI rather than silently bumping one out.
+_DEMOTED_STABLE = [
+    # window family: events_hourly_window + events_sessionization +
+    # top3_orders_per_customer stay in-window
+    "events_sliding_window",
+    "events_session_windows",
+    # grouping-set family: grouping_sets_lineitem stays in-window
+    "cube_event_type_hour",
+    "rollup_returnflag_status",
+    # date/time: events_hourly_window covers date_trunc/window math
+    "orders_by_year_month",
+    # distinct-agg: dedup_* and setop queries cover distinct semantics
+    "events_user_activity_distinct",
+    # set ops: setop_customers_without_highvalue_orders stays in-window
+    "setop_nations_in_both_segments",
 ]
 
 _ROWS_ONLY_PRIORITY = [
@@ -51,9 +59,9 @@ def _reorder() -> None:
     ordered = {
         n: QUERIES[n]
         for n in QUERIES
-        if n in ORACLES and n not in _ORACLE_TAIL
+        if n in ORACLES and n not in _DEMOTED_STABLE
     }
-    for n in _ORACLE_TAIL:
+    for n in _DEMOTED_STABLE:  # oracle-bearing, past the cap, locally checked
         if n in QUERIES:
             ordered[n] = QUERIES[n]
     for n in _ROWS_ONLY_PRIORITY:

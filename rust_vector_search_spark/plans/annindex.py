@@ -272,6 +272,31 @@ def ann_mllib_brp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- index persistence: search FROM the Parquet-persisted form ----------------
+
+@register("ann_search_from_persisted_index")
+def ann_search_from_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'index is a table' claim round-tripped (SURVEY §1.1): build →
+    ``save_index`` (Parquet, partitioned by tree_id) → ``load_index``
+    from disk → search through the LOADED forest. A production ANN
+    deployment never rebuilds per query — it searches a persisted index;
+    this is that path. Rows-only (seeded build not SQL-replayable);
+    tests/test_index_persistence.py asserts loaded-search ≡
+    direct-search bit-for-bit."""
+    import tempfile
+
+    from ..operators.index import load_index, save_index
+
+    emb = _emb(spark, sf_dir)
+    forest = build_rp_forest(emb, num_trees=8, max_node_size=32, seed=42)
+    path = tempfile.mkdtemp(prefix="rp_index_")
+    save_index(forest, path)
+    loaded = load_index(spark, path, num_trees=8, max_node_size=32, seed=42)
+    return search_rp_forest(loaded, emb, _queries(emb), k=K).select(
+        "query_id", "vec_id", "dist", "rnk"
+    )
+
+
 # --- the index is a table: structure statistics (rows-only) -------------------
 
 @register("ann_index_stats")

@@ -375,17 +375,34 @@ inter AS (
   SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
          a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_inter
   FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4)
-SELECT doc_id_a, doc_id_b,
-       CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
-FROM inter
-WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.8
+  GROUP BY 1, 2, 3, 4),
+pairs AS (
+  SELECT doc_id_a, doc_id_b,
+         CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
+  FROM inter
+  WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.8),
+sym AS (
+  SELECT doc_id_a AS doc_id, doc_id_b AS partner_id, jaccard FROM pairs
+  UNION ALL
+  SELECT doc_id_b AS doc_id, doc_id_a AS partner_id, jaccard FROM pairs)
+SELECT doc_id, partner_id, jaccard, rnk FROM (
+  SELECT doc_id, partner_id, jaccard,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY jaccard DESC, partner_id) AS BIGINT)
+           AS rnk
+  FROM sym) t
+WHERE rnk <= 3
 """,
 )
 def ngram_jaccard_similar_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-set Jaccard similarity join via inverted index (no cross
-    join; candidates share ≥1 token)."""
-    return ngram_jaccard_join(_docs(spark, sf_dir), shingle_n=1, threshold=0.8)
+    join; candidates share ≥1 token), bounded to each document's top-3
+    most similar partners (VERDICT r2 #7: the raw J ≥ t pair set grows
+    with pair DENSITY — ~3M rows at sf0.1 — while the per-doc top-k form
+    is ≤ 3·|docs| and is what a dedup pipeline consumes)."""
+    return ngram_jaccard_join(
+        _docs(spark, sf_dir), shingle_n=1, threshold=0.8, per_doc_top_k=3
+    )
 
 
 # --- SimHash near-duplicate pairs ------------------------------------------------
@@ -445,27 +462,42 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH sums AS (
   SELECT doc_id,
-         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_text,
          CAST(list_reduce(
            list_transform(range(1, length(text) + 1),
                           i -> ascii(substr(text, CAST(i AS INTEGER), 1))),
            (x, y) -> x + y) AS BIGINT) AS byte_sum
-  FROM documents)
-SELECT doc_id, n_bytes, byte_sum,
-       byte_sum / n_bytes AS mean_byte,
-       'text/plain' AS format
-FROM sums
+  FROM documents),
+bmp AS (
+  SELECT doc_id, byte_sum,
+         greatest(CAST(1 AS BIGINT), (n_text + 191) // 192) AS height
+  FROM sums)
+SELECT doc_id,
+       height * 192 AS n_bytes,
+       byte_sum,
+       byte_sum / (height * 192) AS mean_byte,
+       CAST(64 AS BIGINT) AS width,
+       height,
+       'image/bmp' AS format
+FROM bmp
 """,
 )
 def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: documents → opaque BINARY payload
-    column → Arrow-batched mapInPandas feature extraction (the decode
-    step is a deterministic byte-level stub — see operators/multimodal.py
-    — so the whole pipeline stays oracle-checkable)."""
-    from ..operators.multimodal import attach_binary_payload, extract_binary_features
+    """Multimodal pipeline end-to-end with a REAL decode: documents →
+    binary payload → pure-stdlib 24-bit BMP encode (genuine
+    header/stride/bottom-up-row format) → Arrow-batched mapInPandas
+    decode (magic check, header parse, pixel-array slice) → pixel
+    statistics. The oracle replays the pixel math exactly: bytes land in
+    64-px (192-byte) rows zero-padded to the row boundary, so n_bytes =
+    height·192 and byte_sum is unchanged by padding."""
+    from ..operators.multimodal import (
+        attach_binary_payload,
+        encode_bmp_payload,
+        extract_binary_features,
+    )
 
     docs = _docs(spark, sf_dir)
-    return extract_binary_features(attach_binary_payload(docs))
+    return extract_binary_features(encode_bmp_payload(attach_binary_payload(docs)))
 
 
 # --- PII / safety flags (portable string ops only — no regex dialects) ----------
