@@ -478,6 +478,117 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component_id"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round scale path next to
+    ``connected_components``'s O(diameter) min-label propagation. Same
+    output contract: (node, component_id) with component_id = min node
+    id in the component, so the two are interchangeable and share an
+    oracle.
+
+    Each round is two half-steps over the edge list:
+
+    - large-star: per node u, hook every strictly LARGER neighbor to
+      m(u) = min(N(u) ∪ {u}) — one symmetric groupBy(min) + one
+      equi-join, no neighborhood collect (skew-safe: the per-node state
+      is a single min, never a neighbor list).
+    - small-star: orient edges parent-ward (keep (u, v) with v < u),
+      hook u and its smaller neighbors to m(u) — same min-agg + join
+      shape.
+
+    A chain of n nodes that needs n-1 min-label rounds converges in
+    O(log n) alternations here (pointer-doubling through the stars).
+    Convergence is detected when a full round leaves the edge multiset
+    unchanged, checked with an order-independent (count,
+    sum(xxhash64(u, v))) checksum — one tiny aggregate per round
+    instead of a set-difference shuffle; a checksum collision would
+    need ~2^32 edge sets, and the ``max_iters`` raise still bounds the
+    loop. Raises ``RuntimeError`` if the budget is exhausted with the
+    edge set still moving (never silently truncates).
+    """
+    nodes = (
+        pairs.select(F.col(a_col).alias("node"))
+        .unionByName(pairs.select(F.col(b_col).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = _checksum(edges)
+    for _ in range(max_iters):
+        # large-star over the symmetric view: hook larger neighbors to m(u)
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("nb_min"))
+        m = mins.select("u", F.least("u", "nb_min").alias("m"))
+        large = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over parent-oriented edges: hook u and smaller
+        # neighbors to m(u)
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _checksum(small)
+        edges = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in max_iters="
+            f"{max_iters} rounds; raise max_iters"
+        )
+    # fixpoint is a forest of stars: every non-root points at its
+    # component's min node; roots (and singletons) label themselves
+    centers = edges.groupBy("u").agg(F.min("v").alias("cid"))
+    return (
+        nodes.join(centers, nodes.node == centers.u, "left")
+        .select(
+            "node",
+            F.coalesce(F.col("cid"), F.col("node")).alias("component_id"),
+        )
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

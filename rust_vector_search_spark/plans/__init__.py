@@ -41,6 +41,10 @@ _DEMOTED_STABLE = [
     "events_user_activity_distinct",
     # set ops: setop_customers_without_highvalue_orders stays in-window
     "setop_nations_in_both_segments",
+    # exact-kNN family: knn_exact_euclidean stays in-window and cosine
+    # scoring is also exercised by near_dup_cosine_* (r3 demotion making
+    # room for dedup_simhash_components_star)
+    "knn_exact_cosine",
 ]
 
 _ROWS_ONLY_PRIORITY = [

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import (
     connected_components,
+    connected_components_star,
     exact_dedup_text,
     minhash_lsh_pairs,
     ngram_jaccard_join,
@@ -453,6 +454,73 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash near-dup pairs with pigeonhole (4×8-bit block)
     blocking — hamming ≤ 1 pairs (the synthetic corpus has very similar word sets, so the tight radius keeps the output meaningfully 'near-duplicate')."""
     return simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=1)
+
+
+@register(
+    "dedup_simhash_components_star",
+    oracle=f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+  FROM documents),
+hv AS (SELECT doc_id, substr(md5(word), 1, 8) AS h8 FROM w),
+v AS (SELECT doc_id, CAST({_VAL_SQL} AS BIGINT) AS val FROM hv),
+bits AS (
+  SELECT doc_id, val, unnest(range(0, 32)) AS bit FROM v),
+s AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (val >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS sc
+  FROM bits GROUP BY 1, 2),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN sc > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM s GROUP BY doc_id),
+blocked AS (
+  SELECT doc_id, simhash,
+         generate_subscripts(blks, 1) AS blk, unnest(blks) AS blk_val
+  FROM (SELECT doc_id, simhash,
+               [simhash & 255, (simhash >> 8) & 255,
+                (simhash >> 16) & 255, (simhash >> 24) & 255] AS blks
+        FROM fp) t),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         a.simhash AS h_a, b.simhash AS h_b
+  FROM blocked a JOIN blocked b
+    ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id),
+near AS (
+  SELECT doc_id_a, doc_id_b FROM cand
+  WHERE bit_count(xor(h_a, h_b)) <= 1),
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM near
+  UNION
+  SELECT doc_id_b, doc_id_a FROM near),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+comp AS (SELECT u, LEAST(u, MIN(v)) AS cid FROM reach GROUP BY u)
+SELECT d.doc_id, CAST(COALESCE(c.cid, d.doc_id) AS BIGINT) AS component_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
+""",
+)
+def dedup_simhash_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters on the O(log n) SCALE path: SimHash hamming ≤ 1
+    pairs become components via alternating large-star / small-star
+    contraction (operators/dedup.connected_components_star) instead of
+    O(diameter) min-label propagation — the variant that survives
+    chain-shaped dup graphs on a 100 TB corpus. Output contract is
+    identical (component_id = min doc_id in the component), so DuckDB
+    replays it with the same recursive-CTE closure over the SimHash
+    edge list."""
+    docs = _docs(spark, sf_dir)
+    pairs = simhash_near_dup_pairs(docs, max_hamming=1)
+    comp = connected_components_star(pairs)
+    return docs.select("doc_id").join(
+        comp, docs.doc_id == comp.node, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id"),
+    )
 
 
 # --- multimodal: binary payload + mapInPandas feature extraction -----------------

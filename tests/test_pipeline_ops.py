@@ -116,6 +116,52 @@ def test_connected_components_long_chain_raises_not_truncates(spark):
     assert got == {(i, 0) for i in range(31)}
 
 
+def test_star_components_chain_converges_in_log_rounds(spark):
+    """The O(log n) claim, measured: a 64-node chain (diameter 63) needs
+    63 min-label rounds but must finish inside 10 star alternations —
+    and produce the same min-id labels."""
+    from rust_vector_search_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_id_a long, doc_id_b long"
+    )
+    got = {
+        (r.node, r.component_id)
+        for r in connected_components_star(chain, max_iters=10).collect()
+    }
+    assert got == {(i, 0) for i in range(64)}
+
+
+def test_star_components_matches_min_label_on_random_graph(spark):
+    """Star contraction and min-label propagation are interchangeable:
+    identical (node, component_id) output on a seeded random graph with
+    chains, cliques, and singleton pairs."""
+    import random
+
+    from rust_vector_search_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(100, 120)]  # a chain
+    edges += [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]
+    edges += [(rng.randrange(0, 80), rng.randrange(0, 80)) for _ in range(60)]
+    pairs = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long").filter(
+        F.col("doc_id_a") != F.col("doc_id_b")
+    )
+    star = {
+        (r.node, r.component_id)
+        for r in connected_components_star(pairs, max_iters=15).collect()
+    }
+    minlabel = {
+        (r.node, r.component_id)
+        for r in connected_components(pairs, max_iters=40).collect()
+    }
+    assert star == minlabel
+
+
 def test_stratified_sample_exact_fractions(spark):
     """Every stratum yields exactly ceil(0.1·n) rows."""
     from rust_vector_search_spark.plans import QUERIES

@@ -26,6 +26,8 @@ MUST_BE_IN_WINDOW = [
     "stratified_sample_orders",
     "doc_pii_flags",
     "fasttext_vec_scan",
+    # r3-new: O(log n) star-contraction components
+    "dedup_simhash_components_star",
 ]
 
 
