@@ -45,6 +45,13 @@ _DEMOTED_STABLE = [
     # scoring is also exercised by near_dup_cosine_* (r3 demotion making
     # room for dedup_simhash_components_star)
     "knn_exact_cosine",
+    # exact-dedup family: dedup_exact_embeddings stays in-window (r3
+    # demotion making room for multimodal_audio_features)
+    "dedup_exact_text",
+    # similarity-join family: near_dup_cosine_bucketed (the scale path)
+    # and radius_search stay in-window (r3 demotion making room for
+    # multimodal_video_frame_sample)
+    "near_dup_cosine_pairs",
 ]
 
 _ROWS_ONLY_PRIORITY = [

@@ -568,6 +568,91 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_binary_features(encode_bmp_payload(attach_binary_payload(docs)))
 
 
+@register(
+    "multimodal_audio_features",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+  FROM documents),
+a AS (
+  SELECT doc_id,
+         abs(ascii(substr(text, CAST(i AS INTEGER), 1)) - 128) AS amp
+  FROM chars)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(length(d.text) AS DOUBLE) * 1000.0 / 8000.0 AS duration_ms,
+       CAST(COALESCE(MAX(a.amp), 0) * 256 AS BIGINT) AS peak_amp,
+       CAST(COALESCE(SUM(a.amp), 0) * 256 AS BIGINT) AS amp_sum
+FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+GROUP BY d.doc_id, d.text
+""",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality end-to-end with a REAL codec: documents → binary
+    payload → genuine RIFF/WAVE 16-bit PCM mono encode (canonical fmt +
+    data chunks; the files play) → Arrow-batched mapInPandas decode that
+    WALKS the RIFF chunk list (magic checks, fmt validation, chunk skip)
+    → sample count / duration / peak / total amplitude. Each payload
+    byte b is one sample (b−128)·256, so DuckDB replays every feature
+    with integer char math; duration = n·1000/8000 divides by a power of
+    two — bit-exact in double on both engines."""
+    from ..operators.multimodal import (
+        attach_binary_payload,
+        encode_wav_payload,
+        extract_audio_features,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return extract_audio_features(encode_wav_payload(attach_binary_payload(docs)))
+
+
+@register(
+    "multimodal_video_frame_sample",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         SUM(CASE WHEN ((i - 1) // 128) % 2 = 0
+                  THEN ascii(substr(text, CAST(i AS INTEGER), 1)) END) AS bs
+  FROM chars GROUP BY doc_id),
+f AS (
+  SELECT doc_id,
+         greatest(CAST(1 AS BIGINT), (length(text) + 127) // 128) AS n_frames
+  FROM documents)
+SELECT f.doc_id,
+       CAST(16 AS BIGINT) AS frame_w,
+       CAST(8 AS BIGINT) AS frame_h,
+       f.n_frames,
+       (f.n_frames + 1) // 2 AS frames_sampled,
+       CAST(COALESCE(s.bs, 0) AS BIGINT) AS sampled_byte_sum
+FROM f LEFT JOIN s ON f.doc_id = s.doc_id
+""",
+)
+def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality: documents → raw-frame container (12-byte header +
+    n_frames 16×8 grayscale frames, last frame zero-padded) →
+    Arrow-batched decode + EVERY-2ND-FRAME SAMPLING (numpy stride over
+    the frame axis) → per-payload sampled statistics. Frame f holds
+    payload bytes [128f, 128(f+1)), so the oracle recomputes the sampled
+    byte sum as the chars whose 0-based position p has (p div 128) even
+    — padding zeros contribute nothing. (Real inter-frame codecs need a
+    library; the container framing, frame addressing, and stride
+    sampling are the same plumbing.)"""
+    from ..operators.multimodal import (
+        attach_binary_payload,
+        encode_rawvideo_payload,
+        extract_video_frame_features,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return extract_video_frame_features(
+        encode_rawvideo_payload(attach_binary_payload(docs))
+    )
+
+
 # --- PII / safety flags (portable string ops only — no regex dialects) ----------
 
 @register(

@@ -97,6 +97,62 @@ def test_bmp_codec_roundtrip():
         decode_bmp(bytes(bad))
 
 
+def test_wav_codec_roundtrip():
+    """The RIFF/WAVE codec: encode emits canonical chunked framing
+    (checkable by the stdlib ``wave`` reader); decode chunk-walks and
+    recovers exact sample statistics; malformed payloads raise."""
+    import io
+    import wave
+
+    import pytest
+
+    from rust_vector_search_spark.operators.multimodal import decode_wav, encode_wav
+
+    for data in [b"", b"x", b"hello world" * 40, bytes(range(256)) * 3]:
+        payload = encode_wav(data)
+        sr, n, peak, amp_sum = decode_wav(payload)
+        assert (sr, n) == (8000, len(data))
+        assert peak == (max(abs(b - 128) for b in data) * 256 if data else 0)
+        assert amp_sum == sum(abs(b - 128) for b in data) * 256
+        # cross-check the framing with the stdlib reader
+        with wave.open(io.BytesIO(payload)) as w:
+            assert (w.getframerate(), w.getnchannels(), w.getsampwidth()) == (
+                8000, 1, 2,
+            )
+            assert w.getnframes() == len(data)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS....")
+    bad = bytearray(encode_wav(b"abc"))
+    bad[22] = 2  # stereo fmt field — real WAV, unsupported variant
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_wav(bytes(bad))
+
+
+def test_rawvideo_frame_sampling():
+    """Container roundtrip + stride sampling: every-2nd-frame sum equals
+    the even-frame byte ranges of the source; padding contributes 0."""
+    import pytest
+
+    from rust_vector_search_spark.operators.multimodal import (
+        decode_rawvideo_sample,
+        encode_rawvideo,
+    )
+
+    for data in [b"", b"x" * 100, b"hello world" * 40, bytes(range(256)) * 3]:
+        w, h, nf, ns, ssum = decode_rawvideo_sample(encode_rawvideo(data))
+        assert (w, h) == (16, 8)
+        assert nf == max(1, -(-len(data) // 128))
+        assert ns == (nf + 1) // 2
+        expect = sum(
+            b
+            for f in range(0, nf, 2)
+            for b in data[f * 128 : (f + 1) * 128]
+        )
+        assert ssum == expect
+    with pytest.raises(ValueError, match="RVID"):
+        decode_rawvideo_sample(b"AVI ....")
+
+
 def test_connected_components_long_chain_raises_not_truncates(spark):
     """VERDICT r2 #3: a 30-node chain (diameter 29) cannot converge in
     max_iters=5 rounds — the operator must RAISE, never silently return

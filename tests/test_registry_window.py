@@ -28,6 +28,9 @@ MUST_BE_IN_WINDOW = [
     "fasttext_vec_scan",
     # r3-new: O(log n) star-contraction components
     "dedup_simhash_components_star",
+    # r3-new: real-codec audio + frame-sampled video modalities
+    "multimodal_audio_features",
+    "multimodal_video_frame_sample",
 ]
 
 
