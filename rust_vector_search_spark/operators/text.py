@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "token_stats",
     "quality_score",
+    "repetition_score",
     "lang_id",
     "doc_fingerprint",
     "STOPWORDS_EN",
@@ -83,6 +84,63 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         stop_ratio.alias("stopword_ratio"),
         punct_ratio.alias("punct_ratio"),
         score.alias("quality_score"),
+    )
+
+
+def repetition_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals over word bigrams: the fraction of
+    bigram occurrences that are duplicates and the share held by the
+    single most frequent bigram — the filters that catch boilerplate and
+    looping generations in training corpora.
+
+    Deliberately ZERO-shuffle: instead of explode → groupBy(doc_id,
+    bigram) (a wordcount-shaped shuffle whose volume is the corpus token
+    count), everything is a per-row Catalyst HOF — bigrams built by
+    `transform` over an index `sequence`, the duplicate count from
+    `array_distinct`, and the max-frequency bigram from a single
+    `aggregate` fold over the SORTED bigram array (longest equal-run).
+    At 100 TB this is pure map-side work inside whole-stage codegen."""
+    words = F.split(F.col(text_col), " ")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.expr(
+            f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
+            f"i -> concat(element_at(split({text_col}, ' '), i), ' ', "
+            f"element_at(split({text_col}, ' '), i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_b = docs.select(F.col(id_col), bigrams.alias("bgs"))
+    total = F.size("bgs").cast("long")
+    nd = F.size(F.array_distinct("bgs")).cast("long")
+    # longest equal-run of the sorted array = max bigram frequency
+    mx = F.expr(
+        "aggregate(array_sort(bgs), "
+        "named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        "  'prev', x, "
+        "  'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1L), "
+        "  'best', greatest(acc.best, "
+        "    IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1L))), "
+        "acc -> acc.best)"
+    )
+    return with_b.select(
+        F.col(id_col),
+        total.alias("n_bigrams"),
+        F.when(total > 0, (total - nd).cast("double") / total.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_ratio"),
+        F.when(total > 0, mx.cast("double") / total.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_ratio"),
+        F.when(
+            (total > 0)
+            & ((total - nd).cast("double") / total.cast("double") > 0.3),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("repetitive"),
     )
 
 

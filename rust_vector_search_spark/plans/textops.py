@@ -569,6 +569,46 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_repetition_score",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+b AS (
+  SELECT doc_id,
+         list_transform(range(1, len(words)),
+                        i -> words[i] || ' ' || words[i + 1]) AS bgs
+  FROM w)
+SELECT doc_id,
+       CAST(len(bgs) AS BIGINT) AS n_bigrams,
+       CASE WHEN len(bgs) > 0
+            THEN CAST(len(bgs) - len(list_distinct(bgs)) AS DOUBLE)
+                 / CAST(len(bgs) AS DOUBLE) ELSE 0.0 END AS dup_bigram_ratio,
+       CASE WHEN len(bgs) > 0
+            THEN CAST(list_max(list_transform(list_distinct(bgs),
+                   d -> len(list_filter(bgs, x -> x = d)))) AS DOUBLE)
+                 / CAST(len(bgs) AS DOUBLE) ELSE 0.0 END AS top_bigram_ratio,
+       CASE WHEN len(bgs) > 0
+                 AND CAST(len(bgs) - len(list_distinct(bgs)) AS DOUBLE)
+                     / CAST(len(bgs) AS DOUBLE) > 0.3
+            THEN 1 ELSE 0 END AS repetitive
+FROM b
+""",
+)
+def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter over word bigrams — the boilerplate
+    / looping-generation screen a training pipeline runs after basic
+    quality scoring. The Spark side is ZERO-shuffle (bigram build,
+    duplicate fraction, and max-frequency bigram all per-row Catalyst
+    HOFs; the max frequency is the longest equal-run of the sorted
+    bigram array). The oracle replays the same semantics with
+    quadratic-but-simple list ops — the oracle only runs at sf0.01;
+    the Spark plan is the one that has to survive 100 TB."""
+    from ..operators.text import repetition_score
+
+    return repetition_score(_docs(spark, sf_dir))
+
+
+@register(
     "multimodal_audio_features",
     oracle="""
 WITH chars AS (

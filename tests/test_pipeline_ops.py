@@ -97,6 +97,29 @@ def test_bmp_codec_roundtrip():
         decode_bmp(bytes(bad))
 
 
+def test_repetition_score_planted_docs(spark):
+    """Looping text scores high, varied text scores 0, degenerate docs
+    don't divide by zero."""
+    from rust_vector_search_spark.operators.text import repetition_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # bigrams: ab ba ab ba ab → dup 3/5, top 3/5
+            (2, "x y z"),  # 2 distinct bigrams → ratios 0
+            (3, "x"),  # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_score(docs).collect()}
+    assert got[1].n_bigrams == 5
+    assert abs(got[1].dup_bigram_ratio - 0.6) < 1e-12
+    assert abs(got[1].top_bigram_ratio - 0.6) < 1e-12
+    assert got[1].repetitive == 1
+    assert (got[2].dup_bigram_ratio, got[2].repetitive) == (0.0, 0)
+    assert got[3].n_bigrams == 0
+    assert got[3].top_bigram_ratio == 0.0
+
+
 def test_wav_codec_roundtrip():
     """The RIFF/WAVE codec: encode emits canonical chunked framing
     (checkable by the stdlib ``wave`` reader); decode chunk-walks and

@@ -31,6 +31,8 @@ MUST_BE_IN_WINDOW = [
     # r3-new: real-codec audio + frame-sampled video modalities
     "multimodal_audio_features",
     "multimodal_video_frame_sample",
+    # r3-new: zero-shuffle bigram repetition filter
+    "doc_repetition_score",
 ]
 
 
