@@ -68,9 +68,26 @@ def test_hot_paths_have_no_python_udf(spark):
 def test_multimodal_uses_arrow_batches(spark):
     """The one deliberate Python crossing must be Arrow-batched
     mapInPandas, not row-at-a-time UDF."""
-    plan = plan_of(QUERIES["multimodal_binary_features"](spark, SF_SMOKE))
-    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
-    assert "BatchEvalPython" not in plan
+    for name in (
+        "multimodal_binary_features",
+        "multimodal_audio_features",
+        "multimodal_video_frame_sample",
+    ):
+        plan = plan_of(QUERIES[name](spark, SF_SMOKE))
+        assert "MapInPandas" in plan or "ArrowEvalPython" in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_repetition_score_is_shuffle_free(spark):
+    """doc_repetition_score claims zero computation shuffles: per-doc
+    HOF folds only — no hash-partitioned Exchange, no join, no Python.
+    (The single RoundRobin Exchange in the plan is load_table's
+    single-file-fixture ingest parallelizer, not operator work.)"""
+    plan = plan_of(QUERIES["doc_repetition_score"](spark, SF_SMOKE))
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
 
 
 def test_dim_joins_broadcast(spark):
