@@ -40,6 +40,11 @@ HEADLINE = [
     "ann_int8_rerank_topk",
     "ann_rp_forest_topk",
     "all_pairs_approx_top3",
+    # r3 additions: O(log n) components over SimHash pairs, zero-shuffle
+    # repetition filter, real-codec audio modality
+    "dedup_simhash_components_star",
+    "doc_repetition_score",
+    "multimodal_audio_features",
 ]
 
 

@@ -55,6 +55,9 @@ _DEMOTED_STABLE = [
     # text family: token/quality/lang/bm25/pii all stay in-window (r3
     # demotion making room for doc_repetition_score)
     "doc_fingerprint_bottom4",
+    # JSON family: events_props_as_map stays in-window (r3 demotion
+    # making room for dedup_minhash_survivors)
+    "events_json_extract_agg",
 ]
 
 _ROWS_ONLY_PRIORITY = [

@@ -305,9 +305,10 @@ def doc_bm25_hash_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- pairs → clusters: connected components over near-dup pairs ---------------------
 
-@register(
-    "dedup_minhash_components",
-    oracle=f"""
+# shared closure: MinHash-LSH candidate pairs → exact-Jaccard edges →
+# recursive-CTE transitive closure → every doc labeled with its
+# component's min doc_id ("allc")
+_MINHASH_CLOSURE_SQL = f"""
 WITH RECURSIVE {_TRIGRAMS_CTE},
 sig AS (SELECT doc_id, shingles, [{_SIGS_SQL}] AS sigs FROM sh),
 banded AS (
@@ -336,10 +337,16 @@ reach(u, v) AS (
   SELECT u, v FROM edges
   UNION
   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
-comp AS (SELECT u, LEAST(u, MIN(v)) AS cid FROM reach GROUP BY u)
-SELECT d.doc_id, CAST(COALESCE(c.cid, d.doc_id) AS BIGINT) AS component_id
-FROM documents d LEFT JOIN comp c ON d.doc_id = c.u
-""",
+comp AS (SELECT u, LEAST(u, MIN(v)) AS cid FROM reach GROUP BY u),
+allc AS (
+  SELECT d.doc_id, CAST(COALESCE(c.cid, d.doc_id) AS BIGINT) AS component_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.u)
+"""
+
+
+@register(
+    "dedup_minhash_components",
+    oracle=_MINHASH_CLOSURE_SQL + "SELECT doc_id, component_id FROM allc",
 )
 def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → CLUSTERS: the dedup-pipeline step the pair queries feed.
@@ -359,6 +366,32 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.coalesce(F.col("component_id"), F.col("doc_id")).alias("component_id"),
+    )
+
+
+@register(
+    "dedup_minhash_survivors",
+    oracle=_MINHASH_CLOSURE_SQL
+    + (
+        "SELECT component_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count "
+        "FROM allc GROUP BY component_id"
+    ),
+)
+def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's ACTUAL OUTPUT: one surviving document per
+    near-dup cluster (the min doc_id — same survivor rule as
+    exact_dedup) with the cluster size it absorbed, singletons included
+    with dup_count = 1. Downstream a training pipeline joins this back
+    to `documents` to materialize the deduped corpus; keeping the query
+    at (survivor, dup_count) also makes the shrink factor auditable.
+    One extra groupBy on component_id past the components step —
+    shuffle-bound, skew-safe (component ids are min doc ids, and
+    near-dup clusters are small by construction)."""
+    comp = dedup_minhash_components(spark, sf_dir)
+    return (
+        comp.groupBy("component_id")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .select(F.col("component_id").alias("doc_id"), "dup_count")
     )
 
 

@@ -33,6 +33,8 @@ MUST_BE_IN_WINDOW = [
     "multimodal_video_frame_sample",
     # r3-new: zero-shuffle bigram repetition filter
     "doc_repetition_score",
+    # r3-new: dedup pipeline output (survivor + absorbed cluster size)
+    "dedup_minhash_survivors",
 ]
 
 

@@ -49,6 +49,22 @@ NOTES = {
         "aggregation on the edge list; no driver-side graph structure — "
         "component count/size never bounds memory."
     ),
+    "dedup_simhash_components_star": (
+        "The O(log n) components path: each large-star/small-star "
+        "half-step is a min-aggregation + equi-join over the edge list; "
+        "per-node state is a single min (never a neighbor list), so "
+        "high-degree dup clusters don't skew a task."
+    ),
+    "doc_repetition_score": (
+        "Zero computation shuffles: bigram construction, duplicate "
+        "fraction, and max-frequency (longest equal-run fold over the "
+        "sorted array) are all per-row HOFs inside whole-stage codegen."
+    ),
+    "multimodal_audio_features": (
+        "Arrow-batched encode and decode are back-to-back MapInPandas "
+        "stages with no exchange between them — binary payloads never "
+        "shuffle."
+    ),
 }
 
 
