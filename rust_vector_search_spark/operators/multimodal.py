@@ -21,6 +21,7 @@ decode are embarrassingly parallel — zero shuffles.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -33,6 +34,10 @@ __all__ = [
     "decode_bmp",
     "encode_bmp_payload",
     "extract_binary_features",
+    "encode_png",
+    "decode_png",
+    "encode_png_payload",
+    "extract_png_features",
     "encode_wav",
     "decode_wav",
     "encode_wav_payload",
@@ -166,6 +171,183 @@ def extract_binary_features(payloads: DataFrame) -> DataFrame:
     payloads go through the real header-parse/pixel-slice decode;
     other media types get raw byte statistics."""
     return payloads.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+
+
+# --- PNG: genuine COMPRESSED image codec (pure stdlib: zlib + struct) -------
+#
+# Closes the "compressed formats need a codec library" gap without a
+# dependency: PNG's compression layer IS stdlib zlib (RFC 1950); the rest
+# of the format — chunk framing with CRC-32, IHDR geometry, per-scanline
+# filter prediction — is implemented here. The encoder emits real,
+# viewer-openable grayscale PNGs and deliberately rotates scanline
+# filters (None/Sub/Up) so the decoder's unfiltering is exercised on
+# every payload; the decoder additionally handles Average and Paeth, the
+# full filter set of the spec.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_WIDTH = 64  # 8-bit grayscale ⇒ 64-byte scanlines
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def encode_png(data: bytes, width: int = _PNG_WIDTH) -> bytes:
+    """Pack raw bytes into a REAL 8-bit grayscale PNG: bytes become pixel
+    rows (last row zero-padded), each scanline gets a filter byte —
+    rotating None(0)/Sub(1)/Up(2) by row index so decode must genuinely
+    unfilter — then the filtered stream is zlib-compressed and framed as
+    IHDR + two IDAT chunks (multi-IDAT concatenation is part of the
+    format) + IEND, all with valid CRC-32s. Pure stdlib."""
+    import numpy as np
+
+    height = max(1, -(-len(data) // width))
+    padded = np.frombuffer(
+        data + b"\x00" * (height * width - len(data)), dtype=np.uint8
+    ).reshape(height, width).astype(np.int16)
+    out = bytearray()
+    prev = np.zeros(width, dtype=np.int16)
+    for r in range(height):
+        row = padded[r]
+        ft = r % 3
+        if ft == 0:  # None
+            filtered = row
+        elif ft == 1:  # Sub: subtract left neighbor
+            filtered = (row - np.concatenate(([0], row[:-1]))) % 256
+        else:  # Up: subtract the row above
+            filtered = (row - prev) % 256
+        out.append(ft)
+        out += filtered.astype(np.uint8).tobytes()
+        prev = row
+    compressed = zlib.compress(bytes(out), 6)
+    mid = max(1, len(compressed) // 2)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", compressed[:mid])
+        + _png_chunk(b"IDAT", compressed[mid:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a grayscale 8-bit PNG and return (width, height, n_pixels,
+    pixel_sum). Real decode work: signature + per-chunk CRC-32
+    verification, IHDR validation, multi-IDAT concatenation, zlib
+    inflate, and full spec unfiltering (None/Sub/Up/Average/Paeth).
+    Raises ValueError on bad magic, CRC mismatch, or unsupported
+    color/bit-depth/interlace variants."""
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, width = len(_PNG_SIG), None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_code, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype_code, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG variant: depth={depth} color={ctype_code} "
+                    f"interlace={interlace}"
+                )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != height * (width + 1):
+        raise ValueError("decompressed stream does not match geometry")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, width + 1)
+    out = np.zeros((height, width), dtype=np.uint8)
+    for r in range(height):
+        ft, line = rows[r, 0], rows[r, 1:].astype(np.int32)
+        up = out[r - 1].astype(np.int32) if r else np.zeros(width, dtype=np.int32)
+        if ft == 0:
+            res = line
+        elif ft == 2:
+            res = (line + up) % 256
+        elif ft in (1, 3, 4):
+            res = np.zeros(width, dtype=np.int32)
+            left = 0
+            for c in range(width):
+                ul = int(out[r - 1, c - 1]) if r and c else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + int(up[c])) // 2
+                else:  # Paeth
+                    p = left + int(up[c]) - ul
+                    pa, pb, pc = abs(p - left), abs(p - int(up[c])), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (int(up[c]) if pb <= pc else ul)
+                res[c] = (int(line[c]) + pred) % 256
+                left = int(res[c])
+        else:
+            raise ValueError(f"unknown scanline filter {ft}")
+        out[r] = res.astype(np.uint8)
+    return width, height, int(out.size), int(out.sum(dtype=np.int64))
+
+
+def _png_encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": pdf["payload"].map(encode_png),
+                "media_type": "image/png",
+            }
+        )
+
+
+def encode_png_payload(payloads: DataFrame) -> DataFrame:
+    """Re-encode raw binary payloads as genuine zlib-compressed grayscale
+    PNGs (Arrow-batched; write half of the codec ``extract_png_features``
+    decodes)."""
+    return payloads.mapInPandas(
+        _png_encode_batches, schema="doc_id long, payload binary, media_type string"
+    )
+
+
+PNG_FEATURE_SCHEMA = (
+    "doc_id long, width long, height long, n_pixels long, pixel_sum long, "
+    "mean_pixel double, compressed_bytes long"
+)
+
+
+def _png_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        stats = [decode_png(buf) for buf in pdf["payload"]]
+        n_pix = pd.Series([t[2] for t in stats], dtype="int64")
+        psum = pd.Series([t[3] for t in stats], dtype="int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": pd.Series([t[0] for t in stats], dtype="int64"),
+                "height": pd.Series([t[1] for t in stats], dtype="int64"),
+                "n_pixels": n_pix,
+                "pixel_sum": psum,
+                "mean_pixel": psum / n_pix,
+                "compressed_bytes": pdf["payload"].map(len).astype("int64"),
+            }
+        )
+
+
+def extract_png_features(payloads: DataFrame) -> DataFrame:
+    """Arrow-batched PNG decode: CRC-checked chunk walk → inflate →
+    unfilter → pixel statistics. Embarrassingly parallel, zero shuffles."""
+    return payloads.mapInPandas(_png_feature_batches, schema=PNG_FEATURE_SCHEMA)
 
 
 # --- audio: genuine RIFF/WAVE PCM codec (pure stdlib + numpy) ---------------
