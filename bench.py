@@ -45,6 +45,8 @@ HEADLINE = [
     "dedup_simhash_components_star",
     "doc_repetition_score",
     "multimodal_audio_features",
+    # r5 addition: compressed-image (zlib PNG) modality
+    "multimodal_png_features",
 ]
 
 

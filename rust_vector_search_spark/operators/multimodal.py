@@ -9,8 +9,11 @@ BITMAPINFOHEADER, 4-byte-aligned bottom-up rows) and the feature
 extractor parses the header, slices the pixel array, and computes pixel
 statistics — exercising every step a PIL-backed decoder would (magic
 check, header fields, stride math, channel layout) without a dependency.
-``decode_image_real`` remains the integration point for compressed
-formats (JPEG/PNG need a codec library).
+Compressed images are handled in-repo too: PNG's compression layer is
+stdlib zlib, so ``encode_png``/``decode_png`` implement the full format
+(chunk framing + CRC-32, IHDR, scanline filters). Only JPEG still needs
+an external codec (PIL/cv2) — ``decode_image_real`` is that integration
+point.
 
 Scale notes: binary payloads ride in Parquet pages like any column;
 ``mapInPandas`` streams Arrow record batches (bounded memory per batch,
@@ -247,6 +250,8 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int]:
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):
+            raise ValueError(f"truncated {ctype!r} chunk")
         body = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
@@ -260,6 +265,8 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int]:
                     f"unsupported PNG variant: depth={depth} color={ctype_code} "
                     f"interlace={interlace}"
                 )
+            if width == 0 or height == 0:
+                raise ValueError("degenerate PNG geometry (zero width/height)")
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -267,7 +274,10 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int]:
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt IDAT stream: {e}") from e
     if len(raw) != height * (width + 1):
         raise ValueError("decompressed stream does not match geometry")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, width + 1)
@@ -559,15 +569,17 @@ def extract_video_frame_features(payloads: DataFrame) -> DataFrame:
 
 
 def decode_image_real(payloads: DataFrame) -> DataFrame:
-    """Integration point for COMPRESSED image formats (JPEG/PNG resize /
-    frame sampling) — these need a codec library (PIL or cv2) the
-    container doesn't ship. Uncompressed BMP is fully handled in-repo by
-    ``decode_bmp``."""
+    """Integration point for formats that genuinely need an external
+    codec library (JPEG's DCT entropy coding — PIL or cv2, which the
+    container doesn't ship). BMP (``decode_bmp``) and PNG
+    (``decode_png``: zlib inflate + full-spec unfilter) are handled
+    in-repo with no dependency."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError(
-            "compressed-format decode requires PIL/cv2; container ships "
-            "neither — swap decode_bmp for a PIL decode when deploying"
+            "JPEG decode requires PIL/cv2; container ships neither — "
+            "swap in a PIL decode when deploying. BMP/PNG need nothing: "
+            "use extract_binary_features / extract_png_features"
         ) from e
     raise NotImplementedError("wire the PIL decode into _feature_batches")

@@ -602,6 +602,55 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_features",
+    oracle="""
+WITH sums AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_text,
+         CAST(list_reduce(
+           list_transform(range(1, length(text) + 1),
+                          i -> ascii(substr(text, CAST(i AS INTEGER), 1))),
+           (x, y) -> x + y) AS BIGINT) AS pixel_sum
+  FROM documents),
+png AS (
+  SELECT doc_id, pixel_sum,
+         greatest(CAST(1 AS BIGINT), (n_text + 63) // 64) AS height
+  FROM sums)
+SELECT doc_id,
+       CAST(64 AS BIGINT) AS width,
+       height,
+       height * 64 AS n_pixels,
+       pixel_sum,
+       pixel_sum / (height * 64) AS mean_pixel
+FROM png
+""",
+)
+def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-image modality end-to-end with a real codec: documents
+    → binary payload → pure-stdlib grayscale PNG encode (zlib-deflated
+    IDAT, rotating None/Sub/Up scanline filters, CRC-32-framed chunks) →
+    Arrow-batched mapInPandas decode (signature + per-chunk CRC check,
+    multi-IDAT concatenation, inflate, full-spec unfilter) → pixel
+    statistics. The oracle replays the pixel math exactly: bytes land in
+    64-px scanlines zero-padded to the row boundary, so n_pixels =
+    height·64 and pixel_sum is padding-invariant (the compression layer
+    is lossless, so decode(encode(x)) == x byte-for-byte).
+    ``compressed_bytes`` is intentionally NOT selected — deflate output
+    length is zlib-implementation detail no SQL oracle can replay."""
+    from ..operators.multimodal import (
+        attach_binary_payload,
+        encode_png_payload,
+        extract_png_features,
+    )
+
+    docs = _docs(spark, sf_dir)
+    feats = extract_png_features(encode_png_payload(attach_binary_payload(docs)))
+    return feats.select(
+        "doc_id", "width", "height", "n_pixels", "pixel_sum", "mean_pixel"
+    )
+
+
+@register(
     "doc_repetition_score",
     oracle="""
 WITH w AS (

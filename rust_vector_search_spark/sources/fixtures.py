@@ -42,13 +42,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown fixture table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as raw int64
-    # nanos under spark.sql.legacy.parquet.nanosAsLong; convert to a real
-    # timestamp (fixture sub-microsecond parts are zero, so this is exact)
+    # Fixture timestamp columns have shipped in two physical forms across
+    # driver regenerations: parquet TIMESTAMP(NANOS) (read as raw int64
+    # nanos under spark.sql.legacy.parquet.nanosAsLong) and timestamp[us]
+    # without timezone (read as TIMESTAMP_NTZ, which unix_micros /
+    # withWatermark reject). Normalize both to TIMESTAMP here so every
+    # downstream consumer sees one dtype. The session timezone is pinned
+    # UTC (session.ensure_deterministic_session), so the NTZ cast is exact
+    # and oracle-consistent.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division — float division of int64 nanos (> 2^53) would
         # round the low microsecond digit
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     if name in _FACT_TABLES:
         par = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < par:

@@ -13,6 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from rust_vector_search_spark.plans import ORACLES, QUERIES  # noqa: E402
 from rust_vector_search_spark.plans import _DEMOTED_STABLE  # noqa: E402
+from rust_vector_search_spark.plans import _WINDOW_ROWS_ONLY  # noqa: E402
 
 DRIVER_CAP = 50
 
@@ -35,13 +36,28 @@ MUST_BE_IN_WINDOW = [
     "doc_repetition_score",
     # r3-new: dedup pipeline output (survivor + absorbed cluster size)
     "dedup_minhash_survivors",
+    # r5-new: compressed-image codec query (VERDICT r4 item 3)
+    "multimodal_png_features",
+    # r5: forest family executes under the driver each round (VERDICT r4
+    # items 7/8 — round 4 proved local-only evidence silently goes stale)
+    "ann_rp_forest_topk",
+    "ann_rp_forest_recall",
 ]
 
 
-def test_window_is_fully_oracle_bearing():
+def test_window_oracle_coverage_is_explicit():
+    """Every window slot is either oracle-bearing or one of the
+    explicitly-promoted rows-only forest queries — nothing drifts in."""
     window = list(QUERIES)[:DRIVER_CAP]
-    missing = [n for n in window if n not in ORACLES]
-    assert not missing, f"rows-only queries inside the driver window: {missing}"
+    unexplained = [
+        n for n in window if n not in ORACLES and n not in _WINDOW_ROWS_ONLY
+    ]
+    assert not unexplained, (
+        f"unreviewed rows-only queries inside the driver window: {unexplained}"
+    )
+    # the promoted rows-only set stays small: oracle rows are strictly
+    # stronger evidence, so they keep the overwhelming majority of slots
+    assert len(_WINDOW_ROWS_ONLY) <= 2
 
 
 def test_new_risky_queries_hold_driver_slots():

@@ -85,6 +85,40 @@ def test_load_all_fixture_tables(spark):
     assert dict(load_table(spark, SF_SMOKE, "events").dtypes)["ts"] == "timestamp"
 
 
+def test_no_timestamp_ntz_survives_load(spark):
+    """Regression (round-4): driver-regenerated fixtures ship timestamp[us]
+    without timezone, which Spark reads as TIMESTAMP_NTZ — a dtype that
+    unix_micros and withWatermark reject. load_table must normalize every
+    timestamp column to plain TIMESTAMP so no consumer ever sees NTZ."""
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        for col, dtype in load_table(spark, SF_SMOKE, t).dtypes:
+            assert dtype != "timestamp_ntz", f"{t}.{col} leaked TIMESTAMP_NTZ"
+
+
+def test_ntz_parquet_normalized(spark, tmp_path):
+    """A parquet written with an explicit NTZ column must come back as
+    TIMESTAMP through the events loader regardless of fixture vintage."""
+    import shutil
+
+    sfdir = tmp_path / "sf"
+    sfdir.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        shutil.copy(f"{SF_SMOKE}/{t}.parquet", sfdir / f"{t}.parquet")
+    spark.sql(
+        "SELECT 1L AS event_id, TIMESTAMP_NTZ '2024-01-02 03:04:05' AS ts, "
+        "7L AS user_id, 'click' AS event_type, 1.5D AS value, '{}' AS props"
+    ).write.parquet(str(sfdir / "events.parquet"))
+    df = load_table(spark, str(sfdir), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    import pyspark.sql.functions as F
+
+    micros = df.select(F.unix_micros("ts").alias("us")).collect()[0].us
+    # UTC session: 2024-01-02T03:04:05Z exactly
+    assert micros == 1704164645000000
+
+
 def test_vec_write_read_roundtrip(spark, tmp_path):
     from rust_vector_search_spark.sources.fasttext import write_fasttext_vec
 

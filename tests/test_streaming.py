@@ -23,11 +23,12 @@ from conftest import SF_SMOKE  # noqa: E402
 
 @pytest.fixture()
 def events_stream(spark, tmp_path):
-    # materialize fixture events (micros timestamps) as a streaming source
+    # materialize fixture events as a streaming source; load_table owns
+    # the fixture-vintage timestamp normalization (nanos-bigint or NTZ)
+    from rust_vector_search_spark.sources import load_table
+
     src = str(tmp_path / "events_src")
-    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    batch = load_table(spark, SF_SMOKE, "events")
     batch.write.parquet(src)
     return spark.readStream.schema(batch.schema).parquet(src), batch
 
