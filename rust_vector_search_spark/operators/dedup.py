@@ -282,20 +282,11 @@ def ngram_jaccard_join(
     )
 
 
-_HEX = "0123456789abcdef"
-
-
 def _md5_32bit(c: Column) -> Column:
     """First 8 hex chars of md5 → BIGINT in [0, 2^32) — an engine-portable
-    32-bit hash (DuckDB twin: instr-based hex digit decode)."""
-    hex8 = F.substring(F.md5(c), 1, 8)
-    val = F.lit(0).cast("long")
-    for i in range(8):
-        digit = (
-            F.position(F.substring(hex8, i + 1, 1), F.lit(_HEX)).cast("long") - 1
-        )
-        val = val * 16 + digit
-    return val
+    32-bit hash (DuckDB twin: instr-based hex digit decode; values match
+    bit-for-bit, the twin just decodes hex digit-by-digit)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
 def simhash(
@@ -380,15 +371,17 @@ def simhash_blocked_pairs(
     b = blocked.select(
         F.col(id_col).alias("doc_id_b"), F.col(fp_col).alias("h_b"), "blk", "blk_val"
     )
-    cand = (
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
+    # hamming-filter BEFORE the dedup shuffle: the xor/bit_count predicate
+    # is a narrow map-side expression, so candidates that fail the radius
+    # never enter the dropDuplicates exchange (the join fan-out is the
+    # biggest row count in the pipeline — shuffle only survivors)
+    return (
         a.join(b, ["blk", "blk_val"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
-    )
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
-    return (
-        cand.select("doc_id_a", "doc_id_b", ham.alias("hamming"))
+        .select("doc_id_a", "doc_id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
 
 
@@ -509,14 +502,22 @@ def connected_components_star(
     sum(xxhash64(u, v))) checksum — one tiny aggregate per round
     instead of a set-difference shuffle; a checksum collision would
     need ~2^32 edge sets, and the ``max_iters`` raise still bounds the
-    loop. Raises ``RuntimeError`` if the budget is exhausted with the
-    edge set still moving (never silently truncates).
+    loop. The round's checkpoint is LAZY and materialized by the
+    checksum collect itself, so each contraction round is exactly ONE
+    Spark job (r4 bench finding: the eager-checkpoint + checksum pair
+    was two driver round-trips per round and dominated wall time at
+    small SF). Raises ``RuntimeError`` if the budget is exhausted with
+    the edge set still moving (never silently truncates).
     """
+    # lazy checkpoints throughout: lineage must be truncated per round
+    # (the loop would otherwise compound the plan), but materialization
+    # can ride on the jobs the loop already runs — nodes on the final
+    # join, edges on the initial checksum
     nodes = (
         pairs.select(F.col(a_col).alias("node"))
         .unionByName(pairs.select(F.col(b_col).alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -525,7 +526,7 @@ def connected_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _checksum(e: DataFrame) -> tuple:
@@ -565,8 +566,9 @@ def connected_components_star(
             .unionByName(mins2.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # the checksum collect materializes the checkpoint: one job/round
         new_sig = _checksum(small)
         edges = small
         if new_sig == sig:
