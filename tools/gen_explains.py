@@ -65,6 +65,12 @@ NOTES = {
         "stages with no exchange between them — binary payloads never "
         "shuffle."
     ),
+    "multimodal_png_features": (
+        "The compressed-image path has the same shuffle-free shape as "
+        "BMP/WAV: zlib deflate/inflate and scanline unfiltering run "
+        "inside Arrow-batched MapInPandas stages; only doc_id and the "
+        "bounded feature row ever reach an exchange."
+    ),
 }
 
 
