@@ -35,6 +35,8 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_text",
     "word_shingles",
+    "MINHASH_PRIME",
+    "minhash_coeffs",
     "minhash_signature",
     "minhash_lsh_pairs",
     "ngram_jaccard_join",
@@ -71,25 +73,48 @@ def exact_dedup_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a whitespace-tokenized text.
-    Pure HOF expression (no UDF): sequence over word positions →
-    concat_ws of the n-window."""
+    Pure HOF expression (no UDF), built as a zip_with chain over n
+    shifted slices of the word array.
+
+    Why slices + zip_with and not transform-over-indices with
+    element_at: the word array is an ARGUMENT of slice/zip_with, so the
+    split evaluates a constant number of times per row — whereas
+    referencing it inside a transform lambda re-evaluates the split per
+    ELEMENT (measured ~600 re-splits per ~200-word doc: the shingling
+    step alone cost more than all 16 MinHash permutations combined)."""
     words = F.split(text, " ")
     if n == 1:
         return F.array_distinct(words)
-    idx = F.sequence(F.lit(0), F.size(words) - F.lit(n))
-    shingled = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
-            ),
+    m = F.size(words) - F.lit(n - 1)  # shingle count for long-enough docs
+    acc = F.slice(words, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(words, j + 1, m),
+            lambda x, y: F.concat(x, F.lit(" "), y),
         )
-    )
-    # guard: sequence(0, negative) would count DOWN in Spark; short docs
-    # get an empty shingle set instead
-    return F.when(F.size(words) >= n, shingled).otherwise(
+    # guard first: slice with a non-positive length throws, but CaseWhen
+    # evaluates only the matched branch, so short docs never reach it
+    return F.when(F.size(words) >= n, F.array_distinct(acc)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1: products a·v stay < 2^62 (64-bit safe)
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed seeded affine coefficients (a_j ∈ [1, p), b_j ∈ [0, p)) for
+    the universal-hash MinHash family. Deterministic: both the Spark
+    expressions and the DuckDB oracle SQL inline these exact literals,
+    so engine portability holds by construction."""
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
 
 
 def minhash_signature(
@@ -99,26 +124,51 @@ def minhash_signature(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signatures: sig_j = min over shingles of md5(j ":" shingle).
+    """MinHash signatures via the classic universal-hash family:
+    each shingle hashes ONCE (first 8 md5 hex chars → 31-bit integer),
+    then sig_j = min over shingles of (a_j·v + b_j) mod p with
+    p = 2³¹−1 and fixed seeded coefficients (``minhash_coeffs``).
 
-    Taking the lexicographic min of a salted md5 is an order-preserving
-    proxy for a random permutation — and unlike murmur/xxhash it is
-    bit-identical in every engine, which is what makes the LSH pipeline
-    oracle-checkable. Returns (id, shingles, sig_0..sig_{n-1})."""
+    Why this shape: the md5 base hash is bit-identical in every engine
+    (which keeps the LSH pipeline oracle-checkable), and the per-j
+    permutations are exact 63-bit-safe integer arithmetic — one md5 per
+    shingle total, not one per (shingle, permutation) (the salted-md5
+    form measured 7.2 s of the 7.6 s sf0.1 pipeline; n_hashes md5
+    passes over every shingle dominated everything else). All n_hashes
+    minima fold in ONE ``aggregate`` expression so the md5 pass appears
+    once in the plan — separate per-j columns would each re-inline the
+    shingle-hash transform under Catalyst's projection collapse,
+    silently restoring the n_hashes× md5 cost.
+    Returns (id, shingles, sigs ARRAY<BIGINT> of length num_hashes)."""
     sh = docs.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles")
     ).filter(F.size("shingles") > 0)  # docs too short to shingle have no signature
-    def _salted(j: int):
-        # NB: a 2-param lambda would make Spark pass the ARRAY INDEX as the
-        # second arg (transform's optional index form) — bind j via closure
-        salt = f"{j}:"
-        return lambda s: F.md5(F.concat(F.lit(salt), s))
-
-    sigs = [
-        F.array_min(F.transform(F.col("shingles"), _salted(j))).alias(f"sig_{j}")
-        for j in range(num_hashes)
-    ]
-    return sh.select(F.col(id_col), F.col("shingles"), *sigs)
+    coeffs = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
+            )
+            for a, b in minhash_coeffs(num_hashes)
+        ]
+    )
+    hv = F.transform(
+        F.col("shingles"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        % F.lit(MINHASH_PRIME),
+    )
+    # p is a strict upper bound for every hash value ⇒ a valid +inf seed
+    sigs = F.aggregate(
+        hv,
+        F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_hashes),
+        lambda acc, v: F.zip_with(
+            acc,
+            coeffs,
+            lambda m, c: F.least(
+                m, (v * c["a"] + c["b"]) % F.lit(MINHASH_PRIME)
+            ),
+        ),
+    )
+    return sh.select(F.col(id_col), F.col("shingles"), sigs.alias("sigs"))
 
 
 def minhash_lsh_pairs(
@@ -145,9 +195,19 @@ def minhash_lsh_pairs(
     # the most expensive map-side step in the pipeline
     sig = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n
                             ).localCheckpoint(eager=True)
+    # sig is materialized (eager checkpoint) before these projections, so
+    # the element_at references read the stored array — no recompute
     band_keys = F.array(
         *[
-            F.md5(F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]))
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at("sigs", b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            )
             for b in range(bands)
         ]
     )
@@ -547,18 +607,23 @@ def connected_components_star(
         )
         mins = sym.groupBy("u").agg(F.min("v").alias("nb_min"))
         m = mins.select("u", F.least("u", "nb_min").alias("m"))
+        # intermediate half-steps carry duplicates instead of paying a
+        # distinct (= full-edge shuffle) each: every stage emits ≤ one row
+        # per input edge (no blowup), the groupBy(min) aggregations absorb
+        # duplicates in their map-side partial agg, and the single distinct
+        # on the round's OUTPUT restores the canonical edge set the
+        # convergence checksum needs — 1 dedup shuffle per round, not 3
         large = (
             sym.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star over parent-oriented edges: hook u and smaller
         # neighbors to m(u)
         oriented = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
+        )
         mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
         small = (
             oriented.join(mins2, "u")

@@ -103,12 +103,17 @@ def repetition_score(
     `aggregate` fold over the SORTED bigram array (longest equal-run).
     At 100 TB this is pure map-side work inside whole-stage codegen."""
     words = F.split(F.col(text_col), " ")
+    # zip_with over two shifted slices, NOT transform-over-indices with
+    # element_at: the word array is an argument of slice/zip_with, so the
+    # split evaluates a constant number of times per row instead of once
+    # per bigram element (see operators.dedup.word_shingles)
+    m = F.size(words) - F.lit(1)
     bigrams = F.when(
         F.size(words) >= 2,
-        F.expr(
-            f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
-            f"i -> concat(element_at(split({text_col}, ' '), i), ' ', "
-            f"element_at(split({text_col}, ' '), i + 1)))"
+        F.zip_with(
+            F.slice(words, 1, m),
+            F.slice(words, 2, m),
+            lambda x, y: F.concat(x, F.lit(" "), y),
         ),
     ).otherwise(F.array().cast("array<string>"))
     with_b = docs.select(F.col(id_col), bigrams.alias("bgs"))

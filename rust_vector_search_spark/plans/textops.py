@@ -11,9 +11,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import (
+    MINHASH_PRIME as _MINHASH_PRIME,
     connected_components,
     connected_components_star,
     exact_dedup_text,
+    minhash_coeffs,
     minhash_lsh_pairs,
     ngram_jaccard_join,
     simhash_near_dup_pairs,
@@ -164,20 +166,34 @@ def dedup_exact_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH near-duplicate pairs -------------------------------------------
 
 _NUM_HASHES = 16
+_MINHASH_COEFFS = minhash_coeffs(_NUM_HASHES)
+# DuckDB twin of operators.dedup.minhash_signature: decode the first 8
+# md5 hex chars digit-by-digit (DuckDB has no hex→int conv), reduce mod
+# p, then apply the SAME seeded affine permutations — identical integer
+# literals on both engines, so sig values match bit-for-bit.
+_MH_HEXVAL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(s), {i + 1}, 1)) - 1)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+)
+_HV_SQL = (
+    f"list_transform(shingles, s -> ({_MH_HEXVAL}) % {_MINHASH_PRIME})"
+)
 _SIGS_SQL = ", ".join(
-    f"list_min(list_transform(shingles, s -> md5('{j}:' || s)))"
-    for j in range(_NUM_HASHES)
+    f"list_min(list_transform(hv, v -> (v * {a} + {b}) % {_MINHASH_PRIME}))"
+    for a, b in _MINHASH_COEFFS
 )
 
 @register(
     "dedup_minhash_lsh_pairs",
     oracle=f"""
 WITH {_TRIGRAMS_CTE},
-sig AS (SELECT doc_id, shingles, [{_SIGS_SQL}] AS sigs FROM sh),
+hvt AS (SELECT doc_id, shingles, {_HV_SQL} AS hv FROM sh),
+sig AS (SELECT doc_id, shingles, [{_SIGS_SQL}] AS sigs FROM hvt),
 banded AS (
   SELECT doc_id,
          generate_subscripts(sigs, 1) AS band,
-         unnest(list_transform(sigs, x -> md5(x))) AS band_key
+         unnest(list_transform(sigs, x -> md5(CAST(x AS VARCHAR)))) AS band_key
   FROM sig),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
@@ -196,8 +212,10 @@ JOIN sig sb ON c.doc_id_b = sb.doc_id
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16 hashes) + LSH(16 bands × 1 row — tuned for the low
     natural Jaccard of the synthetic corpus) candidate pairs with exact
-    shingle-Jaccard verification. The md5-as-permutation trick keeps the
-    whole pipeline engine-portable and oracle-checkable."""
+    shingle-Jaccard verification. The md5-based universal-hash family
+    (one md5 per shingle, affine permutations in exact integer
+    arithmetic) keeps the whole pipeline engine-portable and
+    oracle-checkable."""
     return minhash_lsh_pairs(
         _docs(spark, sf_dir), num_hashes=_NUM_HASHES, bands=_NUM_HASHES, shingle_n=3
     )
@@ -310,11 +328,12 @@ def doc_bm25_hash_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # component's min doc_id ("allc")
 _MINHASH_CLOSURE_SQL = f"""
 WITH RECURSIVE {_TRIGRAMS_CTE},
-sig AS (SELECT doc_id, shingles, [{_SIGS_SQL}] AS sigs FROM sh),
+hvt AS (SELECT doc_id, shingles, {_HV_SQL} AS hv FROM sh),
+sig AS (SELECT doc_id, shingles, [{_SIGS_SQL}] AS sigs FROM hvt),
 banded AS (
   SELECT doc_id,
          generate_subscripts(sigs, 1) AS band,
-         unnest(list_transform(sigs, x -> md5(x))) AS band_key
+         unnest(list_transform(sigs, x -> md5(CAST(x AS VARCHAR)))) AS band_key
   FROM sig),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
