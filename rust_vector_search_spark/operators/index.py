@@ -302,6 +302,17 @@ def build_rp_forest(
         local_df = local_df.join(emb_by_id, "vec_id").select(
             "tree_id", "node_path", "vec_id", "emb"
         )
+        # explicit fixed-N repartition on the group key: AQE's partition
+        # coalescing sizes this exchange by BYTES (~60 MB at sf0.1 ⇒ 1-2
+        # post-coalesce partitions) and would serialize the Python
+        # subtree recursion — the stage's cost is CPU per group, not
+        # bytes. A user-specified numPartitions is exempt from AQE
+        # coalescing, so every core keeps a share of the ≥num_trees
+        # groups. (Observed: the same bench forest row flipping 9 s ↔
+        # 38 s run-to-run with identical code/data.)
+        local_df = local_df.repartition(
+            spark.sparkContext.defaultParallelism, "tree_id", "node_path"
+        )
         local_out = (
             local_df.groupBy("tree_id", "node_path")
             .applyInPandas(
