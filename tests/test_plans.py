@@ -72,10 +72,14 @@ def test_multimodal_uses_arrow_batches(spark):
         "multimodal_binary_features",
         "multimodal_audio_features",
         "multimodal_video_frame_sample",
+        "multimodal_png_features",
     ):
         plan = plan_of(QUERIES[name](spark, SF_SMOKE))
         assert "MapInPandas" in plan or "ArrowEvalPython" in plan, name
         assert "BatchEvalPython" not in plan, name
+        # the codec pipeline is embarrassingly parallel: no shuffle may
+        # appear between the encode and decode MapInPandas stages
+        assert "hashpartitioning" not in plan, name
 
 
 def test_repetition_score_is_shuffle_free(spark):
