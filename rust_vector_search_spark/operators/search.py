@@ -315,6 +315,20 @@ def search_rp_forest(
     so the shuffle is reused, not extra). ``"auto"`` estimates the query
     payload from count × dim (same shape as the node-map gate above) and
     broadcasts only under ``SPARK_GRAFT_BC_QUERIES_MB`` (default 256)."""
+    # right-size the routing stage to the query batch: the broadcast-map
+    # descent is pure Python CPU per partition, and tiny partitions pay
+    # per-task Arrow/worker overhead while giving the batched frontier
+    # nothing to vectorize over (a 10-query batch spread over 32
+    # fixture partitions = 32 near-empty Python tasks). Narrow coalesce
+    # to ~256 queries/partition, never ABOVE the current partition
+    # count (a billion-query corpus keeps its natural parallelism) and
+    # never above the cluster's cores. The count also feeds the
+    # broadcast-queries gate below, so it is one job, not two.
+    n_queries = queries.count()
+    par = queries.sparkSession.sparkContext.defaultParallelism
+    want = max(1, min(par, -(-n_queries // 256)))
+    if want < queries.rdd.getNumPartitions():
+        queries = queries.coalesce(want)
     routed = route_queries(forest, queries, spill_margin, max_spills)
     if backfill:
         # routed feeds BOTH the candidate join and the underfull-leaf
@@ -398,9 +412,9 @@ def search_rp_forest(
             int(_os.environ.get("SPARK_GRAFT_BC_QUERIES_MB", "256")) * 1024 * 1024
         )
         per_query = (forest.dim or 64) * 8 + 120
-        # one cheap count job on the (already materialized upstream) query
-        # source; ~bytes = count × (dim doubles + row overhead)
-        broadcast_queries = queries.count() * per_query < q_gate
+        # ~bytes = count × (dim doubles + row overhead); count computed
+        # once above for the routing coalesce
+        broadcast_queries = n_queries * per_query < q_gate
     q_hint = F.broadcast if broadcast_queries else (lambda df: df)
 
     vecs = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
