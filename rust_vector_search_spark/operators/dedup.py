@@ -353,29 +353,52 @@ def simhash(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
     """32-bit SimHash over distinct words: bit i of the fingerprint is the
-    sign of Σ_words (word_hash_bit_i ? +1 : −1). Map-side explode + one
-    groupBy(id) — the classic near-dup fingerprint at corpus scale.
-    Returns (id, simhash BIGINT)."""
-    words = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w")
+    sign of Σ_words (word_hash_bit_i ? +1 : −1).
+
+    ZERO-shuffle form: the whole fingerprint folds per row inside one
+    ``aggregate`` expression — the word-hash array is the fold's
+    argument (evaluated once), the accumulator carries (n_words, 32 bit
+    counters), and the finish lambda packs the majority vote into the
+    fingerprint. The earlier explode → groupBy(id) form paid a
+    wordcount-shaped shuffle of the whole corpus token stream — pure
+    map-side work now, which is the difference between one pass and a
+    corpus-wide exchange at 100 TB. Returns (id, simhash BIGINT)."""
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    hv = F.transform(
+        F.array_distinct(F.split(F.col(text_col), " ")),
+        lambda w: _md5_32bit(w),
     )
-    hashed = words.select(F.col(id_col), _md5_32bit(F.col("w")).alias("h"))
-    # one shuffle, 32 conditional-sum agg columns — NOT an explode to
-    # (word × bit) rows, which would 32× the shuffle volume; the per-bit
-    # ±1 sum is 2·Σbit − n_words
-    agg = hashed.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_nw"),
-        *[
-            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"c{i}")
-            for i in range(bits)
-        ],
+    zero = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.array_repeat(F.lit(0).cast("long"), bits).alias("c"),
     )
-    fp = F.lit(0).cast("long")
-    for i in range(bits):
-        fp = fp + F.when(
-            F.lit(2) * F.col(f"c{i}") - F.col("_nw") > 0, F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return agg.select(F.col(id_col), fp.alias("simhash"))
+    fp = F.aggregate(
+        hv,
+        zero,
+        lambda acc, v: F.struct(
+            (acc["n"] + F.lit(1)).alias("n"),
+            F.zip_with(
+                acc["c"],
+                masks,
+                lambda c, m: c
+                + F.when(v.bitwiseAND(m) != 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ).alias("c"),
+        ),
+        lambda acc: F.aggregate(
+            F.zip_with(
+                acc["c"],
+                masks,
+                lambda c, m: F.when(F.lit(2) * c - acc["n"] > 0, m).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    return docs.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_blocked_pairs(

@@ -82,6 +82,21 @@ def test_multimodal_uses_arrow_batches(spark):
         assert "hashpartitioning" not in plan, name
 
 
+def test_simhash_fingerprint_is_shuffle_free(spark):
+    """The SimHash fingerprint folds per row (one aggregate expression,
+    word-hash array evaluated once) — no explode → groupBy wordcount
+    shuffle, no join, no Python. At 100 TB that is the difference
+    between a map-only pass and a corpus-wide exchange."""
+    from rust_vector_search_spark.operators.dedup import simhash
+    from rust_vector_search_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    plan = plan_of(simhash(docs))
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_repetition_score_is_shuffle_free(spark):
     """doc_repetition_score claims zero computation shuffles: per-doc
     HOF folds only — no hash-partitioned Exchange, no join, no Python.
