@@ -2,8 +2,8 @@
 token counting, quality scoring, language-ID heuristic, document
 fingerprinting. All pure Catalyst expressions (regexp/split/HOF) — no
 Python in the per-row path, so they run inside whole-stage codegen and
-scale as map-side work with zero shuffles (except the fingerprint's
-per-doc top-k, which is a bounded window).
+scale as map-side work with zero shuffles (the fingerprint bottom-k
+included: a per-row sorted-slice, not a window).
 
 The reference has only a whitespace split (``/root/reference/src/main.rs:24-27``);
 this module is the SURVEY §2.2 "string functions / text analysis" surface.
@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
-from pyspark.sql.window import Window
 
 __all__ = [
     "token_stats",
@@ -178,18 +177,29 @@ def doc_fingerprint(
     """Winnowing-style fingerprint: the k smallest md5 hashes of the
     document's word n-gram shingles (a deterministic bottom-k sketch —
     same family as the rolling-hash winnowing used for code/doc dedup).
-    Returns (id, fp_rank, fp_hash) exploded rows."""
+    Returns (id, fp_rank, fp_hash) exploded rows.
+
+    ZERO-shuffle: the bottom-k is a per-row sorted-slice HOF (hash →
+    distinct → sort → slice k → posexplode) — the earlier explode →
+    dropDuplicates → rank-window form paid two per-doc shuffles for
+    what is row-local math. Identical output (shingles are already
+    distinct per doc; ascending md5 order defines the ranks)."""
     from .dedup import word_shingles
 
-    sh = docs.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
+    bottom = F.slice(
+        F.array_sort(
+            F.transform(
+                word_shingles(F.col(text_col), shingle_n), lambda s: F.md5(s)
+            )
+        ),
+        1,
+        k,
     )
-    hashed = sh.select(F.col(id_col), F.md5(F.col("s")).alias("fp_hash")).dropDuplicates(
-        [id_col, "fp_hash"]
-    )
-    w = Window.partitionBy(id_col).orderBy("fp_hash")
     return (
-        hashed.withColumn("fp_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("fp_rank") <= k)
-        .select(id_col, "fp_rank", "fp_hash")
+        docs.select(F.col(id_col), F.posexplode(bottom).alias("_pos", "fp_hash"))
+        .select(
+            id_col,
+            (F.col("_pos") + 1).cast("long").alias("fp_rank"),
+            "fp_hash",
+        )
     )
