@@ -166,6 +166,7 @@ def route_queries(
     queries: DataFrame,
     spill_margin: float | str = 0.0,
     max_spills: int = 2,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Descend every (query, tree) pair to its leaf. Returns
     (query_id, tree_id, leaf_path). Lazy — no job until consumed.
@@ -202,6 +203,22 @@ def route_queries(
         # FAST PATH: ship the whole node map once (sc.broadcast) and
         # descend every (query, tree) in ONE narrow mapInPandas pass —
         # no per-level joins, no shuffles; executors hold the map once.
+        # Right-size THIS path's partitioning when the caller supplied
+        # the query count: the descent is Python CPU per partition, and
+        # tiny partitions pay per-task Arrow/worker overhead while
+        # giving the batched frontier nothing to vectorize over (a
+        # 10-query batch over 32 fixture partitions = 32 near-empty
+        # Python tasks). Narrow coalesce only, never above the current
+        # partition count. The JOIN-CHAIN path below must NOT be
+        # coalesced — its per-level broadcast joins are JVM work that
+        # wants full parallelism (measured: coalescing 100 queries to 1
+        # partition turned the 1.6M-node depth-32 descent from ~111 s
+        # into ~506 s).
+        if n_queries is not None:
+            par = queries.sparkSession.sparkContext.defaultParallelism
+            want = max(1, min(par, -(-n_queries // 256)))
+            if want < queries.rdd.getNumPartitions():
+                queries = queries.coalesce(want)
         return _route_local(forest, queries, float(spill_margin), max_spills)
     hint = F.broadcast if use_broadcast else (lambda df: df)
     trees = spark.range(forest.num_trees).select(
@@ -315,21 +332,12 @@ def search_rp_forest(
     so the shuffle is reused, not extra). ``"auto"`` estimates the query
     payload from count × dim (same shape as the node-map gate above) and
     broadcasts only under ``SPARK_GRAFT_BC_QUERIES_MB`` (default 256)."""
-    # right-size the routing stage to the query batch: the broadcast-map
-    # descent is pure Python CPU per partition, and tiny partitions pay
-    # per-task Arrow/worker overhead while giving the batched frontier
-    # nothing to vectorize over (a 10-query batch spread over 32
-    # fixture partitions = 32 near-empty Python tasks). Narrow coalesce
-    # to ~256 queries/partition, never ABOVE the current partition
-    # count (a billion-query corpus keeps its natural parallelism) and
-    # never above the cluster's cores. The count also feeds the
-    # broadcast-queries gate below, so it is one job, not two.
+    # one count job, shared by the routing right-sizing (broadcast-map
+    # path only — see route_queries) and the broadcast-queries gate
     n_queries = queries.count()
-    par = queries.sparkSession.sparkContext.defaultParallelism
-    want = max(1, min(par, -(-n_queries // 256)))
-    if want < queries.rdd.getNumPartitions():
-        queries = queries.coalesce(want)
-    routed = route_queries(forest, queries, spill_margin, max_spills)
+    routed = route_queries(
+        forest, queries, spill_margin, max_spills, n_queries=n_queries
+    )
     if backfill:
         # routed feeds BOTH the candidate join and the underfull-leaf
         # scan — materialize once instead of running the whole multi-level
