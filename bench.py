@@ -86,7 +86,10 @@ def main() -> None:
         # measure memory pressure, not their own plan (observed: the
         # forest row flipping 9 s ↔ 38 s depending on cleaner timing)
         gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass  # non-py4j session (e.g. connect) — python gc alone
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
