@@ -362,7 +362,12 @@ def simhash(
     fingerprint. The earlier explode → groupBy(id) form paid a
     wordcount-shaped shuffle of the whole corpus token stream — pure
     map-side work now, which is the difference between one pass and a
-    corpus-wide exchange at 100 TB. Returns (id, simhash BIGINT)."""
+    corpus-wide exchange at 100 TB. Returns (id, simhash BIGINT).
+
+    Contract: ONE output row PER INPUT ROW. Callers with duplicate
+    ``id_col`` values get one fingerprint per row, not a merged per-id
+    fingerprint (the pre-r5 explode+groupBy form merged them); dedup on
+    ``id_col`` first if per-id semantics are required."""
     masks = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
     hv = F.transform(
         F.array_distinct(F.split(F.col(text_col), " ")),

@@ -164,10 +164,30 @@ def knn_exact_fast(
     ~10-50× faster than the per-element HOF expression at wide batches;
     NOT oracle-bit-exact (BLAS reassociates sums), so it registers as the
     rows-only twin of `knn_exact_euclidean` and tests assert id-set
-    equality instead (tests/test_ann.py)."""
+    equality instead (tests/test_ann.py).
+
+    The driver collect is GATED by the same byte estimate used for the
+    forest's broadcast-queries decision (search.py): count × (dim × 8 +
+    row overhead) must stay under ``SPARK_GRAFT_BC_QUERIES_MB`` (default
+    256). A corpus-as-queries caller gets a typed error pointing at the
+    distributed paths instead of a silent driver OOM."""
+    import os
+
     import numpy as np
     import pandas as pd
 
+    stats = queries.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("query_vec")).alias("d")
+    ).collect()[0]
+    n_q, dim = int(stats.n), int(stats.d or 0)
+    gate = int(os.environ.get("SPARK_GRAFT_BC_QUERIES_MB", "256")) * 1024 * 1024
+    if n_q * (dim * 8 + 120) >= gate:
+        raise ValueError(
+            f"knn_exact_fast: query set (~{n_q} rows × {dim} dims) exceeds "
+            f"the driver-collect gate (SPARK_GRAFT_BC_QUERIES_MB); this path "
+            f"is for broadcast-sized query batches — use knn_exact (HOF) or "
+            f"the forest/IVF search paths for corpus-sized query sets"
+        )
     q_rows = queries.select("query_id", "query_vec").collect()
     Q = np.array([list(r.query_vec) for r in q_rows], dtype=np.float64)
     qids = np.array([r.query_id for r in q_rows], dtype=np.int64)

@@ -577,9 +577,13 @@ def decode_image_real(payloads: DataFrame) -> DataFrame:
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "JPEG decode requires PIL/cv2; container ships neither — "
-            "swap in a PIL decode when deploying. BMP/PNG need nothing: "
-            "use extract_binary_features / extract_png_features"
+        raise ValueError(
+            "unsupported format: JPEG decode requires PIL/cv2, which this "
+            "deployment does not ship — swap in a PIL decode here when "
+            "deploying. BMP/PNG need nothing: use extract_binary_features "
+            "/ extract_png_features"
         ) from e
-    raise NotImplementedError("wire the PIL decode into _feature_batches")
+    raise ValueError(
+        "unsupported format: PIL is importable but no JPEG feature "
+        "extractor is wired — connect the PIL decode to _feature_batches"
+    )

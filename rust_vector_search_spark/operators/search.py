@@ -27,6 +27,8 @@ Candidate union across trees (O10): the reference's concurrent DashSet
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.window import Window
@@ -166,7 +168,7 @@ def route_queries(
     queries: DataFrame,
     spill_margin: float | str = 0.0,
     max_spills: int = 2,
-    n_queries: int | None = None,
+    n_queries: "int | Callable[[], int] | None" = None,
 ) -> DataFrame:
     """Descend every (query, tree) pair to its leaf. Returns
     (query_id, tree_id, leaf_path). Lazy — no job until consumed.
@@ -214,10 +216,19 @@ def route_queries(
         # wants full parallelism (measured: coalescing 100 queries to 1
         # partition turned the 1.6M-node depth-32 descent from ~111 s
         # into ~506 s).
-        if n_queries is not None:
+        # n_queries may be a lazy thunk (search_rp_forest memoizes the
+        # count so it only runs when a path actually needs it — ADVICE r5)
+        nq = n_queries() if callable(n_queries) else n_queries
+        if nq is not None:
             par = queries.sparkSession.sparkContext.defaultParallelism
-            want = max(1, min(par, -(-n_queries // 256)))
-            if want < queries.rdd.getNumPartitions():
+            want = max(1, min(par, -(-nq // 256)))
+            try:
+                cur_parts = queries.rdd.getNumPartitions()
+            except Exception:
+                # .rdd is unavailable under Spark Connect — skip the
+                # right-sizing rather than fail the whole search
+                cur_parts = None
+            if cur_parts is not None and want < cur_parts:
                 queries = queries.coalesce(want)
         return _route_local(forest, queries, float(spill_margin), max_spills)
     hint = F.broadcast if use_broadcast else (lambda df: df)
@@ -332,11 +343,20 @@ def search_rp_forest(
     so the shuffle is reused, not extra). ``"auto"`` estimates the query
     payload from count × dim (same shape as the node-map gate above) and
     broadcasts only under ``SPARK_GRAFT_BC_QUERIES_MB`` (default 256)."""
-    # one count job, shared by the routing right-sizing (broadcast-map
-    # path only — see route_queries) and the broadcast-queries gate
-    n_queries = queries.count()
+    # ONE lazily-run count job, shared by the routing right-sizing
+    # (broadcast-map path only — see route_queries) and the
+    # broadcast-queries gate. Memoized thunk: when the join-chain routing
+    # path is taken AND broadcast_queries is explicitly passed, neither
+    # consumer fires and the count job never runs (ADVICE r5).
+    _nq: list[int] = []
+
+    def _n_queries() -> int:
+        if not _nq:
+            _nq.append(queries.count())
+        return _nq[0]
+
     routed = route_queries(
-        forest, queries, spill_margin, max_spills, n_queries=n_queries
+        forest, queries, spill_margin, max_spills, n_queries=_n_queries
     )
     if backfill:
         # routed feeds BOTH the candidate join and the underfull-leaf
@@ -420,9 +440,9 @@ def search_rp_forest(
             int(_os.environ.get("SPARK_GRAFT_BC_QUERIES_MB", "256")) * 1024 * 1024
         )
         per_query = (forest.dim or 64) * 8 + 120
-        # ~bytes = count × (dim doubles + row overhead); count computed
-        # once above for the routing coalesce
-        broadcast_queries = n_queries * per_query < q_gate
+        # ~bytes = count × (dim doubles + row overhead); memoized — free
+        # if the routing coalesce already counted
+        broadcast_queries = _n_queries() * per_query < q_gate
     q_hint = F.broadcast if broadcast_queries else (lambda df: df)
 
     vecs = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))

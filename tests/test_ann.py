@@ -143,6 +143,20 @@ def test_fast_knn_matches_hof_path(emb, queries):
     assert a == b
 
 
+def test_fast_knn_refuses_corpus_sized_query_collect(emb, monkeypatch):
+    """The BLAS path collects queries to the driver; a corpus-as-queries
+    caller must get a typed refusal, not a silent driver OOM (VERDICT r5
+    item 4). Gate forced to 0 MB so even the fixture query set trips it."""
+    from rust_vector_search_spark.operators.knn import knn_exact_fast
+
+    monkeypatch.setenv("SPARK_GRAFT_BC_QUERIES_MB", "0")
+    corpus_queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(ValueError, match="driver-collect gate"):
+        knn_exact_fast(emb, corpus_queries, k=K)
+
+
 def test_label_cluster_stats_consistent_with_centroids(spark):
     """The pandas-UDAF centroid must agree with the oracle-checked
     HOF/decimal centroid query (within float tolerance)."""

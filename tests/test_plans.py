@@ -28,6 +28,18 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def test_no_notimplementederror_stubs_in_package():
+    """Every error surface is intentional: unsupported inputs raise typed
+    ValueErrors, never NotImplementedError stubs (VERDICT r5 item 7)."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).parent.parent / "rust_vector_search_spark"
+    hits = [
+        str(p) for p in pkg.rglob("*.py") if "NotImplementedError" in p.read_text()
+    ]
+    assert not hits, f"NotImplementedError stubs remain in: {hits}"
+
+
 def test_q6_filter_pushdown(spark):
     plan = plan_of(QUERIES["q6_forecast_revenue"](spark, SF_SMOKE))
     assert "PushedFilters" in plan
