@@ -100,6 +100,86 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def _positional_shingles(text: Column, n: int) -> Column:
+    """ALL word n-gram shingles of a text in token order (index i holds
+    tokens [i, i+n)), duplicates preserved — the positional sibling of
+    ``word_shingles`` (same zip_with-over-shifted-slices form, same
+    per-element re-evaluation rationale), for substring-level dedup
+    where the window POSITION is the payload."""
+    words = F.split(text, " ")
+    if n == 1:
+        return words
+    m = F.size(words) - F.lit(n - 1)
+    acc = F.slice(words, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(words, j + 1, m),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    return F.when(F.size(words) >= n, acc).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    n_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring/chunk-level EXACT dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — the n-token-overlap
+    operator every LLM-data pipeline runs; the doc-level twins are
+    ``exact_dedup``/MinHash above). A token window of length ``n_tokens``
+    is DUPLICATED when the identical token sequence occurs in at least
+    one OTHER document; runs of overlapping duplicated windows merge
+    into maximal spans. Returns one row per maximal span:
+    (doc_id, span_start, span_end, n_windows) with 0-based INCLUSIVE
+    token indices — the ranges a pipeline cuts or masks before training.
+
+    Scale shape — exactly two slim shuffles, no pair enumeration:
+      1. windows hash to md5 keys; "appears in another doc" is
+         ``min(doc_id) != max(doc_id)`` over a WINDOW partitioned by the
+         key — replacing the usual countDistinct + join-back with one
+         exchange of (doc_id, pos, hash) rows. A boilerplate shingle
+         shared by a million documents is one skewed agg key (AQE skew
+         handling), never 10^12 emitted pairs.
+      2. the island merge (pos − row_number) is one window on doc_id.
+    The token payload itself never crosses an exchange. Keying on the
+    128-bit md5 (not the raw string) is the standard Lee-et-al trade —
+    collisions are ~2^-64 improbable, and the DuckDB oracle replays the
+    identical hash so the parity check is exact either way."""
+    sh = docs.select(
+        F.col(id_col),
+        F.posexplode(_positional_shingles(F.col(text_col), n_tokens)).alias(
+            "pos", "_s"
+        ),
+    ).select(F.col(id_col), F.col("pos"), F.md5("_s").alias("_h"))
+    w_h = Window.partitionBy("_h")
+    dup = (
+        sh.select(
+            F.col(id_col),
+            "pos",
+            F.min(id_col).over(w_h).alias("_mn"),
+            F.max(id_col).over(w_h).alias("_mx"),
+        )
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select(F.col(id_col), "pos")
+    )
+    w_d = Window.partitionBy(id_col).orderBy("pos")
+    isl = dup.withColumn("_grp", F.col("pos") - F.row_number().over(w_d))
+    return (
+        isl.groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(n_tokens - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select(F.col(id_col), "span_start", "span_end", "n_windows")
+    )
+
+
 MINHASH_PRIME = 2147483647  # 2^31 - 1: products a·v stay < 2^62 (64-bit safe)
 
 

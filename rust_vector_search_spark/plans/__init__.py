@@ -52,6 +52,9 @@ _DEMOTED_STABLE = [
     # and radius_search stay in-window (r3 demotion making room for
     # multimodal_video_frame_sample)
     "near_dup_cosine_pairs",
+    # theta-join family: near_dup_cosine_bucketed stays in-window; r6
+    # demotion making room for dedup_substring_spans (VERDICT r5 item 2)
+    "radius_search",
     # text family: token/quality/lang/bm25/pii all stay in-window (r3
     # demotion making room for doc_repetition_score)
     "doc_fingerprint_bottom4",

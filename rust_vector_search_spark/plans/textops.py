@@ -867,3 +867,44 @@ def doc_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
+
+
+# --- substring/chunk-level exact dedup (Lee et al.) ---------------------------
+
+_SUBSTR_N = 8
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(w[i+1:i+{_SUBSTR_N}], ' ')) AS h
+  FROM toks CROSS JOIN UNNEST(range(0, greatest(len(w) - {_SUBSTR_N} + 1, 0))) AS u(i)
+),
+marked AS (
+  SELECT doc_id, pos,
+         min(doc_id) OVER (PARTITION BY h) AS mn,
+         max(doc_id) OVER (PARTITION BY h) AS mx
+  FROM sh),
+dup AS (SELECT doc_id, pos FROM marked WHERE mn <> mx),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_SUBSTR_N} - 1 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, grp
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granularity exact dedup (Lee et al. n-token overlap —
+    VERDICT r5 item 2): every {_SUBSTR_N}-token window that recurs
+    verbatim in ANOTHER document, merged into maximal (doc_id,
+    span_start, span_end) token ranges — the spans a training pipeline
+    cuts before ingestion. Two slim shuffles, no pair enumeration (see
+    operators.dedup.substring_dup_spans)."""
+    from ..operators.dedup import substring_dup_spans
+
+    return substring_dup_spans(_docs(spark, sf_dir), n_tokens=_SUBSTR_N)

@@ -186,3 +186,35 @@ def test_simhash_pigeonhole_guarantee_hamming_4_to_8(spark):
         want = {p for p in expected if p[2] <= max_h}
         missing = want - got
         assert not missing, f"max_hamming={max_h}: missed {missing}"
+
+
+def test_substring_spans_find_planted_passages(spark):
+    """Substring-level exact dedup (Lee et al.): a 12-token passage
+    planted verbatim in two otherwise-unique documents must come back as
+    one maximal span per document covering exactly the passage; documents
+    without shared n-token windows must produce no spans."""
+    from rust_vector_search_spark.operators.dedup import substring_dup_spans
+
+    passage = " ".join(f"p{i}" for i in range(12))  # 12 shared tokens
+    filler_a = " ".join(f"a{i}" for i in range(10))
+    filler_b = " ".join(f"b{i}" for i in range(7))
+    filler_c = " ".join(f"c{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{filler_a} {passage}"),          # passage at tokens 10..21
+            (2, f"{passage} {filler_b}"),          # passage at tokens 0..11
+            (3, filler_c),                          # no shared content
+            (4, "short doc only"),                  # below window size
+        ],
+        "doc_id long, text string",
+    )
+    n = 8
+    spans = {
+        r.doc_id: (r.span_start, r.span_end, r.n_windows)
+        for r in substring_dup_spans(docs, n_tokens=n).collect()
+    }
+    # 12-token passage ⇒ 12 - n + 1 = 5 duplicated windows per doc
+    assert spans == {
+        1: (10, 21, 12 - n + 1),
+        2: (0, 11, 12 - n + 1),
+    }

@@ -42,6 +42,8 @@ MUST_BE_IN_WINDOW = [
     # items 7/8 — round 4 proved local-only evidence silently goes stale)
     "ann_rp_forest_topk",
     "ann_rp_forest_recall",
+    # r6-new: substring-level exact dedup (VERDICT r5 item 2)
+    "dedup_substring_spans",
 ]
 
 
