@@ -47,6 +47,10 @@ HEADLINE = [
     "multimodal_audio_features",
     # r5 addition: compressed-image (zlib PNG) modality
     "multimodal_png_features",
+    # r6 additions: substring-level exact dedup (Lee et al.) and the
+    # sub-linear IVF-restricted int8 prefilter
+    "dedup_substring_spans",
+    "ann_ivf_int8_topk",
 ]
 
 

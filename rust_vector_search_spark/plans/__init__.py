@@ -55,6 +55,10 @@ _DEMOTED_STABLE = [
     # theta-join family: near_dup_cosine_bucketed stays in-window; r6
     # demotion making room for dedup_substring_spans (VERDICT r5 item 2)
     "radius_search",
+    # percentile/histogram family: events_value_percentiles stays
+    # in-window; r6 demotion making room for ann_ivf_int8_topk
+    # (VERDICT r5 item 3)
+    "events_value_histogram",
     # text family: token/quality/lang/bm25/pii all stay in-window (r3
     # demotion making room for doc_repetition_score)
     "doc_fingerprint_bottom4",

@@ -174,6 +174,28 @@ def test_corpus_as_queries_rerank_not_broadcast(spark):
     assert "BroadcastHashJoin" in hinted  # the bounded-batch fast path survives
 
 
+def test_ivf_int8_scan_is_cell_equijoin(spark):
+    """VERDICT r5 item 3: the int8 prefilter must reach the code table
+    through a cell EQUI-join, never a crossJoin/nested-loop over all
+    codes. The only nested-loop joins allowed in the whole plan are the
+    two tiny centroid-assignment broadcasts (|C| ~ sqrt(N) rows); the
+    code-scoring side must hash-join on cell."""
+    import re
+
+    from rust_vector_search_spark.plans import QUERIES
+
+    plan = plan_of(QUERIES["ann_ivf_int8_topk"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # formatted explain prints each node twice (tree + detail) — count
+    # the "(n) NodeName" detail headers, one per physical node
+    nlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    # centroid assignment: corpus x cents + queries x cents, nothing else
+    assert len(nlj) <= 2, plan[:3000]
+    # the probe list joins the code table on the cell key (equi-join)
+    assert re.search(r"^\(\d+\) \w*HashJoin", plan, re.M), plan[:3000]
+    assert "cell" in plan, plan[:3000]
+
+
 def test_backfill_has_no_nested_loop_join(spark):
     """VERDICT r1 #3: the sibling-subtree backfill must plan as an
     equi-join (ancestor-prefix keys), never BroadcastNestedLoopJoin —

@@ -44,6 +44,8 @@ MUST_BE_IN_WINDOW = [
     "ann_rp_forest_recall",
     # r6-new: substring-level exact dedup (VERDICT r5 item 2)
     "dedup_substring_spans",
+    # r6-new: sub-linear IVF-restricted int8 prefilter (VERDICT r5 item 3)
+    "ann_ivf_int8_topk",
 ]
 
 
