@@ -169,9 +169,19 @@ def route_queries(
     spill_margin: float | str = 0.0,
     max_spills: int = 2,
     n_queries: "int | Callable[[], int] | None" = None,
+    route_strategy: str = "auto",
 ) -> DataFrame:
     """Descend every (query, tree) pair to its leaf. Returns
     (query_id, tree_id, leaf_path). Lazy — no job until consumed.
+
+    ``route_strategy``: ``"auto"`` (default) picks the broadcast-map
+    numpy descent under the node-size gate, else the per-level
+    join-chain; ``"broadcast"`` forces the map path; ``"join"`` forces
+    the join-chain. The two are semantically identical, but the map
+    path computes n·x with numpy (BLAS reassociates the sum) while the
+    join-chain uses the Catalyst sequential fold — the ONLY bit-exact
+    twin of the DuckDB oracle's ``list_reduce`` — so oracle-replayed
+    searches (the committed-fixture query) must pass ``"join"``.
 
     Multi-probe (``spill_margin`` > 0): when the query lies within
     ``spill_margin`` geometric distance of a split plane (|n·x + c|/‖n‖),
@@ -201,7 +211,11 @@ def route_queries(
 
     gate = int(_os.environ.get("SPARK_GRAFT_BC_NODES_MB", "256")) * 1024 * 1024
     use_broadcast = forest.node_count == 0 or est_bytes < gate
-    if use_broadcast and forest.node_count > 0:
+    use_local = (
+        route_strategy == "broadcast"
+        or (route_strategy == "auto" and use_broadcast)
+    ) and forest.node_count > 0
+    if use_local:
         # FAST PATH: ship the whole node map once (sc.broadcast) and
         # descend every (query, tree) in ONE narrow mapInPandas pass —
         # no per-level joins, no shuffles; executors hold the map once.
@@ -249,6 +263,15 @@ def route_queries(
         stepped = active.join(
             hint(level_nodes), ["tree_id", "node_path"], "left"
         )
+        if route_strategy == "join":
+            # explicit deterministic mode (oracle replay): materialize
+            # each level so the final union is narrow reads of
+            # checkpointed blocks instead of an O(depth²) join-chain
+            # plan — a depth-10 index otherwise OOMs task serialization
+            # on a default-memory driver. The "auto" deep-index path
+            # keeps the single lazy chain (one job, measured faster at
+            # probe scale where per-level blocks would pin executor RAM).
+            stepped = stepped.localCheckpoint(eager=True)
         # no matching inner node at this depth ⇒ current path is a leaf
         routed_parts.append(
             stepped.filter(F.col("constant").isNull()).select(
@@ -329,6 +352,7 @@ def search_rp_forest(
     spill_margin: float | str = "auto",
     max_spills: int = 2,
     broadcast_queries: bool | str = "auto",
+    route_strategy: str = "auto",
 ) -> DataFrame:
     """Approximate top-k (O9+O10+O12). ``queries`` has (query_id,
     query_vec); returns (query_id, vec_id, dist, rnk).
@@ -356,7 +380,8 @@ def search_rp_forest(
         return _nq[0]
 
     routed = route_queries(
-        forest, queries, spill_margin, max_spills, n_queries=_n_queries
+        forest, queries, spill_margin, max_spills, n_queries=_n_queries,
+        route_strategy=route_strategy,
     )
     if backfill:
         # routed feeds BOTH the candidate join and the underfull-leaf

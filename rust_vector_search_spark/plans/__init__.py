@@ -59,6 +59,10 @@ _DEMOTED_STABLE = [
     # in-window; r6 demotion making room for ann_ivf_int8_topk
     # (VERDICT r5 item 3)
     "events_value_histogram",
+    # equi+broadcast-join family: q1/q3/q5/q6 stay in-window; r6
+    # demotion making room for ann_rp_forest_search_from_fixture
+    # (VERDICT r5 item 1 — the top ask)
+    "q10_returned_item_customers",
     # text family: token/quality/lang/bm25/pii all stay in-window (r3
     # demotion making room for doc_repetition_score)
     "doc_fingerprint_bottom4",

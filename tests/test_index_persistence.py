@@ -53,3 +53,41 @@ def test_partitioned_by_tree(spark, tmp_path):
     # partition pruning: tree_id dirs exist on disk
     dirs = {d for d in os.listdir(f"{path}/leaves") if d.startswith("tree_id=")}
     assert dirs == {"tree_id=0", "tree_id=1", "tree_id=2"}
+
+
+def test_fixture_search_join_and_broadcast_routes_agree(spark):
+    """The two descent implementations — Catalyst join-chain (the
+    oracle-replayable route) and numpy broadcast-map (the fast path) —
+    must route identically over the committed index fixture: same
+    neighbor ids and ranks for every query. Pins the r6 fixture query's
+    'join' strategy as semantically identical to the production path."""
+    import pyspark.sql.functions as F
+
+    from rust_vector_search_spark.operators.index import load_index
+    from rust_vector_search_spark.operators.search import search_rp_forest
+    from rust_vector_search_spark.sources import load_table
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "index_fixture",
+    )
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    forest = load_index(spark, fixture, num_trees=50, max_node_size=5, seed=42)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    kw = dict(k=10, spill_margin=0.0375, max_spills=2)
+    a = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in search_rp_forest(
+            forest, emb, q, route_strategy="join", **kw
+        ).collect()
+    }
+    b = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in search_rp_forest(
+            forest, emb, q, route_strategy="broadcast", **kw
+        ).collect()
+    }
+    assert a == b

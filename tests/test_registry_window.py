@@ -46,6 +46,9 @@ MUST_BE_IN_WINDOW = [
     "dedup_substring_spans",
     # r6-new: sub-linear IVF-restricted int8 prefilter (VERDICT r5 item 3)
     "ann_ivf_int8_topk",
+    # r6-new: the forest SEARCH path hash-checked over the committed
+    # index fixture (VERDICT r5 item 1 — the top ask)
+    "ann_rp_forest_search_from_fixture",
 ]
 
 
