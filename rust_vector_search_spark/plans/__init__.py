@@ -85,17 +85,21 @@ _DEMOTED_STABLE = [
 # Rows-only queries that EARN a driver slot despite having no oracle:
 # the RP forest is the reference's core data structure (O7-O10) and its
 # only correctness evidence before r5 was local tests — which round 4
-# proved can silently go stale when fixtures regenerate. Executing under
-# the driver's session every round is the point; the recall query also
-# makes the quality claim (mean recall vs exact kNN) externally visible.
+# proved can silently go stale when fixtures regenerate. The recall row
+# builds AND searches the reference-geometry forest under the driver's
+# session every round and publishes the quality number; the incremental
+# parity row (r6) does the same for the streaming ingest path. r6 swap:
+# ann_rp_forest_topk left the window — its build+search coverage is a
+# strict subset of ann_rp_forest_recall, and the SEARCH path is now
+# hash-exact via ann_rp_forest_search_from_fixture.
 _WINDOW_ROWS_ONLY = [
-    "ann_rp_forest_topk",
     "ann_rp_forest_recall",
+    "streaming_incremental_index_parity",
 ]
 
 _ROWS_ONLY_PRIORITY = [
     "all_pairs_approx_top3",  # the reference's flagship workload
-    "ann_rp_forest_topk",
+    "ann_rp_forest_topk",  # past the cap since r6 (bench + local-gate covered)
     "ann_rp_forest_recall",
     "ann_index_stats",
     "ann_mllib_brp_topk",

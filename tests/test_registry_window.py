@@ -39,9 +39,12 @@ MUST_BE_IN_WINDOW = [
     # r5-new: compressed-image codec query (VERDICT r4 item 3)
     "multimodal_png_features",
     # r5: forest family executes under the driver each round (VERDICT r4
-    # items 7/8 — round 4 proved local-only evidence silently goes stale)
-    "ann_rp_forest_topk",
+    # items 7/8 — round 4 proved local-only evidence silently goes stale).
+    # r6: ann_rp_forest_topk swapped out for the fixture-search +
+    # incremental-parity rows (recall row still builds+searches in-window)
     "ann_rp_forest_recall",
+    # r6-new: streaming incremental-index ingest quality, driver-visible
+    "streaming_incremental_index_parity",
     # r6-new: substring-level exact dedup (VERDICT r5 item 2)
     "dedup_substring_spans",
     # r6-new: sub-linear IVF-restricted int8 prefilter (VERDICT r5 item 3)

@@ -131,3 +131,18 @@ def test_stateful_user_counters(spark, tmp_path):
     ).collect()
     got = {r.user_id: r.total for r in rows}
     assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_incremental_index_parity_query(spark):
+    """The driver-visible incremental-maintenance row: recall of the
+    incrementally-augmented index must be in the same quality band as a
+    full rebuild on the union (the frozen-hyperplane append degrades
+    leaf quality slowly, not catastrophically)."""
+    from rust_vector_search_spark.plans import QUERIES
+
+    row = QUERIES["streaming_incremental_index_parity"](
+        spark, SF_SMOKE
+    ).collect()[0]
+    assert row.n_queries == 10
+    assert row.recall_full_rebuild >= 0.9
+    assert row.recall_incremental >= row.recall_full_rebuild - 0.1
