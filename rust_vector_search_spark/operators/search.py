@@ -36,7 +36,12 @@ from pyspark.sql.window import Window
 from ..functions.vector import point_is_above, sq_euc_dist
 from .index import RPForest
 
-__all__ = ["search_rp_forest", "route_queries", "resolve_spill_margin"]
+__all__ = [
+    "search_rp_forest",
+    "search_rp_forest_self",
+    "route_queries",
+    "resolve_spill_margin",
+]
 
 
 def resolve_spill_margin(queries: DataFrame, frac: float = 0.3) -> float:
@@ -353,6 +358,7 @@ def search_rp_forest(
     max_spills: int = 2,
     broadcast_queries: bool | str = "auto",
     route_strategy: str = "auto",
+    rerank: str = "hof",
 ) -> DataFrame:
     """Approximate top-k (O9+O10+O12). ``queries`` has (query_id,
     query_vec); returns (query_id, vec_id, dist, rnk).
@@ -383,6 +389,41 @@ def search_rp_forest(
         forest, queries, spill_margin, max_spills, n_queries=_n_queries,
         route_strategy=route_strategy,
     )
+    return _finish_search(
+        forest, corpus, queries, routed, k, backfill, id_col, vec_col,
+        exclude_self, broadcast_queries, _n_queries, rerank,
+    )
+
+
+def _finish_search(
+    forest: RPForest,
+    corpus: DataFrame,
+    queries: DataFrame,
+    routed: DataFrame,
+    k: int,
+    backfill: bool,
+    id_col: str,
+    vec_col: str,
+    exclude_self: bool,
+    broadcast_queries: bool | str,
+    n_queries: "Callable[[], int]",
+    rerank: str = "hof",
+) -> DataFrame:
+    """Candidates + re-rank, shared by every routing strategy: leaf
+    membership join, sibling-prefix backfill for underfull leaves,
+    DashSet-style distinct (O10), exact re-rank + top-k window (O11/O12).
+    ``routed`` is (query_id, tree_id, leaf_path).
+
+    ``rerank="hof"`` (default): per-pair Catalyst fold — bit-exact twin
+    of the DuckDB oracle, the only choice for oracle-replayed queries.
+    ``rerank="blas"``: when corpus + queries fit the broadcast gate
+    (SPARK_GRAFT_BC_QUERIES_MB), ship ONLY the slim (query_id, vec_id)
+    pairs through Arrow and gather both vectors from broadcast numpy
+    matrices — one vectorized distance block plus per-batch top-k
+    pruning, so the global window sees ≤ k·partitions rows per query
+    instead of every candidate. ~The knn_exact_fast trade (distances
+    BLAS-reassociated ⇒ rows-only, never under an oracle); falls back
+    to "hof" over the gate."""
     if backfill:
         # routed feeds BOTH the candidate join and the underfull-leaf
         # scan — materialize once instead of running the whole multi-level
@@ -458,6 +499,20 @@ def search_rp_forest(
 
     cand = cand.distinct()  # O10: DashSet union ⇒ shuffle distinct
 
+    if rerank == "blas":
+        import os as _os
+
+        gate = (
+            int(_os.environ.get("SPARK_GRAFT_BC_QUERIES_MB", "256")) * 1024 * 1024
+        )
+        per_vec = (forest.dim or 64) * 8 + 120
+        n_corpus = corpus.count()
+        if (n_corpus + n_queries()) * per_vec < gate:
+            return _blas_rerank(
+                corpus, queries, cand, k, id_col, vec_col, exclude_self
+            )
+        # over the gate: fall through to the scale-true HOF join path
+
     if broadcast_queries == "auto":
         import os as _os
 
@@ -467,7 +522,7 @@ def search_rp_forest(
         per_query = (forest.dim or 64) * 8 + 120
         # ~bytes = count × (dim doubles + row overhead); memoized — free
         # if the routing coalesce already counted
-        broadcast_queries = _n_queries() * per_query < q_gate
+        broadcast_queries = n_queries() * per_query < q_gate
     q_hint = F.broadcast if broadcast_queries else (lambda df: df)
 
     vecs = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
@@ -484,4 +539,252 @@ def search_rp_forest(
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
+    )
+
+
+def _blas_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cand: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Gate-checked vectorized re-rank: both vector sets broadcast as
+    numpy matrices; the Arrow exchange carries ONLY 16-byte id pairs.
+    Each batch computes its distance block with one vectorized op and
+    emits only its per-batch top-k per query (so the final global
+    window sees ≤ k·num_batches rows per query). Deterministic ties
+    (dist, vec_id) at both levels."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    cpdf = corpus.select(id_col, vec_col).toPandas()
+    X = np.array([np.asarray(v, dtype=np.float64) for v in cpdf[vec_col]])
+    xpos = pd.Series(
+        np.arange(len(cpdf)), index=cpdf[id_col].to_numpy(np.int64)
+    )
+    qpdf = queries.select("query_id", "query_vec").toPandas()
+    Q = np.array([np.asarray(v, dtype=np.float64) for v in qpdf["query_vec"]])
+    qpos = pd.Series(
+        np.arange(len(qpdf)), index=qpdf["query_id"].to_numpy(np.int64)
+    )
+    bc = spark.sparkContext.broadcast((X, xpos, Q, qpos))
+
+    def _score(batches):
+        Xb, xp, Qb, qp = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qi = pdf["query_id"].map(qp).to_numpy(np.int64)
+            xi = pdf["vec_id"].map(xp).to_numpy(np.int64)
+            diff = Qb[qi] - Xb[xi]
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(np.int64),
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "dist": (diff * diff).sum(axis=1),
+                }
+            )
+            if exclude_self:
+                out = out[out["vec_id"] != out["query_id"]]
+            out = out.sort_values(["query_id", "dist", "vec_id"], kind="mergesort")
+            out["_r"] = out.groupby("query_id").cumcount()
+            yield out.loc[out["_r"] < k, ["query_id", "vec_id", "dist"]]
+
+    partial = cand.select(
+        F.col("query_id").cast("long"), F.col("vec_id").cast("long")
+    ).mapInPandas(_score, "query_id long, vec_id long, dist double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        partial.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def search_rp_forest_self(
+    forest: RPForest,
+    corpus: DataFrame,
+    k: int = 3,
+    backfill: bool = True,
+    spill_margin: float | str = "auto",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: str = "hof",
+) -> DataFrame:
+    """Corpus-as-queries self-search — the 100 TB dedup shape
+    (``src/main.rs:100-123``), ZERO Python in the plan.
+
+    Key identity: the BUILD already descended every corpus vector
+    through every tree with the same side predicate search would use —
+    a corpus vector's main-path routing IS its row in the leaves table.
+    So instead of re-descending the whole corpus (the generic
+    ``search_rp_forest`` ships every vector through an Arrow
+    mapInPandas frontier descent — Python CPU proportional to
+    |corpus| × trees × depth), this path:
+
+      1. takes main-path routed leaves DIRECTLY from ``forest.leaves``;
+      2. recovers multi-probe spill seeds by exploding each leaf's
+         root-to-leaf prefix chain and testing |n·x + c|/‖n‖ < margin
+         per (vector, ancestor node) — a slim equi-join against the
+         node table plus one Catalyst HOF dot per pair (the SAME
+         arithmetic volume the full descent pays, but inside
+         whole-stage codegen instead of Python);
+      3. descends ONLY the spilled sibling branches — a single linear
+         join chain carrying a ``done`` flag (no per-level union
+         branches, so the plan stays O(depth), not O(depth²));
+      4. reuses the shared backfill + re-rank tail (`_finish_search`)
+         with the corpus-sized query set shuffle-hash-joined, never
+         broadcast.
+
+    Semantics ≡ ``search_rp_forest(..., max_spills=1)``: every
+    main-path node within the margin spawns one spill branch, and a
+    spill branch cannot re-spill. Vectors dropped by the build's exact
+    dedup are re-attached by mapping every corpus vector to its
+    representative (min-id per identical embedding) — skipped with a
+    cheap count check when the corpus has no duplicate vectors.
+
+    When to use which (measured): under the broadcast-map gate (node
+    table fits one executor) the generic path's batched numpy descent
+    is FASTER than this path's per-pair Catalyst folds — prefer
+    ``search_rp_forest(..., rerank="blas")`` there. This path targets
+    the beyond-gate regime (billions of vectors, node table too big to
+    broadcast), where the generic path degrades to a join-chain that
+    re-descends the whole corpus: leaves-reuse skips exactly that
+    re-descent, and everything stays in codegen.
+    """
+    spark = corpus.sparkSession
+    queries = corpus.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    if spill_margin == "auto":
+        spill_margin = resolve_spill_margin(queries)
+    margin = float(spill_margin)
+
+    # representative mapping (the build's dedup survivor: min id per
+    # identical embedding) — identity for dup-free corpora
+    reps = corpus.groupBy(vec_col).agg(F.min(id_col).alias("rep_id"))
+    n_corpus = corpus.count()
+    n_reps = reps.count()
+    has_dups = n_reps != n_corpus
+
+    # 1. main-path routing = the leaves table itself
+    rep_routed = forest.leaves.select(
+        "tree_id", "leaf_path", F.col("vec_id").alias("rep_id")
+    )
+
+    import os as _os
+
+    per_node = (forest.dim or 64) * 8 + 120
+    gate = int(_os.environ.get("SPARK_GRAFT_BC_NODES_MB", "256")) * 1024 * 1024
+    hint = (
+        F.broadcast
+        if forest.node_count * per_node < gate
+        else (lambda df: df)
+    )
+    nodes = forest.nodes
+
+    routed_parts = [rep_routed]
+    if margin > 0.0:
+        rep_emb = corpus.join(
+            reps.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
+        ).select(F.col(id_col).alias("rep_id"), F.col(vec_col).alias("emb"))
+
+        # 2. spill seeds: each (vector, ancestor-node) pair where the
+        # vector sits within the margin of the split plane. The ancestor
+        # chain comes from the vector's OWN leaf path (struct of prefix +
+        # the bit the main path took), so no descent is needed to find it.
+        anc = forest.leaves.filter(F.length("leaf_path") > 0).select(
+            "tree_id",
+            F.col("vec_id").alias("rep_id"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, length(leaf_path) - 1), i -> "
+                    "named_struct('p', substring(leaf_path, 1, i), "
+                    "'b', substring(leaf_path, i + 1, 1)))"
+                )
+            ).alias("a"),
+        ).select(
+            "tree_id",
+            "rep_id",
+            F.col("a.p").alias("node_path"),
+            F.col("a.b").alias("taken"),
+        )
+        from ..functions.vector import dot as _dot
+
+        seeds = (
+            anc.join(hint(nodes), ["tree_id", "node_path"])
+            .join(rep_emb, "rep_id")
+            .withColumn(
+                "_pd",
+                F.abs((_dot("coeffs", "emb") + F.col("constant")) / F.col("coeff_norm")),
+            )
+            .filter(F.col("_pd") < margin)
+            .select(
+                "tree_id",
+                F.concat(
+                    F.col("node_path"),
+                    F.when(F.col("taken") == "1", F.lit("0")).otherwise(F.lit("1")),
+                ).alias("node_path"),
+                "rep_id",
+                "emb",
+            )
+        )
+
+        # 3. descend the spilled branches only: one LINEAR chain with a
+        # done flag (a row that reaches a leaf passes through later
+        # levels unchanged via the left-join miss), so the physical plan
+        # is O(depth) joins with no union fan-out.
+        active = seeds.withColumn("done", F.lit(False))
+        for _ in range(forest.max_depth + 1):
+            stepped = active.join(hint(nodes), ["tree_id", "node_path"], "left")
+            at_leaf = F.col("done") | F.col("constant").isNull()
+            active = stepped.select(
+                "tree_id",
+                F.when(at_leaf, F.col("node_path"))
+                .otherwise(
+                    F.concat(
+                        F.col("node_path"),
+                        F.when(
+                            point_is_above(
+                                F.col("coeffs"), F.col("constant"), F.col("emb")
+                            ),
+                            F.lit("1"),
+                        ).otherwise(F.lit("0")),
+                    )
+                )
+                .alias("node_path"),
+                "rep_id",
+                "emb",
+                at_leaf.alias("done"),
+            )
+        routed_parts.append(
+            active.select(
+                "tree_id", F.col("node_path").alias("leaf_path"), "rep_id"
+            )
+        )
+
+    rep_all = routed_parts[0]
+    for df in routed_parts[1:]:
+        rep_all = rep_all.unionByName(df)
+
+    if has_dups:
+        mapping = corpus.join(reps, vec_col).select(
+            F.col(id_col).alias("query_id"), "rep_id"
+        )
+        routed = mapping.join(rep_all, "rep_id").select(
+            "query_id", "tree_id", "leaf_path"
+        )
+    else:
+        routed = rep_all.select(
+            F.col("rep_id").alias("query_id"), "tree_id", "leaf_path"
+        )
+
+    return _finish_search(
+        forest, corpus, queries, routed, k, backfill, id_col, vec_col,
+        True, False, lambda: n_corpus, rerank,
     )

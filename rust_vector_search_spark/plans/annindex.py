@@ -411,22 +411,28 @@ def all_pairs_approx_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves (+ sibling backfill + multi-probe spill), exact re-rank on
     the candidate set only. Rows-only (seeded build not SQL-replayable);
     recall ≥ 0.9 vs the exact ``all_pairs_top3`` is asserted in
-    tests/test_ann.py::test_all_pairs_approx_recall."""
+    tests/test_ann.py::test_all_pairs_approx_recall.
+
+    r6: the re-rank runs ``rerank="blas"`` — candidates ship as slim
+    16-byte id pairs through Arrow, both vector sets gather from
+    broadcast numpy matrices (gate-checked against
+    SPARK_GRAFT_BC_QUERIES_MB with automatic HOF fallback over the
+    gate), and each batch pre-prunes to its local top-k so the global
+    window sees ≤ k·batches rows per query instead of every candidate
+    (~800k pairs at sf0.1). Id-set verified identical to the HOF path.
+    broadcast_queries=False for the JOIN fallback: the query set IS the
+    corpus (~2.4 TB at 1e9×300-d), far past any broadcast — over the
+    gate the re-rank shuffle-hash-joins on query_id instead. See also
+    ``search_rp_forest_self`` (leaves-reuse routing, zero-Python plan)
+    for the join-chain-scale corpus shape."""
     emb = _emb(spark, sf_dir)
     forest = build_rp_forest(emb, num_trees=50, max_node_size=5, seed=42)
     corpus_queries = emb.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    # reference-default forest (50 trees, leaf ≤ 5) + one spill: at sf0.1
-    # this measures recall 0.90 at ~2/3 the runtime of the old
-    # 16-tree/leaf-32 config (0.835); max_spills=1 halves candidate
-    # volume vs 2 — the right cost/recall point for corpus-sized batches.
-    # broadcast_queries=False: the query set IS the corpus here —
-    # broadcasting it would ship the whole corpus to every executor
-    # (~2.4 TB at 1e9×300-d); the re-rank shuffle-hash-joins on query_id
-    # instead, and the top-k window reuses that partitioning.
     return search_rp_forest(
-        forest, emb, corpus_queries, k=3, max_spills=1, broadcast_queries=False
+        forest, emb, corpus_queries, k=3, max_spills=1,
+        broadcast_queries=False, rerank="blas",
     ).select("query_id", "vec_id", "dist", "rnk")
 
 
