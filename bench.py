@@ -47,10 +47,12 @@ HEADLINE = [
     "multimodal_audio_features",
     # r5 addition: compressed-image (zlib PNG) modality
     "multimodal_png_features",
-    # r6 additions: substring-level exact dedup (Lee et al.) and the
-    # sub-linear IVF-restricted int8 prefilter
+    # r6 additions: substring-level exact dedup (Lee et al.), the
+    # sub-linear IVF-restricted int8 prefilter, and the baseline-JPEG
+    # lossy-image modality
     "dedup_substring_spans",
     "ann_ivf_int8_topk",
+    "multimodal_jpeg_features",
 ]
 
 

@@ -63,6 +63,10 @@ _DEMOTED_STABLE = [
     # demotion making room for ann_rp_forest_search_from_fixture
     # (VERDICT r5 item 1 — the top ask)
     "q10_returned_item_customers",
+    # image-codec family: PNG (compressed) + JPEG (lossy DCT) stay
+    # in-window; the uncompressed-BMP sibling is the simplest of the
+    # three — r6 demotion making room for multimodal_jpeg_features
+    "multimodal_binary_features",
     # text family: token/quality/lang/bm25/pii all stay in-window (r3
     # demotion making room for doc_repetition_score)
     "doc_fingerprint_bottom4",

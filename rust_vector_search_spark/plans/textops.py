@@ -869,6 +869,51 @@ def doc_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_jpeg_features",
+    oracle="""
+WITH sums AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_text,
+         CAST(list_reduce(
+           list_transform(range(1, length(text) + 1),
+                          i -> ascii(substr(text, CAST(i AS INTEGER), 1))),
+           (x, y) -> x + y) AS BIGINT) AS byte_sum
+  FROM documents),
+j AS (
+  SELECT doc_id, byte_sum,
+         greatest(CAST(1 AS BIGINT), (n_text + 7) // 8) AS block_rows
+  FROM sums)
+SELECT doc_id,
+       CAST(64 AS BIGINT) AS width,
+       block_rows * 8 AS height,
+       block_rows * 512 AS n_pixels,
+       byte_sum * 64 AS pixel_sum,
+       CAST(byte_sum * 64 AS DOUBLE) / (block_rows * 512) AS mean_pixel
+FROM j
+""",
+)
+def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSY-format modality end-to-end with a real baseline-DCT codec
+    (operators/jpegcodec.py — canonical Huffman entropy coding, zigzag,
+    byte stuffing, quantize/IDCT; retires the r5 PIL stub): documents →
+    binary payload → one flat 8×8 block per byte → JPEG encode →
+    Arrow-batched full decode (huffman → dequantize → IDCT) → pixel
+    statistics. Flat blocks + an all-ones quant table make the lossy
+    round trip EXACTLY lossless (only the integer DC coefficient
+    survives), so the oracle replays the decode as pure integer math:
+    pixel_sum = 64·byte_sum, 8 blocks (64 px) per row, zero-byte
+    padding to the block-row boundary."""
+    from ..operators.multimodal import (
+        attach_binary_payload,
+        encode_jpeg_payload,
+        extract_jpeg_features,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return extract_jpeg_features(encode_jpeg_payload(attach_binary_payload(docs)))
+
+
 # --- substring/chunk-level exact dedup (Lee et al.) ---------------------------
 
 _SUBSTR_N = 8

@@ -339,3 +339,94 @@ def test_stratified_sample_exact_fractions(spark):
         .collect()
     }
     assert got == want
+
+
+def test_jpeg_codec_flat_blocks_bit_exact():
+    """Flat 8x8 blocks + all-ones quant: the lossy format round-trips
+    losslessly (only the integer DC coefficient survives) — the property
+    the multimodal_jpeg_features oracle relies on."""
+    import numpy as np
+
+    from rust_vector_search_spark.operators.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(7)
+    levels = rng.integers(0, 256, (6, 8), dtype=np.uint8)
+    px = np.kron(levels, np.ones((8, 8), dtype=np.uint8))
+    dec = decode_jpeg_gray(encode_jpeg_gray(px))
+    assert np.array_equal(dec, px)
+
+
+def test_jpeg_codec_arbitrary_content_bounded_error():
+    """Non-flat content exercises the full AC path (runs, ZRL, EOB);
+    with the all-ones quant table the only loss is DCT float rounding —
+    max abs error must stay within 1 LSB."""
+    import numpy as np
+
+    from rust_vector_search_spark.operators.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    dec = decode_jpeg_gray(encode_jpeg_gray(px))
+    assert int(np.abs(dec.astype(int) - px.astype(int)).max()) <= 1
+    # a real quant table loses information but must still decode sanely
+    q = np.full((8, 8), 16, dtype=np.int64)
+    dec2 = decode_jpeg_gray(encode_jpeg_gray(px, quant=q))
+    assert dec2.shape == px.shape
+
+
+def test_jpeg_codec_corruption_raises_typed_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from rust_vector_search_spark.operators.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    px = np.zeros((8, 8), dtype=np.uint8)
+    good = encode_jpeg_gray(px)
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"\x00\x01\x02\x03")
+    with _pytest.raises(ValueError, match="jpeg"):
+        decode_jpeg_gray(good[:40])  # truncated inside DQT/DHT
+    with _pytest.raises(ValueError, match="EOI"):
+        decode_jpeg_gray(good[:-2])  # EOI stripped
+    # progressive SOF2 is a typed refusal, not a crash
+    bad = bytearray(good)
+    sof = bad.find(b"\xff\xc0")
+    bad[sof + 1] = 0xC2
+    with _pytest.raises(ValueError, match="progressive"):
+        decode_jpeg_gray(bytes(bad))
+
+
+def test_image_dispatch_all_three_codecs(spark):
+    """decode_image_real routes BMP / PNG / JPEG payloads by magic bytes
+    through the in-repo codecs — no NotImplementedError stub left."""
+    from rust_vector_search_spark.operators.multimodal import (
+        decode_image_real,
+        encode_bmp,
+        encode_jpeg,
+        encode_png,
+    )
+
+    payloads = spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp(b"hello bmp"))),
+            (2, bytearray(encode_png(b"hello png"))),
+            (3, bytearray(encode_jpeg(b"hello jpeg"))),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_image_real(payloads).collect()}
+    assert rows[1].format == "image/bmp"
+    assert rows[2].format == "image/png"
+    assert rows[3].format == "image/jpeg"
+    # jpeg: one flat block per byte -> pixel_sum = 64 * byte_sum
+    assert rows[3].pixel_sum == 64 * sum(b"hello jpeg")
+    assert rows[3].width == 64 and rows[3].height == 16
