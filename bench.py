@@ -53,6 +53,10 @@ HEADLINE = [
     "dedup_substring_spans",
     "ann_ivf_int8_topk",
     "multimodal_jpeg_features",
+    # r6 additions (late): benchmark decontamination (broadcast semi-join
+    # n-gram overlap) and the trailing RANGE-frame feature window
+    "decontaminate_spans",
+    "events_trailing_10min",
 ]
 
 

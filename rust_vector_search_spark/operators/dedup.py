@@ -180,6 +180,61 @@ def substring_dup_spans(
     )
 
 
+def decontaminate_spans(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Llama-style
+    n-gram overlap filter every LLM training pipeline runs before the
+    training set ships): every ``n_tokens``-token window of a TRAIN
+    document whose exact token sequence occurs anywhere in the BENCHMARK
+    corpus, merged into maximal (doc_id, span_start, span_end) token
+    ranges — the spans a pipeline excises (or whole documents it drops)
+    to keep eval sets out of the training data. Same span contract as
+    ``substring_dup_spans`` (0-based inclusive token indices).
+
+    Scale shape — benchmark suites are MBs against a 100-TB train
+    corpus, so the match is a BROADCAST left-semi join on the window's
+    md5 key: the train side never shuffles to find contamination. The
+    distinct benchmark key set is tiny (|benchmark shingles| rows of one
+    128-bit column) and is the only thing that moves. The single
+    exchange in the whole plan is the per-doc island-merge window; the
+    token payload never crosses it (only (doc_id, pos) survive the
+    semi-join). Pass ``broadcast_benchmark=False`` for a benchmark too
+    large to broadcast — the match degrades to a shuffled equi-join on
+    the key, still never a pair enumeration.
+    """
+    bench_keys = benchmark.select(
+        F.explode(
+            _positional_shingles(F.col(text_col), n_tokens)
+        ).alias("_s")
+    ).select(F.md5("_s").alias("_h")).distinct()
+    if broadcast_benchmark:
+        bench_keys = F.broadcast(bench_keys)
+    windows = train.select(
+        F.col(id_col),
+        F.posexplode(_positional_shingles(F.col(text_col), n_tokens)).alias(
+            "pos", "_s"
+        ),
+    ).select(F.col(id_col), F.col("pos"), F.md5("_s").alias("_h"))
+    hit = windows.join(bench_keys, "_h", "left_semi").select(F.col(id_col), "pos")
+    w_d = Window.partitionBy(id_col).orderBy("pos")
+    isl = hit.withColumn("_grp", F.col("pos") - F.row_number().over(w_d))
+    return (
+        isl.groupBy(id_col, "_grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(n_tokens - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select(F.col(id_col), "span_start", "span_end", "n_windows")
+    )
+
+
 MINHASH_PRIME = 2147483647  # 2^31 - 1: products a·v stay < 2^62 (64-bit safe)
 
 

@@ -41,6 +41,10 @@ _DEMOTED_STABLE = [
     "events_user_activity_distinct",
     # set ops: setop_customers_without_highvalue_orders stays in-window
     "setop_nations_in_both_segments",
+    # equi+broadcast-join family: q5 (6-way join) subsumes q3's 3-way
+    # shape and q1/q6 keep the agg/filter heads; r6 demotion making room
+    # for events_trailing_10min (the first value-based RANGE frame)
+    "q3_top_unshipped_orders",
     # exact-kNN family: knn_exact_euclidean stays in-window and cosine
     # scoring is also exercised by near_dup_cosine_* (r3 demotion making
     # room for dedup_simhash_components_star)
@@ -70,6 +74,10 @@ _DEMOTED_STABLE = [
     # text family: token/quality/lang/bm25/pii all stay in-window (r3
     # demotion making room for doc_repetition_score)
     "doc_fingerprint_bottom4",
+    # token-stats math (split/size/length) is exercised by
+    # doc_quality_score and the whole shingle family; r6 demotion making
+    # room for decontaminate_spans (benchmark n-gram overlap)
+    "doc_token_stats",
     # JSON family: events_props_as_map stays in-window (r3 demotion
     # making room for dedup_minhash_survivors)
     "events_json_extract_agg",

@@ -384,6 +384,46 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- events: trailing time-RANGE window frame (10-min lookback) -------------
+
+@register(
+    "events_trailing_10min",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_events_10m,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_value_10m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def events_trailing_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 10-minute activity via a time-RANGE window
+    frame (``rangeBetween`` on epoch microseconds — the value-based
+    frame no other registered query exercises; rowsBetween peers are
+    order-dependent under timestamp ties, RANGE frames are not, which
+    is what makes this hash-checkable). The frame bound is integer
+    microseconds in BOTH engines, so parity is exact. One exchange on
+    user_id; at 100 TB this is the standard per-entity feature-window
+    shape (no self-join, no explode — the range frame scans each
+    partition once, sorted)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_events_10m"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_value_10m"),
+    )
+
+
 # --- events: sliding time window (1h window, 30m slide) ---------------------
 
 @register(

@@ -953,3 +953,44 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import substring_dup_spans
 
     return substring_dup_spans(_docs(spark, sf_dir), n_tokens=_SUBSTR_N)
+
+
+@register(
+    "decontaminate_spans",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(w[i+1:i+{_SUBSTR_N}], ' ')) AS h
+  FROM toks CROSS JOIN UNNEST(range(0, greatest(len(w) - {_SUBSTR_N} + 1, 0))) AS u(i)
+),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0),
+hit AS (
+  SELECT doc_id, pos FROM sh
+  WHERE doc_id % 10 <> 0 AND h IN (SELECT h FROM bench)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hit)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_SUBSTR_N} - 1 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, grp
+""",
+)
+def decontaminate_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / Llama pretraining
+    hygiene): docs with ``doc_id % 10 = 0`` stand in as the held-out
+    benchmark suite, the rest as the training corpus; every train-side
+    {_SUBSTR_N}-token window that appears verbatim anywhere in the
+    benchmark comes back as a maximal excision span. Broadcast semi-join
+    on the window hash — the train side never shuffles to find
+    contamination (see operators.dedup.decontaminate_spans)."""
+    from ..operators.dedup import decontaminate_spans
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate_spans(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        n_tokens=_SUBSTR_N,
+    )

@@ -218,3 +218,37 @@ def test_substring_spans_find_planted_passages(spark):
         1: (10, 21, 12 - n + 1),
         2: (0, 11, 12 - n + 1),
     }
+
+
+def test_decontaminate_spans_flags_benchmark_overlap(spark):
+    """Benchmark decontamination: a train document quoting a 12-token
+    benchmark passage gets exactly one maximal span over the quote;
+    train-train overlap alone is NOT contamination (only benchmark
+    membership counts); clean and short train docs produce no rows."""
+    from rust_vector_search_spark.operators.dedup import decontaminate_spans
+
+    passage = " ".join(f"p{i}" for i in range(12))
+    shared_train = " ".join(f"t{i}" for i in range(9))  # train-only dup
+    filler_a = " ".join(f"a{i}" for i in range(10))
+    train = spark.createDataFrame(
+        [
+            (1, f"{filler_a} {passage}"),       # quote at tokens 10..21
+            (2, f"{shared_train} x y z q r s"),  # train-train overlap only
+            (3, f"{shared_train} u v w m n o"),
+            (4, "short doc only"),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, f"{passage} extra benchmark tail words")],
+        "doc_id long, text string",
+    )
+    n = 8
+    for bc in (True, False):
+        spans = {
+            r.doc_id: (r.span_start, r.span_end, r.n_windows)
+            for r in decontaminate_spans(
+                train, benchmark, n_tokens=n, broadcast_benchmark=bc
+            ).collect()
+        }
+        assert spans == {1: (10, 21, 12 - n + 1)}, f"broadcast={bc}: {spans}"

@@ -228,3 +228,26 @@ def test_backfill_has_no_nested_loop_join(spark):
     plan = plan_of(search_rp_forest(forest, emb, q, k=16, backfill=True))
     assert "NestedLoop" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_match_is_broadcast_semi_join(spark):
+    """The contamination match must plan as a BROADCAST left-semi join on
+    the window hash (benchmark suites are MBs against a 100-TB train
+    corpus — the train side must never shuffle to find overlap), with no
+    Python in the plan and no sort-merge exchange for the match."""
+    plan = plan_of(QUERIES["decontaminate_spans"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Python" not in plan, plan[:2000]
+
+
+def test_trailing_range_window_single_exchange(spark):
+    """The RANGE-frame feature window is one exchange on user_id — no
+    self-join, no explode (the naive trailing-window rewrites)."""
+    plan = plan_of(QUERIES["events_trailing_10min"](spark, SF_SMOKE))
+    assert "Join" not in plan, plan[:2000]
+    assert "Generate" not in plan, plan[:2000]  # no explode rewrite
+    # exactly one hash exchange (the user_id window); the round-robin
+    # above it is the fixture loader's, not the query's
+    assert plan.count("hashpartitioning") == 1, plan[:2000]
+    assert "Python" not in plan, plan[:2000]

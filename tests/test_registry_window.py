@@ -47,6 +47,11 @@ MUST_BE_IN_WINDOW = [
     "streaming_incremental_index_parity",
     # r6-new: substring-level exact dedup (VERDICT r5 item 2)
     "dedup_substring_spans",
+    # r6-new: benchmark decontamination (train-side n-gram windows found
+    # verbatim in a held-out benchmark split, broadcast semi-join match)
+    "decontaminate_spans",
+    # r6-new: value-based RANGE window frame (trailing 10-min lookback)
+    "events_trailing_10min",
     # r6-new: sub-linear IVF-restricted int8 prefilter (VERDICT r5 item 3)
     "ann_ivf_int8_topk",
     # r6-new: the forest SEARCH path hash-checked over the committed
