@@ -57,6 +57,7 @@ HEADLINE = [
     # n-gram overlap) and the trailing RANGE-frame feature window
     "decontaminate_spans",
     "events_trailing_10min",
+    "dedup_substring_clean",
 ]
 
 

@@ -235,6 +235,89 @@ def decontaminate_spans(
     )
 
 
+def substring_dedup_clean(
+    docs: DataFrame,
+    n_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The OUTPUT side of Lee-et-al substring dedup: excise duplicated
+    passages and emit the cleaned corpus. A window is CUT from a
+    document when its exact token sequence also occurs in another
+    document AND this document is not the window's canonical owner
+    (``min(doc_id)`` over the window hash — so exactly one copy of
+    every duplicated passage survives, in its lowest-id document).
+    Tokens covered by any cut window are removed; the rest re-join in
+    position order. One row per input document:
+    (doc_id, n_tokens_kept, n_tokens_cut, clean_text) — an exact
+    duplicate of a lower-id document comes back with an empty
+    ``clean_text``, which is what makes this the drop-OR-excise
+    primitive (filter n_tokens_kept = 0 to drop).
+
+    Scale shape — slim keys only, bounded expansion: the ownership
+    decision is the same single (doc_id, pos, hash) exchange as
+    ``substring_dup_spans``; cut windows expand to at most
+    ``n_tokens`` (doc_id, pos) rows each BEFORE the distinct; the
+    anti-join and the final per-doc re-join shuffle (doc_id, pos,
+    token) — the only stage where token payload moves, and it is the
+    unavoidable one (the output IS the text). No pair enumeration
+    anywhere; a boilerplate window shared by a million docs is one
+    skewed window key, handled like the spans op."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    windows = docs.select(
+        F.col(id_col),
+        F.posexplode(_positional_shingles(F.col(text_col), n_tokens)).alias(
+            "wpos", "_s"
+        ),
+    ).select(F.col(id_col), F.col("wpos"), F.md5("_s").alias("_h"))
+    w_h = Window.partitionBy("_h")
+    cut_wins = (
+        windows.select(
+            F.col(id_col),
+            "wpos",
+            F.min(id_col).over(w_h).alias("_mn"),
+            F.max(id_col).over(w_h).alias("_mx"),
+        )
+        .filter((F.col("_mn") != F.col("_mx")) & (F.col(id_col) != F.col("_mn")))
+        .select(F.col(id_col), "wpos")
+    )
+    cut_pos = cut_wins.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("wpos"), F.col("wpos") + F.lit(n_tokens - 1))).alias(
+            "pos"
+        ),
+    ).distinct()
+    kept = toks.join(cut_pos, [id_col, "pos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("_clean"),
+    )
+    n_toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    return (
+        docs.select(F.col(id_col), n_toks.alias("_n_toks"))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_n_kept"), F.lit(0).cast("long")).alias(
+                "n_tokens_kept"
+            ),
+            (
+                F.col("_n_toks") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("long").alias("n_tokens_cut"),
+            F.coalesce(F.col("_clean"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 MINHASH_PRIME = 2147483647  # 2^31 - 1: products a·v stay < 2^62 (64-bit safe)
 
 

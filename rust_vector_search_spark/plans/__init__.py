@@ -78,6 +78,11 @@ _DEMOTED_STABLE = [
     # doc_quality_score and the whole shingle family; r6 demotion making
     # room for decontaminate_spans (benchmark n-gram overlap)
     "doc_token_stats",
+    # quality family keeps doc_lang_id + doc_repetition_score (+ the
+    # demoted token-stats/quality rows locally checked); r6 demotion
+    # making room for dedup_substring_clean (the Lee-et-al excised
+    # corpus — the pipeline's actual output surface)
+    "doc_quality_score",
     # JSON family: events_props_as_map stays in-window (r3 demotion
     # making room for dedup_minhash_survivors)
     "events_json_extract_agg",

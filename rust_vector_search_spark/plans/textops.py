@@ -956,6 +956,55 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_clean",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i+1] AS tok
+  FROM toks CROSS JOIN UNNEST(range(0, len(w))) AS u(i)),
+sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS wpos,
+         md5(array_to_string(w[i+1:i+{_SUBSTR_N}], ' ')) AS h
+  FROM toks CROSS JOIN UNNEST(range(0, greatest(len(w) - {_SUBSTR_N} + 1, 0))) AS u(i)
+),
+marked AS (
+  SELECT doc_id, wpos,
+         min(doc_id) OVER (PARTITION BY h) AS mn,
+         max(doc_id) OVER (PARTITION BY h) AS mx
+  FROM sh),
+cutw AS (SELECT doc_id, wpos FROM marked WHERE mn <> mx AND doc_id <> mn),
+cutpos AS (
+  SELECT DISTINCT doc_id, wpos + j AS pos
+  FROM cutw CROSS JOIN UNNEST(range(0, {_SUBSTR_N})) AS v(j)),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cutpos c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0) AS BIGINT)
+         AS n_tokens_cut,
+       coalesce(a.clean, '') AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+)
+def dedup_substring_clean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The excised corpus — the Lee-et-al pipeline's OUTPUT: duplicated
+    {_SUBSTR_N}-token passages are cut from every document except the
+    lowest-id owner, surviving tokens re-join in position order (see
+    operators.dedup.substring_dedup_clean). An exact duplicate of a
+    lower-id document comes back empty; `dedup_substring_spans` is the
+    diagnostic twin (where the cuts are), this is what ships."""
+    from ..operators.dedup import substring_dedup_clean
+
+    return substring_dedup_clean(_docs(spark, sf_dir), n_tokens=_SUBSTR_N)
+
+
+@register(
     "decontaminate_spans",
     oracle=f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -252,3 +252,33 @@ def test_decontaminate_spans_flags_benchmark_overlap(spark):
             ).collect()
         }
         assert spans == {1: (10, 21, 12 - n + 1)}, f"broadcast={bc}: {spans}"
+
+
+def test_substring_dedup_clean_keeps_one_copy(spark):
+    """Excised-corpus semantics: the lowest-id owner of a duplicated
+    passage keeps it verbatim; every other document loses exactly the
+    passage tokens; an exact duplicate of a lower-id doc comes back
+    empty; untouched docs round-trip byte-identical."""
+    from rust_vector_search_spark.operators.dedup import substring_dedup_clean
+
+    passage = " ".join(f"p{i}" for i in range(12))
+    filler_a = " ".join(f"a{i}" for i in range(10))
+    filler_b = " ".join(f"b{i}" for i in range(7))
+    clean_doc = " ".join(f"c{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{passage} {filler_b}"),   # owner: keeps everything
+            (2, f"{filler_a} {passage}"),   # loses the 12 passage tokens
+            (3, f"{passage} {filler_b}"),   # exact dup of doc 1 -> empty
+            (4, clean_doc),                  # untouched
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens_kept, r.n_tokens_cut, r.clean_text)
+        for r in substring_dedup_clean(docs, n_tokens=8).collect()
+    }
+    assert got[1] == (19, 0, f"{passage} {filler_b}")
+    assert got[2] == (10, 12, filler_a)
+    assert got[3] == (0, 19, "")
+    assert got[4] == (25, 0, clean_doc)

@@ -52,6 +52,9 @@ MUST_BE_IN_WINDOW = [
     "decontaminate_spans",
     # r6-new: value-based RANGE window frame (trailing 10-min lookback)
     "events_trailing_10min",
+    # r6-new: Lee-et-al excised corpus (cut duplicated passages, keep
+    # the min-doc occurrence — the substring pipeline's output surface)
+    "dedup_substring_clean",
     # r6-new: sub-linear IVF-restricted int8 prefilter (VERDICT r5 item 3)
     "ann_ivf_int8_topk",
     # r6-new: the forest SEARCH path hash-checked over the committed
