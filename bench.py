@@ -58,6 +58,7 @@ HEADLINE = [
     "decontaminate_spans",
     "events_trailing_10min",
     "dedup_substring_clean",
+    "dedup_embedding_survivors",
 ]
 
 

@@ -59,6 +59,12 @@ _DEMOTED_STABLE = [
     # theta-join family: near_dup_cosine_bucketed stays in-window; r6
     # demotion making room for dedup_substring_spans (VERDICT r5 item 2)
     "radius_search",
+    # r6 late: dedup_embedding_survivors CONTAINS the bucketed-pair
+    # computation (same cells, same threshold — a wrong cosine changes
+    # the clusters, so the pair stage stays transitively value-checked)
+    # and extends it through components → survivors; the standalone
+    # pair query hands it the slot
+    "near_dup_cosine_bucketed",
     # percentile/histogram family: events_value_percentiles stays
     # in-window; r6 demotion making room for ann_ivf_int8_topk
     # (VERDICT r5 item 3)

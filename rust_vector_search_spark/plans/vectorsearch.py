@@ -357,6 +357,81 @@ def near_dup_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("cos_sim") >= 0.4)
 
 
+# --- embedding dedup chain: bucketed pairs → components → survivors -----------
+
+@register(
+    "dedup_embedding_survivors",
+    oracle=f"""
+WITH RECURSIVE cent AS (
+  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {_IVF_STRIDE} = 0),
+assign AS (
+  SELECT vec_id, cell, embedding FROM (
+    SELECT e.vec_id, c.c_id AS cell, e.embedding,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_CD}, c.c_id) AS crn
+    FROM embeddings e, cent c) t
+  WHERE crn = 1),
+pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {dd_cosine('a.embedding', 'b.embedding')} >= 0.4),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+comp AS (SELECT u, LEAST(u, MIN(v)) AS cid FROM reach GROUP BY u),
+allc AS (
+  SELECT e.vec_id, CAST(COALESCE(c.cid, e.vec_id) AS BIGINT) AS component_id
+  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.u)
+SELECT component_id AS vec_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM allc GROUP BY component_id
+""",
+)
+def dedup_embedding_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, END of the pipeline: the bucketed
+    cosine pairs (same IVF-cell candidate scope as
+    `near_dup_cosine_bucketed`) become clusters via O(log n) star
+    contraction, and one survivor per cluster (min vec_id) ships with
+    the cluster size it absorbed — the embedding-side twin of
+    `dedup_minhash_survivors`, exercising the full pairs → components →
+    survivors chain over vectors instead of text. Candidates never
+    leave their IVF cell (equi-join, O(Σ cell²) not O(N²)); the
+    contraction is 1 job + 1 slim dedup shuffle per round."""
+    from ..operators.dedup import connected_components_star
+    from ..operators.ivf import ivf_assign
+    from ..functions.vector import cosine_sim
+
+    emb = _emb(spark, sf_dir)
+    assign = ivf_assign(emb, stride=_IVF_STRIDE).join(emb, "vec_id").select(
+        "vec_id", "cell", "embedding"
+    )
+    a = assign.select(
+        F.col("vec_id").alias("vec_id_a"), "cell", F.col("embedding").alias("v_a")
+    )
+    b = assign.select(
+        F.col("vec_id").alias("vec_id_b"), "cell", F.col("embedding").alias("v_b")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .filter(cosine_sim("v_a", "v_b") >= 0.4)
+        .select("vec_id_a", "vec_id_b")
+    )
+    comp = connected_components_star(pairs, a_col="vec_id_a", b_col="vec_id_b")
+    allc = emb.select("vec_id").join(
+        comp, F.col("vec_id") == F.col("node"), "left"
+    ).select(
+        F.coalesce(F.col("component_id"), F.col("vec_id")).alias("component_id")
+    )
+    return (
+        allc.groupBy("component_id")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .select(F.col("component_id").alias("vec_id"), "dup_count")
+    )
+
+
 # --- grouped pandas UDAF: per-label cluster statistics (rows-only) ------------
 
 @register("label_cluster_stats")

@@ -55,6 +55,9 @@ MUST_BE_IN_WINDOW = [
     # r6-new: Lee-et-al excised corpus (cut duplicated passages, keep
     # the min-doc occurrence — the substring pipeline's output surface)
     "dedup_substring_clean",
+    # r6-new: embedding-side dedup chain (bucketed cosine pairs → star
+    # components → one survivor per cluster with absorbed count)
+    "dedup_embedding_survivors",
     # r6-new: sub-linear IVF-restricted int8 prefilter (VERDICT r5 item 3)
     "ann_ivf_int8_topk",
     # r6-new: the forest SEARCH path hash-checked over the committed
