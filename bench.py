@@ -59,6 +59,7 @@ HEADLINE = [
     "events_trailing_10min",
     "dedup_substring_clean",
     "dedup_embedding_survivors",
+    "training_corpus_pipeline",
 ]
 
 

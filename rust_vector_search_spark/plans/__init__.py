@@ -89,6 +89,12 @@ _DEMOTED_STABLE = [
     # making room for dedup_substring_clean (the Lee-et-al excised
     # corpus — the pipeline's actual output surface)
     "doc_quality_score",
+    # minhash family: the raw pair query's computation is wholly
+    # contained in dedup_minhash_components / _survivors AND in
+    # training_corpus_pipeline (same signatures, bands, threshold — a
+    # wrong jaccard changes the clusters); r6 demotion making room for
+    # the pipeline composition
+    "dedup_minhash_lsh_pairs",
     # JSON family: events_props_as_map stays in-window (r3 demotion
     # making room for dedup_minhash_survivors)
     "events_json_extract_agg",

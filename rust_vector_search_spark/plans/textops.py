@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
 
 from ..operators.dedup import (
     MINHASH_PRIME as _MINHASH_PRIME,
@@ -912,6 +913,146 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return extract_jpeg_features(encode_jpeg_payload(attach_binary_payload(docs)))
+
+
+# --- the flagship composition: full training-corpus pipeline ------------------
+
+@register(
+    "training_corpus_pipeline",
+    oracle=f"""
+WITH RECURSIVE
+braw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         WHERE doc_id % 10 = 0),
+bench AS (
+  SELECT DISTINCT md5(array_to_string(w[i+1:i+8], ' ')) AS h
+  FROM braw CROSS JOIN UNNEST(range(0, greatest(len(w) - 7, 0))) AS u(i)),
+base AS (
+  SELECT doc_id, text, lang, source FROM documents
+  WHERE doc_id % 10 <> 0 AND len(string_split(text, ' ')) >= 10),
+exact AS (
+  SELECT doc_id, text, lang, source FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS mn FROM base) t
+  WHERE doc_id = mn),
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM exact),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+  FROM words WHERE len(w) >= 3),
+hvt AS (SELECT doc_id, shingles, {{hv}} AS hv FROM sh),
+sig AS (SELECT doc_id, shingles, [{{sigs}}] AS sigs FROM hvt),
+banded AS (
+  SELECT doc_id,
+         generate_subscripts(sigs, 1) AS band,
+         unnest(list_transform(sigs, x -> md5(CAST(x AS VARCHAR)))) AS band_key
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+jac AS (
+  SELECT c.doc_id_a, c.doc_id_b
+  FROM cand c
+  JOIN sig sa ON c.doc_id_a = sa.doc_id
+  JOIN sig sb ON c.doc_id_b = sb.doc_id
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / (CAST(len(sa.shingles) + len(sb.shingles) AS DOUBLE)
+           - CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE))
+        >= 0.5),
+edges AS (
+  SELECT doc_id_a AS u, doc_id_b AS v FROM jac
+  UNION
+  SELECT doc_id_b, doc_id_a FROM jac),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+comp AS (SELECT u, LEAST(u, MIN(v)) AS cid FROM reach GROUP BY u),
+surv AS (
+  SELECT e.doc_id, e.text, e.lang, e.source
+  FROM exact e LEFT JOIN comp c ON e.doc_id = c.u
+  WHERE COALESCE(c.cid, e.doc_id) = e.doc_id),
+sw AS (
+  SELECT doc_id, md5(array_to_string(w[i+1:i+8], ' ')) AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM surv) sv
+  CROSS JOIN UNNEST(range(0, greatest(len(w) - 7, 0))) AS u(i)),
+contam AS (SELECT DISTINCT doc_id FROM sw WHERE h IN (SELECT h FROM bench)),
+final AS (SELECT * FROM surv
+          WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM final GROUP BY source, lang
+""".replace("{hv}", _HV_SQL).replace("{sigs}", _SIGS_SQL),
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end LLM training-corpus pipeline as ONE Catalyst DAG —
+    the engine's flagship composition, every stage an operator already
+    oracle-checked standalone:
+
+      1. quality gate: >= 10 tokens;
+      2. exact dedup: min-id survivor per content md5 (32-byte shuffle
+         key, never the document body);
+      3. near-dup dedup: MinHash-LSH pairs (J >= 0.5) -> connected
+         components -> keep each cluster's min-id doc;
+      4. decontamination: drop any doc sharing an 8-token window with
+         the held-out benchmark split (doc_id % 10 = 0; broadcast
+         semi-join on the window md5);
+      5. report: (source, lang, n_docs, n_tokens) of what ships.
+
+    The single-DAG form is the point at 100 TB: Catalyst sees the whole
+    chain, so the corpus is scanned once, filters and column pruning
+    push into the scan, and the only exchanges are the four the
+    algorithms require (content-hash groupBy, band equi-join,
+    component contraction, final stats agg)."""
+    from ..operators.dedup import (
+        _positional_shingles,
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench_keys = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode(_positional_shingles(F.col("text"), 8)).alias("_s"))
+        .select(F.md5("_s").alias("_h"))
+        .distinct()
+    )
+    base = docs.filter(
+        (F.col("doc_id") % 10 != 0) & (F.size(F.split(F.col("text"), " ")) >= 10)
+    ).select("doc_id", "text", "lang", "source")
+    w_t = Window.partitionBy(F.md5(F.col("text")))
+    exact = (
+        base.withColumn("_mn", F.min("doc_id").over(w_t))
+        .filter(F.col("doc_id") == F.col("_mn"))
+        .drop("_mn")
+    )
+    pairs = minhash_lsh_pairs(
+        exact, num_hashes=_NUM_HASHES, bands=_NUM_HASHES, shingle_n=3
+    ).filter(F.col("jaccard") >= 0.5)
+    comp = connected_components(pairs)
+    surv = (
+        exact.join(comp, exact.doc_id == comp.node, "left")
+        .filter(
+            F.coalesce(F.col("component_id"), F.col("doc_id")) == F.col("doc_id")
+        )
+        .select("doc_id", "text", "lang", "source")
+    )
+    contam = (
+        surv.select(
+            "doc_id",
+            F.explode(_positional_shingles(F.col("text"), 8)).alias("_s"),
+        )
+        .select("doc_id", F.md5("_s").alias("_h"))
+        .join(F.broadcast(bench_keys), "_h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    final = surv.join(contam, "doc_id", "left_anti")
+    return final.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
 
 
 # --- substring/chunk-level exact dedup (Lee et al.) ---------------------------

@@ -58,6 +58,9 @@ MUST_BE_IN_WINDOW = [
     # r6-new: embedding-side dedup chain (bucketed cosine pairs → star
     # components → one survivor per cluster with absorbed count)
     "dedup_embedding_survivors",
+    # r6-new: the flagship single-DAG pipeline (quality gate → exact
+    # dedup → minhash components survivors → decontamination → stats)
+    "training_corpus_pipeline",
     # r6-new: sub-linear IVF-restricted int8 prefilter (VERDICT r5 item 3)
     "ann_ivf_int8_topk",
     # r6-new: the forest SEARCH path hash-checked over the committed
