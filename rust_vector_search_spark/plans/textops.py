@@ -999,11 +999,15 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
          semi-join on the window md5);
       5. report: (source, lang, n_docs, n_tokens) of what ships.
 
-    The single-DAG form is the point at 100 TB: Catalyst sees the whole
-    chain, so the corpus is scanned once, filters and column pruning
-    push into the scan, and the only exchanges are the four the
-    algorithms require (content-hash groupBy, band equi-join,
-    component contraction, final stats agg)."""
+    The single-DAG form is the point at 100 TB: filters and column
+    pruning push into every scan, and the only exchanges are the ones
+    the algorithms require (content-hash groupBy, band equi-join,
+    component contraction, final stats agg). The exact-dedup survivor
+    set feeds THREE downstream branches (minhash, survivor join,
+    contamination windows), so it is localCheckpointed lazily —
+    materialized once at first use instead of re-running the scan +
+    window chain per branch; same pattern as the component loop's
+    per-round checkpoints."""
     from ..operators.dedup import (
         _positional_shingles,
         connected_components,
@@ -1024,6 +1028,7 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.withColumn("_mn", F.min("doc_id").over(w_t))
         .filter(F.col("doc_id") == F.col("_mn"))
         .drop("_mn")
+        .localCheckpoint(eager=False)
     )
     pairs = minhash_lsh_pairs(
         exact, num_hashes=_NUM_HASHES, bands=_NUM_HASHES, shingle_n=3
