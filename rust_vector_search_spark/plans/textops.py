@@ -1008,12 +1008,19 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized once at first use instead of re-running the scan +
     window chain per branch; same pattern as the component loop's
     per-round checkpoints."""
+    return corpus_pipeline_stats(_docs(spark, sf_dir))
+
+
+def corpus_pipeline_stats(docs: DataFrame) -> DataFrame:
+    """The pipeline composition over an arbitrary (doc_id, text, lang,
+    source) frame — split out so tests can drive it with planted
+    corpora; `training_corpus_pipeline` is the registered fixture-bound
+    form (stage semantics documented there)."""
     from ..operators.dedup import (
         _positional_shingles,
         connected_components,
     )
 
-    docs = _docs(spark, sf_dir)
     bench_keys = (
         docs.filter(F.col("doc_id") % 10 == 0)
         .select(F.explode(_positional_shingles(F.col("text"), 8)).alias("_s"))

@@ -430,3 +430,37 @@ def test_image_dispatch_all_three_codecs(spark):
     # jpeg: one flat block per byte -> pixel_sum = 64 * byte_sum
     assert rows[3].pixel_sum == 64 * sum(b"hello jpeg")
     assert rows[3].width == 64 and rows[3].height == 16
+
+
+def test_training_corpus_pipeline_stage_semantics(spark):
+    """Planted corpus through the full pipeline DAG: the benchmark
+    split (doc_id % 10 = 0) never ships; short docs fail the quality
+    gate; an exact duplicate and a near-duplicate each collapse to
+    their min-id survivor; a doc quoting 8+ benchmark tokens is
+    decontaminated away; the survivors' stats aggregate by
+    (source, lang)."""
+    from rust_vector_search_spark.plans.textops import corpus_pipeline_stats
+
+    base = " ".join(f"w{i}" for i in range(30))           # 30 tokens
+    near = " ".join(f"w{i}" for i in range(29)) + " zz"   # J ~ 0.93 vs base
+    bench_text = " ".join(f"b{i}" for i in range(20))
+    quoting = ("intro words here then " + " ".join(f"b{i}" for i in range(8))
+               + " trailing filler tokens to pass the quality gate easily")
+    other = " ".join(f"u{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [
+            (10, bench_text, "en", "srcA"),   # benchmark split: excluded
+            (1, base, "en", "srcA"),          # survivor
+            (2, base, "en", "srcA"),          # exact dup of 1: dropped
+            (3, near, "en", "srcA"),          # near dup of 1: dropped
+            (4, quoting, "en", "srcB"),       # contaminated: dropped
+            (5, other, "fr", "srcB"),         # survivor
+            (6, "too short", "en", "srcB"),   # quality gate: dropped
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        (r.source, r.lang): (r.n_docs, r.n_tokens)
+        for r in corpus_pipeline_stats(docs).collect()
+    }
+    assert got == {("srcA", "en"): (1, 30), ("srcB", "fr"): (1, 15)}
