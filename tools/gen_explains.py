@@ -71,6 +71,37 @@ NOTES = {
         "inside Arrow-batched MapInPandas stages; only doc_id and the "
         "bounded feature row ever reach an exchange."
     ),
+    "decontaminate_spans": (
+        "The contamination match is a BroadcastHashJoin LeftSemi on the "
+        "window md5 — the 100-TB train side never shuffles to find "
+        "overlap with the (small) benchmark key set; the only exchange "
+        "is the per-doc island merge, carrying (doc_id, pos) pairs."
+    ),
+    "events_trailing_10min": (
+        "A value-based RANGE frame on epoch microseconds: one hash "
+        "exchange on user_id, then a single sorted pass computes every "
+        "event's trailing-10-min stats — no self-join, no explode."
+    ),
+    "dedup_substring_clean": (
+        "Ownership of every duplicated window is decided on a slim "
+        "(doc_id, pos, hash) exchange; token payload crosses an "
+        "exchange only in the final per-doc re-join, which is the "
+        "output itself."
+    ),
+    "dedup_embedding_survivors": (
+        "Cosine candidates never leave their IVF cell (equi-join on "
+        "cell id, O(sum cell^2) not O(N^2)); the star contraction is "
+        "one min-aggregation + equi-join per O(log n) round; the final "
+        "survivor agg ships (component_id) only."
+    ),
+    "training_corpus_pipeline": (
+        "The whole pipeline is one DAG: quality filters push into the "
+        "scan, exact dedup shuffles a 32-byte content hash (never the "
+        "document body), the checkpointed survivor set fans out to "
+        "minhash banding / survivor join / contamination windows "
+        "without re-scanning, and decontamination is a broadcast "
+        "semi-join."
+    ),
 }
 
 
