@@ -60,6 +60,9 @@ HEADLINE = [
     "dedup_substring_clean",
     "dedup_embedding_survivors",
     "training_corpus_pipeline",
+    # r6 addition (late): the IVF-PQ billion-scale composition (ADC over
+    # m-int codes restricted to the query's nprobe cells + exact re-rank)
+    "ann_ivfpq_topk",
 ]
 
 

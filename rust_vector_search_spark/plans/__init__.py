@@ -98,6 +98,15 @@ _DEMOTED_STABLE = [
     # JSON family: events_props_as_map stays in-window (r3 demotion
     # making room for dedup_minhash_survivors)
     "events_json_extract_agg",
+    # quantization family: ann_ivf_int8_topk (the sub-linear int8
+    # composition) stays in-window and shares the SQ8 math bit-for-bit;
+    # the linear-crossJoin prefilter baseline hands its slot to
+    # ann_ivfpq_topk (r6 late: the IVF-PQ billion-scale composition)
+    "ann_int8_rerank_topk",
+    # PQ family: ann_ivfpq_topk (the production sub-linear plan) stays
+    # in-window; the flat-ADC linear baseline registers demoted from
+    # birth (same policy as the int8 linear baseline above)
+    "ann_pq_topk",
     # vector-aggregate family: knn_exact_euclidean (same sqrt/dot math)
     # and label_centroids' agg cousins stay covered; r5 demotions making
     # room for multimodal_png_features + the forest family (VERDICT r4

@@ -525,3 +525,145 @@ def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.length("leaf_path")).alias("max_depth"),
         F.max("leaf_n").alias("max_leaf_size"),
     )
+
+
+# --- IVF × PQ: the billion-scale memory composition (Jégou et al. 2011) -------
+
+_M = 8          # subspaces
+_SUB_DIM = 8    # dims per subspace (64-d fixtures)
+_CB_STRIDE = 32  # codebook = subvectors of every 32nd id (deterministic)
+
+# shared DuckDB CTE text: per-subspace codebooks + encode (argmin, ties
+# to the smaller centroid id) + per-query subspace-distance LUT — the
+# exact twins of operators/pq.pq_codebook / pq_encode / pq_lut
+_PQ_CTES = f"""
+subsp AS (SELECT UNNEST(range(0, {_M})) AS j),
+cb AS (
+  SELECT t.j, e.vec_id AS c_id,
+         CAST(row_number() OVER (PARTITION BY t.j ORDER BY e.vec_id) AS INTEGER)
+           AS pos,
+         list_slice(e.embedding, t.j*{_SUB_DIM} + 1, t.j*{_SUB_DIM} + {_SUB_DIM})
+           AS cv
+  FROM embeddings e, subsp t
+  WHERE e.vec_id % {_CB_STRIDE} = 0),
+subv AS (
+  SELECT e.vec_id, t.j,
+         list_slice(e.embedding, t.j*{_SUB_DIM} + 1, t.j*{_SUB_DIM} + {_SUB_DIM})
+           AS sv
+  FROM embeddings e, subsp t),
+enc AS (
+  SELECT vec_id, j, pos FROM (
+    SELECT s.vec_id, s.j, c.pos,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+                              ORDER BY {dd_sq_euc('s.sv', 'c.cv')}, c.c_id) AS rn
+    FROM subv s JOIN cb c ON s.j = c.j) t
+  WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {N_QUERIES}),
+lut AS (
+  SELECT q.query_id, c.j, c.pos,
+         {dd_sq_euc(f"list_slice(q.qv, c.j*{_SUB_DIM} + 1, c.j*{_SUB_DIM} + {_SUB_DIM})", "c.cv")}
+           AS sd
+  FROM q, cb c)"""
+
+# exact re-rank tail shared by both PQ oracles (identical to the int8 tail)
+_PQ_TAIL = f"""
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx_dist, vec_id) AS prn
+    FROM pre) t
+  WHERE prn <= {_PREFILTER_K})
+SELECT query_id, vec_id, dist, rnk FROM (
+  SELECT ca.query_id, ca.vec_id,
+         {dd_sq_euc('q.embedding', 'e.embedding')} AS dist,
+         CAST(row_number() OVER (PARTITION BY ca.query_id
+                                 ORDER BY {dd_sq_euc('q.embedding', 'e.embedding')},
+                                          ca.vec_id) AS BIGINT) AS rnk
+  FROM cand ca
+  JOIN embeddings q ON ca.query_id = q.vec_id
+  JOIN embeddings e ON ca.vec_id = e.vec_id) t
+WHERE rnk <= {K}"""
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id % {STRIDE} = 0),
+assign AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT e.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_CDIST}, c.c_id) AS crn
+    FROM embeddings e, cent c) t
+  WHERE crn = 1),
+{_PQ_CTES},
+qc AS (
+  SELECT query_id, c_id AS cell FROM (
+    SELECT q.query_id, c.c_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_QDIST}, c.c_id) AS crn
+    FROM q, cent c) t
+  WHERE crn <= {NPROBE}),
+pre AS (
+  SELECT qc.query_id, a.vec_id,
+         list_reduce(list(l.sd ORDER BY l.j), (x, y) -> x + y) AS approx_dist
+  FROM qc
+  JOIN assign a ON qc.cell = a.cell
+  JOIN enc e ON e.vec_id = a.vec_id
+  JOIN lut l ON l.query_id = qc.query_id AND l.j = e.j AND l.pos = e.pos
+  WHERE a.vec_id <> qc.query_id
+  GROUP BY qc.query_id, a.vec_id),
+{_PQ_TAIL}
+""",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN composition (Faiss
+    IndexIVFPQ / Jégou et al. 2011). The coarse IVF quantizer bounds
+    the scan to the query's nprobe cells via a cell EQUI-join; ADC
+    scores the surviving PQ codes (m={_M} ints per vector — ~32× fewer
+    candidate-scan bytes than f32) from a broadcast per-query LUT; the
+    top prefilter_k re-rank exactly. Codebooks are deterministic
+    (every {_CB_STRIDE}nd id's subvectors) and every float sum is a
+    fixed-order fold, so the oracle replays encode, LUT, ADC, and
+    re-rank bit-exactly."""
+    from ..operators.pq import ivf_pq_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_pq_topk(
+        emb, _queries(emb), k=K, stride=STRIDE, nprobe=NPROBE,
+        m=_M, sub_dim=_SUB_DIM, cb_stride=_CB_STRIDE,
+        prefilter_k=_PREFILTER_K,
+    ).select("query_id", "vec_id", "dist", "rnk")
+
+
+@register(
+    "ann_pq_topk",
+    oracle=f"""
+WITH {_PQ_CTES},
+pre AS (
+  SELECT l.query_id, e.vec_id,
+         list_reduce(list(l.sd ORDER BY l.j), (x, y) -> x + y) AS approx_dist
+  FROM enc e
+  JOIN lut l ON l.j = e.j AND l.pos = e.pos
+  WHERE e.vec_id <> l.query_id
+  GROUP BY l.query_id, e.vec_id),
+{_PQ_TAIL}
+""",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-PQ ADC over ALL codes + exact re-rank — the exact-baseline
+    shape of the PQ family (linear scan, but each scanned vector is m
+    ints + one LUT fold). The sub-linear production plan is
+    ``ann_ivfpq_topk``; registered demoted-from-birth with the linear
+    baseline rationale (same policy as ann_int8_rerank_topk)."""
+    from ..operators.pq import pq_topk
+
+    emb = _emb(spark, sf_dir)
+    return pq_topk(
+        emb, _queries(emb), k=K, m=_M, sub_dim=_SUB_DIM,
+        cb_stride=_CB_STRIDE, prefilter_k=_PREFILTER_K,
+    ).select("query_id", "vec_id", "dist", "rnk")

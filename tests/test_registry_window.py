@@ -22,7 +22,11 @@ DRIVER_CAP = 50
 MUST_BE_IN_WINDOW = [
     "dedup_minhash_components",
     "streaming_dedup_users",
-    "ann_int8_rerank_topk",
+    # r6 late: the int8 linear-prefilter baseline handed its slot to the
+    # IVF-PQ composition — the SQ8 math stays value-checked in-window
+    # through ann_ivf_int8_topk, the quantized-prefilter + exact-re-rank
+    # shape through the PQ row
+    "ann_ivfpq_topk",
     "doc_bm25_hash_join_scan",
     "stratified_sample_orders",
     "doc_pii_flags",
