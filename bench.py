@@ -60,9 +60,11 @@ HEADLINE = [
     "dedup_substring_clean",
     "dedup_embedding_survivors",
     "training_corpus_pipeline",
-    # r6 addition (late): the IVF-PQ billion-scale composition (ADC over
+    # r6 additions (late): the IVF-PQ billion-scale composition (ADC over
     # m-int codes restricted to the query's nprobe cells + exact re-rank)
+    # and the temperature-resampled training mix
     "ann_ivfpq_topk",
+    "doc_lang_mixture_sample",
 ]
 
 

@@ -113,8 +113,18 @@ _DEMOTED_STABLE = [
     # items 3/7/8: local-only evidence went stale in r4, so the forest
     # queries need to EXECUTE under the driver's session each round)
     "embedding_norms",
-    # sampling family: stratified_sample_orders stays in-window (r5)
+    # sampling family: r6 late — doc_lang_mixture_sample (temperature
+    # quotas + the SAME md5-ranked row_number selection) and
+    # doc_token_budget_sample (md5-order integer cumsum cap) take the
+    # slots; the orders/lineitem samplers keep their oracles locally
     "modhash_sample_lineitem",
+    "stratified_sample_orders",
+    # simhash family: the pair query's computation is wholly contained
+    # in dedup_simhash_components_star (same fingerprints, same hamming
+    # join — a wrong pair set changes the components), mirroring the
+    # minhash-pairs demotion above; r6 late, slot to
+    # doc_token_budget_sample
+    "dedup_simhash_pairs",
     # array-agg family: all_pairs_top3_sets (collect_set) stays in-window
     # and the avg-of-array math is regression-guarded locally (r5)
     "label_centroids",

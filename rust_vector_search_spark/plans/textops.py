@@ -1196,3 +1196,82 @@ def decontaminate_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 == 0),
         n_tokens=_SUBSTR_N,
     )
+
+
+# --- training-mix curation: temperature resampling + token budgets -----------
+
+_MIX_N_TARGET = 200
+_BUDGET_TOKENS = 800
+
+
+@register(
+    "doc_lang_mixture_sample",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang AS stratum, count(*) AS n_rows FROM documents GROUP BY lang),
+sw AS (
+  SELECT stratum, n_rows, sqrt(CAST(n_rows AS DOUBLE)) AS sw FROM counts),
+tot AS (
+  SELECT list_reduce(list(sw ORDER BY stratum), (x, y) -> x + y) AS total_sw
+  FROM sw),
+quotas AS (
+  SELECT stratum,
+         least(n_rows, CAST(floor({float(_MIX_N_TARGET)} * (sw / total_sw))
+                       AS BIGINT)) AS quota
+  FROM sw, tot),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents)
+SELECT r.doc_id, r.lang
+FROM ranked r JOIN quotas q ON r.lang = q.stratum
+WHERE r.rn <= q.quota
+""",
+)
+def doc_lang_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled training mix over languages (α = 0.5 — the
+    XLM-R / mBERT multilingual sampling scheme): per-language quotas
+    ∝ √n_lang upweight low-resource languages, selection is an md5-
+    ranked deterministic 'random' order. The √ normalizer folds the
+    5-row language list in sorted order on one row (IEEE sqrt + fixed
+    fold order ⇒ the oracle replays quotas bit-exactly); no RNG, no
+    driver collect. See operators/mixing.py for the 100 TB shape."""
+    from ..operators.mixing import temperature_mixture_sample
+
+    return temperature_mixture_sample(
+        _docs(spark, sf_dir), "lang", "doc_id", _MIX_N_TARGET
+    )
+
+
+@register(
+    "doc_token_budget_sample",
+    oracle=f"""
+SELECT doc_id, source, n_tokens, cum_tokens FROM (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                OVER (PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM documents) t
+WHERE cum_tokens <= {_BUDGET_TOKENS}
+""",
+)
+def doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-capped per-source selection: walk each source in
+    md5 order, keep documents while the running whitespace-token total
+    stays ≤ {_BUDGET_TOKENS} — quota by TOKENS, not documents, so
+    verbose sources don't dominate the mix by length. Integer cumsum
+    over one window shuffle; exact in any engine."""
+    from ..operators.mixing import token_budget_sample
+
+    docs = _docs(spark, sf_dir)
+    return token_budget_sample(
+        docs,
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ", -1)),
+        _BUDGET_TOKENS,
+    )

@@ -1,0 +1,93 @@
+"""Training-mix curation (operators/mixing.py): temperature quotas
+really upweight low-resource strata, selection is deterministic, and
+the token-budget walk is tight (never exceeds, and maximal in md5
+order). Value parity with DuckDB is covered by test_oracle_parity."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from conftest import SF_ORACLE  # noqa: E402
+
+from rust_vector_search_spark.operators.mixing import (  # noqa: E402
+    temperature_mixture_sample,
+    temperature_quotas,
+    token_budget_sample,
+)
+from rust_vector_search_spark.sources import load_table  # noqa: E402
+
+
+def _docs(spark):
+    return load_table(spark, SF_ORACLE, "documents")
+
+
+def test_temperature_upweights_low_resource_strata(spark):
+    """α = 0.5 moves the mix toward uniform: every low-resource language
+    gets MORE than its proportional share, the dominant one less."""
+    docs = _docs(spark)
+    n_total = docs.count()
+    n_target = 200
+    quotas = {
+        r["stratum"]: (r["n_rows"], r["quota"])
+        for r in temperature_quotas(docs, "lang", n_target).collect()
+    }
+    assert len(quotas) == 5
+    for lang, (n_rows, quota) in quotas.items():
+        share = n_rows / n_total
+        q_share = quota / n_target
+        if share > 0.3:  # the dominant stratum (en)
+            assert q_share < share
+        else:
+            assert q_share > share, f"{lang}: {q_share} !> {share}"
+    # quotas respect stratum sizes and roughly fill the target
+    assert all(q <= n for n, q in quotas.values())
+    assert n_target - 5 <= sum(q for _, q in quotas.values()) <= n_target
+
+
+def test_mixture_sample_is_deterministic_and_matches_quotas(spark):
+    docs = _docs(spark)
+    sel = temperature_mixture_sample(docs, "lang", "doc_id", 200)
+    per_lang = sel.groupBy("lang").count().collect()
+    quotas = {
+        r["stratum"]: r["quota"]
+        for r in temperature_quotas(docs, "lang", 200).collect()
+    }
+    assert {r["lang"]: r["count"] for r in per_lang} == quotas
+    a = sorted(tuple(r) for r in sel.collect())
+    b = sorted(
+        tuple(r)
+        for r in temperature_mixture_sample(docs, "lang", "doc_id", 200).collect()
+    )
+    assert a == b
+
+
+def test_token_budget_is_tight(spark):
+    """Per stratum: the running total never exceeds the budget, and the
+    NEXT document in md5 order would have pushed it over (maximality) —
+    unless the stratum was consumed whole."""
+    docs = _docs(spark)
+    budget = 800
+    tokens = F.size(F.split(F.col("text"), " ", -1))
+    kept = token_budget_sample(docs, "source", "doc_id", tokens, budget)
+    per_src = kept.groupBy("source").agg(
+        F.max("cum_tokens").alias("used"), F.count(F.lit(1)).alias("n_kept")
+    )
+    assert per_src.filter(F.col("used") > budget).count() == 0
+
+    # maximality: total kept + the smallest-ranked excluded doc > budget
+    all_ranked = token_budget_sample(docs, "source", "doc_id", tokens, 10**12)
+    first_excluded = (
+        all_ranked.join(
+            kept.select("doc_id").withColumn("_k", F.lit(1)), "doc_id", "left"
+        )
+        .filter(F.col("_k").isNull())
+        .groupBy("source")
+        .agg(F.min("cum_tokens").alias("next_cum"))
+    )
+    violating = first_excluded.filter(F.col("next_cum") <= budget).count()
+    assert violating == 0

@@ -28,7 +28,11 @@ MUST_BE_IN_WINDOW = [
     # shape through the PQ row
     "ann_ivfpq_topk",
     "doc_bm25_hash_join_scan",
-    "stratified_sample_orders",
+    # r6 late: the orders stratified sampler handed its slot to the
+    # temperature-mixture sampler — the same md5-ranked row_number
+    # selection machinery plus the √n quota math, on documents
+    "doc_lang_mixture_sample",
+    "doc_token_budget_sample",
     "doc_pii_flags",
     "fasttext_vec_scan",
     # r3-new: O(log n) star-contraction components
