@@ -102,6 +102,21 @@ NOTES = {
         "without re-scanning, and decontamination is a broadcast "
         "semi-join."
     ),
+    "ann_ivfpq_topk": (
+        "The IVF-PQ composition: the candidate scan reaches the PQ code "
+        "table through a cell EQUI-join against the broadcast probe "
+        "list; the only nested-loop joins are the three tiny broadcasts "
+        "(corpus x centroids, queries x centroids, queries x codebook). "
+        "Per scanned candidate the plan touches m=8 ints + one LUT fold "
+        "(~32x fewer bytes than f32); full vectors join back for the "
+        "re-rank rows only."
+    ),
+    "doc_lang_mixture_sample": (
+        "Quota computation is a partial+final count per language folded "
+        "on ONE row (no driver collect); quotas come back as a "
+        "BroadcastHashJoin; the selection pays exactly one exchange — "
+        "the md5-ranked window per stratum."
+    ),
 }
 
 
