@@ -28,10 +28,16 @@ from . import streamingops  # noqa: E402,F401
 # query is in the demoted list), so adding an oracle query without
 # choosing a demotion fails CI rather than silently bumping one out.
 _DEMOTED_STABLE = [
-    # window family: events_hourly_window + events_sessionization +
+    # window family: events_sessionization + events_trailing_10min +
     # top3_orders_per_customer stay in-window
     "events_sliding_window",
     "events_session_windows",
+    # r6 late: the batch hourly tumbling window's date_trunc math is
+    # value-checked in-window by streaming_hourly_counts (the SAME
+    # hourly aggregation through the streaming path, oracle-green);
+    # slot to streaming_click_purchase_join (the first stream-stream
+    # interval join — a new streaming category)
+    "events_hourly_window",
     # grouping-set family: grouping_sets_lineitem stays in-window
     "cube_event_type_hour",
     "rollup_returnflag_status",

@@ -206,3 +206,69 @@ def streaming_dedup_arrival_order_q(spark: SparkSession, sf_dir: str) -> DataFra
         "dedup_arr",
     )
     return spark.table(name).select("user_id", "event_id")
+
+
+@register(
+    "streaming_click_purchase_join",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 6 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
+)
+def streaming_click_purchase_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join as a REAL two-stream pipeline: a
+    click stream joins a purchase stream of the same user within
+    [click, click + 6 h] — the attribution join every event pipeline
+    runs. Both sides are watermarked and the event-time range rides in
+    the join condition, so streaming state is bounded to interval +
+    watermark delay per side (the 100 TB/day shape: state is a rolling
+    window, never the full history). Inner-join emission is a pure
+    function of the data — watermarks bound state, they don't add rows
+    — so with a watermark admitting the whole fixture the emitted set
+    equals the batch interval join, which is exactly what the oracle
+    replays (lag in integer microseconds ⇒ bit-exact)."""
+    from ..streaming import streaming_interval_join
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = streaming_interval_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        interval="6 hours",
+        watermark="90 days",
+    )
+    out = joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+    name = _run_to_memory(out, "ssjoin")
+    return spark.table(name)

@@ -3,6 +3,7 @@ from .incremental import (
     stateful_user_counters,
     streaming_dedup,
     streaming_first_per_key,
+    streaming_interval_join,
     streaming_windowed_counts,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "stateful_user_counters",
     "streaming_dedup",
     "streaming_first_per_key",
+    "streaming_interval_join",
     "streaming_windowed_counts",
 ]

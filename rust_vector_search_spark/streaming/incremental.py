@@ -30,9 +30,45 @@ __all__ = [
     "streaming_windowed_counts",
     "streaming_dedup",
     "streaming_first_per_key",
+    "streaming_interval_join",
     "incremental_index_ingest",
     "stateful_user_counters",
 ]
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    interval: str = "6 hours",
+    watermark: str = "90 days",
+) -> DataFrame:
+    """Stream-stream INNER interval join: right-side rows within
+    ``[left_ts, left_ts + interval]`` of a matching key. Both sides are
+    watermarked and the join carries the event-time range constraint,
+    which is what lets Structured Streaming bound and clean each side's
+    state to the interval + watermark delay instead of keeping every
+    row forever — the production shape for joining two unbounded
+    streams (clicks to purchases, requests to responses).
+
+    The inner-join OUTPUT is a pure function of the data — watermarks
+    only bound state retention and late-data admission, never add rows
+    — so with a watermark that admits the whole fixture the emitted set
+    equals the batch interval join and a batch SQL oracle can replay it
+    exactly. Column ambiguity is the caller's concern: project both
+    sides to distinct names before joining (the streaming self-join of
+    one source needs two independent readStream lineages)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {interval}"))
+    )
+    # keep one copy of the (equal) key so the output is unambiguous
+    return lw.join(rw, cond, "inner").drop(rw[key])
 
 
 def streaming_windowed_counts(

@@ -53,6 +53,9 @@ MUST_BE_IN_WINDOW = [
     "ann_rp_forest_recall",
     # r6-new: streaming incremental-index ingest quality, driver-visible
     "streaming_incremental_index_parity",
+    # r6 late: the first stream-stream interval join (watermarked,
+    # state-bounded by the event-time range riding in the condition)
+    "streaming_click_purchase_join",
     # r6-new: substring-level exact dedup (VERDICT r5 item 2)
     "dedup_substring_spans",
     # r6-new: benchmark decontamination (train-side n-gram windows found

@@ -146,3 +146,43 @@ def test_incremental_index_parity_query(spark):
     assert row.n_queries == 10
     assert row.recall_full_rebuild >= 0.9
     assert row.recall_incremental >= row.recall_full_rebuild - 0.1
+
+
+def test_streaming_interval_join_matches_batch(spark):
+    """Stream-stream interval join emits exactly the batch interval
+    join's rows (inner-join emission is a pure function of the data;
+    the watermark admits everything in the fixture)."""
+    import pyspark.sql.functions as F
+
+    from rust_vector_search_spark.plans import QUERIES
+    from rust_vector_search_spark.sources import load_table
+
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["streaming_click_purchase_join"](spark, SF_SMOKE).collect()
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    batch = (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 6 HOURS")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_micros("pts") - F.unix_micros("cts")).alias("lag_us"),
+        )
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and len(got) > 0
