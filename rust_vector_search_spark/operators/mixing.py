@@ -26,7 +26,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.window import Window
 
-__all__ = ["temperature_quotas", "temperature_mixture_sample", "token_budget_sample"]
+__all__ = [
+    "temperature_quotas",
+    "temperature_mixture_sample",
+    "token_budget_sample",
+    "sequence_pack_layout",
+]
 
 
 def _md5_rank(stratum_col: str, id_col: str) -> Window:
@@ -122,4 +127,58 @@ def token_budget_sample(
     )
     return base.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
         F.col("cum_tokens") <= budget
+    )
+
+
+def sequence_pack_layout(
+    df: DataFrame,
+    shard_col: str,
+    id_col: str,
+    tokens_col: Column | str,
+    seq_len: int,
+) -> DataFrame:
+    """GPT-style sequence packing LAYOUT: concatenate each shard's
+    documents in stable ``id`` order into one token stream and cut it
+    into fixed ``seq_len`` training sequences, documents spanning
+    boundaries (the standard concat-and-chunk packing of GPT/LLaMA
+    pretraining — zero padding waste). This computes the layout table a
+    sequence writer consumes: where every document's tokens land.
+
+    Returns per document:
+      (id, shard, n_tokens, start_offset  — global token offset in the
+       shard's stream, seq_first / seq_last — the sequence ids the doc
+       spans, offset_in_seq — the doc's start position inside
+       seq_first).
+
+    All integer arithmetic over ONE window cumsum per shard (the same
+    single exchange a stratified op pays) — exact in any engine, and
+    embarrassingly scalable: shards are independent, and within a
+    shard the layout is a prefix sum, not a sequential walk. Empty
+    documents (0 tokens) get seq_last = seq_first − 0-width spans
+    handled as seq_last = floor(max(cum_before, cum_after − 1)/L) so
+    they attach to their boundary without claiming a sequence."""
+    tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    base = df.select(
+        id_col, shard_col, tokens.cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum_after = F.sum("n_tokens").over(w)
+    out = base.withColumn(
+        "start_offset", (cum_after - F.col("n_tokens"))
+    ).withColumn(
+        "_end_tok",
+        F.col("start_offset") + F.greatest(F.col("n_tokens") - 1, F.lit(0)),
+    )
+    # integer division (DIV), not floor(double/) — exact past 2^53 tokens
+    L = int(seq_len)
+    return out.select(
+        id_col,
+        shard_col,
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset DIV {L}").alias("seq_first"),
+        F.expr(f"_end_tok DIV {L}").alias("seq_last"),
+        (F.col("start_offset") % L).alias("offset_in_seq"),
     )

@@ -83,6 +83,11 @@ _DEMOTED_STABLE = [
     # in-window; the uncompressed-BMP sibling is the simplest of the
     # three — r6 demotion making room for multimodal_jpeg_features
     "multimodal_binary_features",
+    # modality family: PNG/JPEG/audio keep the real-codec coverage; the
+    # raw-frame video container + stride sampler is the simplest member
+    # — r6 late demotion making room for doc_sequence_packing (the
+    # concat-and-chunk training-sequence layout)
+    "multimodal_video_frame_sample",
     # text family: token/quality/lang/bm25/pii all stay in-window (r3
     # demotion making room for doc_repetition_score)
     "doc_fingerprint_bottom4",

@@ -1275,3 +1275,46 @@ def doc_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ", -1)),
         _BUDGET_TOKENS,
     )
+
+
+_SEQ_LEN = 512
+
+
+@register(
+    "doc_sequence_packing",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           - n_tokens AS start_offset
+  FROM base)
+SELECT doc_id, source, n_tokens, start_offset,
+       start_offset // {_SEQ_LEN} AS seq_first,
+       (start_offset + greatest(n_tokens - 1, 0)) // {_SEQ_LEN} AS seq_last,
+       start_offset % {_SEQ_LEN} AS offset_in_seq
+FROM cum
+""",
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence-packing layout: each source's
+    documents concatenate in doc_id order into one token stream cut into
+    {_SEQ_LEN}-token training sequences (documents span boundaries —
+    zero padding waste). Emits the layout table a sequence writer
+    consumes (global offset, first/last sequence id, offset inside the
+    first sequence). Pure integer arithmetic over one window cumsum per
+    shard (integer DIV, exact past 2^53 tokens); shards pack
+    independently — the 100 TB corpus lays out in one exchange."""
+    from ..operators.mixing import sequence_pack_layout
+
+    return sequence_pack_layout(
+        _docs(spark, sf_dir),
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ", -1)),
+        _SEQ_LEN,
+    )

@@ -91,3 +91,32 @@ def test_token_budget_is_tight(spark):
     )
     violating = first_excluded.filter(F.col("next_cum") <= budget).count()
     assert violating == 0
+
+
+def test_sequence_packing_layout_invariants(spark):
+    """Per shard: documents tile the token stream contiguously from 0,
+    sequence ids are consistent with the offsets, and in-sequence
+    offsets stay inside [0, L)."""
+    from rust_vector_search_spark.operators.mixing import sequence_pack_layout
+
+    docs = _docs(spark)
+    L = 512
+    layout = sequence_pack_layout(
+        docs, "source", "doc_id", F.size(F.split(F.col("text"), " ", -1)), L
+    ).cache()
+    rows = layout.collect()
+    assert len(rows) == docs.count()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        expect = 0
+        for r in rs:
+            assert r["start_offset"] == expect, (src, r)
+            assert r["seq_first"] == r["start_offset"] // L
+            end_tok = r["start_offset"] + max(r["n_tokens"] - 1, 0)
+            assert r["seq_last"] == end_tok // L >= r["seq_first"]
+            assert 0 <= r["offset_in_seq"] < L
+            expect += r["n_tokens"]
+    layout.unpersist()

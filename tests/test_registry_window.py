@@ -39,7 +39,10 @@ MUST_BE_IN_WINDOW = [
     "dedup_simhash_components_star",
     # r3-new: real-codec audio + frame-sampled video modalities
     "multimodal_audio_features",
-    "multimodal_video_frame_sample",
+    # r6 late: the raw-frame video sampler (simplest modality) handed
+    # its slot to the sequence-packing layout; PNG/JPEG/audio keep the
+    # real-codec modality coverage in-window
+    "doc_sequence_packing",
     # r3-new: zero-shuffle bigram repetition filter
     "doc_repetition_score",
     # r3-new: dedup pipeline output (survivor + absorbed cluster size)
