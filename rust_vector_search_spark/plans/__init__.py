@@ -58,6 +58,12 @@ _DEMOTED_STABLE = [
     # exact-dedup family: dedup_exact_embeddings stays in-window (r3
     # demotion making room for multimodal_audio_features)
     "dedup_exact_text",
+    # r6 late: the min-id-survivor exact-dedup shape is value-checked
+    # in-window through training_corpus_pipeline's exact-dedup stage
+    # (content-md5 key) and the embedding-side survivors chain; the
+    # standalone embeddings row hands its slot to the count-min sketch
+    # (the first value-checkable SKETCH query)
+    "dedup_exact_embeddings",
     # similarity-join family: near_dup_cosine_bucketed (the scale path)
     # and radius_search stay in-window (r3 demotion making room for
     # multimodal_video_frame_sample)

@@ -947,3 +947,63 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= F.ceil(F.lit(0.1) * F.col("_n")).cast("long"))
         .select("o_orderkey", "o_orderpriority")
     )
+
+
+# --- count-min sketch: fixed-state heavy hitters ------------------------------
+
+_CMS_D, _CMS_W, _CMS_K = 4, 256, 10
+
+
+def _dd_hex8(expr: str) -> str:
+    """DuckDB twin of F.conv(substring(md5(expr),1,8),16,10): decode the
+    first 8 md5 hex chars digit-by-digit (no hex→int conv in DuckDB)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+_CMS_SALTED = "CAST(t.r AS VARCHAR) || ':' || CAST({key} AS VARCHAR)"
+
+
+@register(
+    "events_cms_heavy_hitters",
+    oracle=f"""
+WITH rb AS (
+  SELECT t.r, ({_dd_hex8(_CMS_SALTED.format(key='e.user_id'))}) % {_CMS_W} AS b
+  FROM events e, range(0, {_CMS_D}) t(r)),
+sketch AS (SELECT r, b, count(*) AS cnt FROM rb GROUP BY r, b),
+exact AS (SELECT user_id, count(*) AS exact_count FROM events GROUP BY user_id),
+kb AS (
+  SELECT k.user_id, t.r,
+         ({_dd_hex8(_CMS_SALTED.format(key='k.user_id'))}) % {_CMS_W} AS b
+  FROM exact k, range(0, {_CMS_D}) t(r)),
+est AS (
+  SELECT kb.user_id, min(s.cnt) AS cms_est
+  FROM kb JOIN sketch s ON kb.r = s.r AND kb.b = s.b
+  GROUP BY kb.user_id)
+SELECT user_id, exact_count, cms_est, rnk FROM (
+  SELECT e.user_id, e.exact_count, est.cms_est,
+         CAST(row_number() OVER (ORDER BY est.cms_est DESC, e.user_id)
+              AS BIGINT) AS rnk
+  FROM exact e JOIN est ON e.user_id = est.user_id) t
+WHERE rnk <= {_CMS_K}
+""",
+)
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over event users: the sketch is a
+    FIXED {_CMS_D}×{_CMS_W} counter grid no matter how many distinct
+    keys exist — the bounded-state frequency pass a 100 TB pipeline
+    runs over unbounded key domains (top talkers, frequent boilerplate
+    n-grams). Salted-md5 hash rows make every bucket — and therefore
+    every estimate — bit-identical in DuckDB, so this is the repo's
+    first value-hash-checked sketch (the HLL++ distinct-count twin is
+    Spark-internal and rows-only). Exact counts ride along to expose
+    the one-sided (over-)estimation error."""
+    from ..operators.sketch import cms_heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return cms_heavy_hitters(
+        ev, "user_id", k=_CMS_K, depth=_CMS_D, width=_CMS_W
+    )

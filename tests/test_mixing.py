@@ -120,3 +120,31 @@ def test_sequence_packing_layout_invariants(spark):
             assert 0 <= r["offset_in_seq"] < L
             expect += r["n_tokens"]
     layout.unpersist()
+
+
+def test_cms_never_underestimates(spark):
+    """CMS guarantee: est(k) >= true(k) for EVERY key, and the sketch
+    state is bounded by depth x width regardless of key cardinality."""
+    from rust_vector_search_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+    from rust_vector_search_spark.sources import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    d, w = 4, 256
+    sketch = cms_build(ev, "user_id", d, w)
+    assert sketch.count() <= d * w
+    # total per hash row equals the stream length (mass conservation)
+    per_row = {r["r"]: r["s"] for r in
+               sketch.groupBy("r").agg(F.sum("cnt").alias("s")).collect()}
+    n = ev.count()
+    assert all(v == n for v in per_row.values()) and len(per_row) == d
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = cms_estimate(sketch, exact.select("user_id"), "user_id", d, w)
+    under = (
+        exact.join(est, "user_id")
+        .filter(F.col("cms_est") < F.col("exact_count"))
+        .count()
+    )
+    assert under == 0

@@ -59,6 +59,9 @@ MUST_BE_IN_WINDOW = [
     # r6 late: the first stream-stream interval join (watermarked,
     # state-bounded by the event-time range riding in the condition)
     "streaming_click_purchase_join",
+    # r6 late: the first value-hash-checked sketch (count-min heavy
+    # hitters; fixed-size counter state over unbounded key domains)
+    "events_cms_heavy_hitters",
     # r6-new: substring-level exact dedup (VERDICT r5 item 2)
     "dedup_substring_spans",
     # r6-new: benchmark decontamination (train-side n-gram windows found
