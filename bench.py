@@ -65,6 +65,11 @@ HEADLINE = [
     # and the temperature-resampled training mix
     "ann_ivfpq_topk",
     "doc_lang_mixture_sample",
+    # r6 additions (final): sequence-packing layout (one window cumsum
+    # per shard) and the count-min-sketch heavy hitters (fixed 4x256
+    # counter grid over the unbounded key domain)
+    "doc_sequence_packing",
+    "events_cms_heavy_hitters",
 ]
 
 

@@ -13,8 +13,16 @@ Determinism bar: the d hash functions are salted md5 (first 8 hex chars
 → integer, the same engine-portable trick as MinHash in
 operators/dedup.py) — no RNG, bit-identical buckets in any engine, so a
 DuckDB oracle rebuilds the sketch and replays every estimate exactly.
-This is the repo's first value-checkable SKETCH (the HLL++
-``events_approx_distinct_users`` is Spark-internal and rows-only).
+
+``hll_distinct`` applies the same bar to cardinality estimation
+(Flajolet et al. 2007 HyperLogLog): md5-derived (bucket, rank)
+registers, integer register state (the harmonic-mean denominator is an
+EXACT bigint — sum of 2^(49-M_j) — so no float reassociation can creep
+into the merge), one double divide + the textbook small-range
+linear-counting branch at the very end. Spark's own
+``approx_count_distinct`` (HLL++, engine-internal state) stays
+registered rows-only as ``events_approx_distinct_users``; this operator
+is the value-hash-checkable twin.
 """
 
 from __future__ import annotations
@@ -23,7 +31,15 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.window import Window
 
-__all__ = ["cms_bucket", "cms_build", "cms_estimate", "cms_heavy_hitters"]
+__all__ = [
+    "cms_bucket",
+    "cms_build",
+    "cms_estimate",
+    "cms_heavy_hitters",
+    "hll_distinct",
+    "HLL_M",
+    "HLL_ALPHA_M2_SCALED",
+]
 
 
 def cms_bucket(key: Column, row_i: int, width: int) -> Column:
@@ -94,6 +110,60 @@ def cms_estimate(
     ).select(key_col, F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
     joined = kb.join(F.broadcast(sketch), ["r", "b"])
     return joined.groupBy(key_col).agg(F.min("cnt").alias("cms_est"))
+
+
+HLL_M = 256  # 2^p registers, p = 8 (±1.04/√256 ≈ 6.5% standard error)
+
+# alpha_m · m² · 2^49 — the whole estimator numerator folded into ONE
+# double literal so both engines compute est = C / S with a single IEEE
+# divide (identical inputs ⇒ identical double ⇒ identical floor).
+HLL_ALPHA_M2_SCALED = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 562949953421312.0
+
+
+def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str]) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate, engine-portable.
+
+    Register derivation (m = 256, p = 8): h = md5(key); bucket = first
+    2 hex chars (8 bits); w = next 12 hex chars (48 bits); rank
+    ρ = leading zeros of w in its 48-bit window + 1 = 49 - bit_length(w)
+    (ρ = 49 at w = 0). Register M_j = max ρ over the bucket's keys.
+
+    The harmonic-mean denominator Σ 2^(-M_j) is kept EXACT by scaling:
+    S = Σ 2^(49-M_j) as a bigint (≤ 256·2^49 = 2^57 — no overflow, no
+    float rounding in the aggregation, so partial/final merge order is
+    irrelevant — the 100 TB mergeability story with zero float risk).
+    Absent buckets contribute 2^49 (M = 0) without materializing them:
+    S += (m - #present) · 2^49. Raw estimate = α_m·m²·2^49 / S — one
+    double divide. Small-range branch (raw ≤ 2.5m, zero registers
+    V > 0): linear counting m·ln(m/V), the one libm call — cross-engine
+    floor parity over every reachable V ∈ [1, 255] is pinned by
+    tests/test_mixing.py::test_hll_linear_counting_engine_parity.
+
+    Returns (group_cols…, hll_est: bigint) — floor of the estimate.
+    """
+    h = F.md5(F.col(key_col).cast("string"))
+    b = F.conv(F.substring(h, 1, 2), 16, 10).cast("long").alias("b")
+    w = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")
+    rho = F.when(w > 0, F.lit(49) - F.length(F.bin(w))).otherwise(F.lit(49))
+    regs = df.groupBy(*group_cols, b).agg(F.max(rho).alias("m_j"))
+    per = regs.groupBy(*group_cols).agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m_j AS INT))")).alias(
+            "s_present"
+        ),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    m = F.lit(HLL_M)
+    s = (
+        F.col("s_present")
+        + (m - F.col("n_present")).cast("long") * F.lit(562949953421312).cast("long")
+    )
+    v = (m - F.col("n_present")).cast("double")  # zero registers
+    raw = F.lit(HLL_ALPHA_M2_SCALED) / s.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        m.cast("double") * F.log(m.cast("double") / v),
+    ).otherwise(raw)
+    return per.select(*group_cols, F.floor(est).cast("long").alias("hll_est"))
 
 
 def cms_heavy_hitters(

@@ -145,6 +145,11 @@ _DEMOTED_STABLE = [
     # array-agg family: all_pairs_top3_sets (collect_set) stays in-window
     # and the avg-of-array math is regression-guarded locally (r5)
     "label_centroids",
+    # sketch family: events_cms_heavy_hitters (r6) keeps the in-window
+    # slot; the HLL distinct-count twin registers demoted from birth
+    # (same policy as the PQ/int8 linear baselines) — fully
+    # value-checked in CORRECTNESS_LOCAL each round
+    "events_hll_distinct_users",
 ]
 
 # Rows-only queries that EARN a driver slot despite having no oracle:

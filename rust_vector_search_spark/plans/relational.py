@@ -957,10 +957,17 @@ _CMS_D, _CMS_W, _CMS_K = 4, 256, 10
 def _dd_hex8(expr: str) -> str:
     """DuckDB twin of F.conv(substring(md5(expr),1,8),16,10): decode the
     first 8 md5 hex chars digit-by-digit (no hex→int conv in DuckDB)."""
+    return _dd_hex(f"md5({expr})", 1, 8)
+
+
+def _dd_hex(expr: str, off: int, n: int) -> str:
+    """DuckDB twin of F.conv(substring(expr, off, n), 16, 10): decode n
+    hex chars starting at 1-based ``off`` digit-by-digit (portable — no
+    hex→int conv in DuckDB; n ≤ 15 keeps the sum inside BIGINT)."""
     return " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
+        f"(strpos('0123456789abcdef', substr({expr}, {off + i}, 1)) - 1)"
+        f" * {16 ** (n - 1 - i)}"
+        for i in range(n)
     )
 
 
@@ -1006,4 +1013,74 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return cms_heavy_hitters(
         ev, "user_id", k=_CMS_K, depth=_CMS_D, width=_CMS_W
+    )
+
+
+# --- HyperLogLog: value-hash-checked distinct counting ------------------------
+
+
+def _hll_oracle() -> str:
+    from ..operators.sketch import HLL_ALPHA_M2_SCALED, HLL_M
+
+    two_49 = 1 << 49
+    return f"""
+WITH h AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS d FROM events),
+reg AS (
+  SELECT event_type,
+         ({_dd_hex('d', 1, 2)}) AS b,
+         ({_dd_hex('d', 3, 12)}) AS w
+  FROM h),
+regs AS (
+  SELECT event_type, b,
+         max(CASE WHEN w > 0 THEN 49 - length(bin(w)) ELSE 49 END) AS m_j
+  FROM reg GROUP BY event_type, b),
+per AS (
+  SELECT event_type,
+         CAST(sum(1::BIGINT << CAST(49 - m_j AS INT)) AS BIGINT) AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY event_type),
+est AS (
+  SELECT event_type,
+         {HLL_ALPHA_M2_SCALED!r}
+           / CAST(s_present + ({HLL_M} - n_present) * {two_49}::BIGINT
+                  AS DOUBLE) AS raw,
+         CAST({HLL_M} - n_present AS DOUBLE) AS v
+  FROM per),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY event_type)
+SELECT e.event_type,
+       CAST(floor(CASE WHEN e.raw <= {2.5 * HLL_M!r} AND e.v > 0
+                       THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / e.v)
+                       ELSE e.raw END) AS BIGINT) AS hll_users,
+       x.exact_users
+FROM est e JOIN exact x USING (event_type)
+"""
+
+
+@register("events_hll_distinct_users", oracle=_hll_oracle())
+def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type, value-hash-checked —
+    the engine-portable twin of the rows-only Spark-internal
+    ``events_approx_distinct_users`` (HLL++). Register state is pure
+    integers (S = Σ 2^(49-M_j) as an exact bigint — merge order cannot
+    perturb it, which is precisely the mergeable-partials property that
+    makes HLL the 100 TB COUNT(DISTINCT) replacement); one double divide
+    + the textbook linear-counting small-range branch at the end. At
+    sf0.01 (150 users/type) the linear-counting branch fires; at sf0.1
+    (1500 users/type) the raw harmonic-mean branch fires — both
+    value-checked. Exact counts ride along to expose the ≈6.5% (m=256)
+    estimation error."""
+    from ..operators.sketch import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    hll = hll_distinct(ev, "user_id", ["event_type"]).withColumnRenamed(
+        "hll_est", "hll_users"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return hll.join(exact, "event_type").select(
+        "event_type", "hll_users", "exact_users"
     )

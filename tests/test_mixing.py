@@ -148,3 +148,56 @@ def test_cms_never_underestimates(spark):
         .count()
     )
     assert under == 0
+
+
+def test_hll_estimate_within_error_bounds(spark):
+    """HLL accuracy sanity at both branch regimes: the estimate lands
+    within 5 standard errors (5 * 1.04/sqrt(256) ~ 32%) of the exact
+    distinct count for every group at sf0.01 (linear-counting branch,
+    150 users/type) — and the estimator is a pure function of the key
+    SET (re-running over a duplicated stream changes nothing)."""
+    from rust_vector_search_spark.operators.sketch import hll_distinct
+    from rust_vector_search_spark.sources import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events")
+    est = hll_distinct(ev, "user_id", ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    rows = est.join(exact, "event_type").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r["hll_est"] - r["exact_users"]) <= 0.32 * r["exact_users"], r
+    doubled = hll_distinct(ev.union(ev), "user_id", ["event_type"])
+    assert sorted(map(tuple, doubled.collect())) == sorted(
+        map(tuple, est.collect())
+    )
+
+
+def test_hll_linear_counting_engine_parity(spark):
+    """The linear-counting branch is the ONE libm call in the HLL path
+    (m*ln(m/V)); pin floor parity between Spark's java.lang.Math.log
+    and DuckDB's libm log over EVERY reachable zero-register count
+    V in [1, 255] — the branch input domain is finite, so this check is
+    exhaustive, not probabilistic."""
+    import duckdb
+
+    from rust_vector_search_spark.operators.sketch import HLL_M
+
+    vals = list(range(1, HLL_M))
+    sdf = spark.createDataFrame([(v,) for v in vals], "v int")
+    got = {
+        r["v"]: r["f"]
+        for r in sdf.select(
+            "v",
+            F.floor(
+                F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v").cast("double"))
+            ).cast("long").alias("f"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    dd = con.sql(
+        f"SELECT v, CAST(floor({float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(v AS DOUBLE)))"
+        f" AS BIGINT) AS f FROM range(1, {HLL_M}) t(v)"
+    ).fetchall()
+    assert {v: f for v, f in dd} == got
