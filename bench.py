@@ -70,6 +70,10 @@ HEADLINE = [
     # counter grid over the unbounded key domain)
     "doc_sequence_packing",
     "events_cms_heavy_hitters",
+    # r6 additions (final): runtime-filter join pruning — the bloom
+    # words ride into the lineitem scan as a literal, pruning ~93% of
+    # big-side rows before the join exchange
+    "bloom_prune_lineitem_orders",
 ]
 
 

@@ -39,6 +39,9 @@ __all__ = [
     "hll_distinct",
     "HLL_M",
     "HLL_ALPHA_M2_SCALED",
+    "bloom_positions",
+    "bloom_words",
+    "bloom_might_contain",
 ]
 
 
@@ -187,3 +190,65 @@ def cms_heavy_hitters(
         .filter(F.col("rnk") <= k)
         .select(key_col, "exact_count", "cms_est", "rnk")
     )
+
+
+# --- Bloom filter: runtime join pruning ---------------------------------------
+#
+# The runtime-filter shape every large-scale engine injects around a
+# selective join (Spark's InjectRuntimeFilter, Trino's dynamic filters):
+# fold the SMALL side's join keys into an m-bit filter (one bounded
+# aggregation — the state is m bits regardless of row count), ship it to
+# every scan task of the BIG side (m/8 bytes — here 512), and drop
+# non-candidate rows BEFORE they reach the join exchange. No false
+# negatives ever (every true match survives); false positives only cost
+# wasted shuffle rows, quantified by the registered query. Spark's own
+# bloom_filter_agg/might_contain use engine-internal xxhash64 state; this
+# operator uses the repo's salted-md5 positions (cms_bucket — the same
+# family as the CMS rows above) so a DuckDB oracle replays membership
+# bit-for-bit.
+
+
+def bloom_positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """The k filter positions of a key: salted-md5 buckets mod m — the
+    identical hash family as the CMS (independent salted digests, no
+    slicing of one digest)."""
+    return [cms_bucket(key, i, m_bits) for i in range(k)]
+
+
+def bloom_words(small: DataFrame, key_col: str, m_bits: int, k: int) -> list[int]:
+    """Build the filter from the small side as ``m_bits/64`` signed
+    64-bit words. One aggregation (distinct positions — at most m_bits
+    rows into the driver, a CONFIG constant independent of data scale:
+    the same bounded collect Spark's own runtime-filter planner does
+    when it re-broadcasts the bloom aggregate)."""
+    pos = (
+        small.select(
+            F.explode(F.array(*bloom_positions(F.col(key_col), m_bits, k))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in pos:
+        words[r["p"] // 64] |= 1 << (r["p"] % 64)
+    # LongType is signed: wrap the high bit
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_might_contain(
+    key: Column, words: list[int], m_bits: int, k: int
+) -> Column:
+    """Membership predicate against the broadcast word array: for each
+    of the key's k positions, index the word (element_at — O(1), no
+    scan of the filter) and test the bit. Pure JVM integer ops inside
+    whole-stage codegen — the per-row cost a 100 TB scan can afford."""
+    lit_words = F.array(*[F.lit(w).cast("long") for w in words])
+    checks = []
+    for p in bloom_positions(key, m_bits, k):
+        word = F.element_at(lit_words, (p / 64).cast("int") + 1)
+        bit = F.getbit(word, p % 64)
+        checks.append(bit == 1)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out

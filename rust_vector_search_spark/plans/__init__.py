@@ -150,6 +150,13 @@ _DEMOTED_STABLE = [
     # (same policy as the PQ/int8 linear baselines) — fully
     # value-checked in CORRECTNESS_LOCAL each round
     "events_hll_distinct_users",
+    # IVF family: plain IVF's deterministic centroids + cell-assign
+    # machinery is shared bit-for-bit by ann_ivf_int8_topk and
+    # ann_ivfpq_topk (both in-window; the PQ recall-decomposition test
+    # additionally ties IVF-PQ's hit set back to plain IVF's) — r6 late
+    # demotion making room for bloom_prune_lineitem_orders (the runtime
+    # join-filter family's first row)
+    "ann_ivf_topk",
 ]
 
 # Rows-only queries that EARN a driver slot despite having no oracle:

@@ -1084,3 +1084,92 @@ def events_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll.join(exact, "event_type").select(
         "event_type", "hll_users", "exact_users"
     )
+
+
+# --- Bloom filter: runtime join pruning ---------------------------------------
+
+_BLOOM_M, _BLOOM_K, _BLOOM_TOPN = 16384, 3, 1000
+
+
+def _bloom_oracle() -> str:
+    def h(salt_sql: str, key: str) -> str:
+        return (
+            f"({_dd_hex8(f'{salt_sql} || CAST({key} AS VARCHAR)')}) % {_BLOOM_M}"
+        )
+
+    exists = " AND ".join(
+        f"EXISTS (SELECT 1 FROM pos WHERE pos.p = {h(repr(f'{i}:'), 'l.l_orderkey')})"
+        for i in range(_BLOOM_K)
+    )
+    return f"""
+WITH hi AS (
+  SELECT o_orderkey FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT {_BLOOM_TOPN}),
+pos AS (
+  SELECT DISTINCT {h("CAST(t.i AS VARCHAR) || ':'", "hi.o_orderkey")} AS p
+  FROM hi, range(0, {_BLOOM_K}) t(i)),
+cand AS (
+  SELECT l.l_orderkey, l.l_extendedprice, l.l_discount FROM lineitem l
+  WHERE {exists}),
+m AS (
+  SELECT count(*) AS n_matched,
+         {dd_sum("c.l_extendedprice * (1.0 - c.l_discount)", 6)} AS matched_revenue
+  FROM cand c JOIN hi ON c.l_orderkey = hi.o_orderkey)
+SELECT (SELECT count(*) FROM lineitem) AS n_lineitem,
+       (SELECT count(*) FROM cand) AS n_candidates,
+       m.n_matched,
+       (SELECT count(*) FROM cand) - m.n_matched AS n_false_positive_rows,
+       m.matched_revenue
+FROM m
+"""
+
+
+@register("bloom_prune_lineitem_orders", oracle=_bloom_oracle())
+def bloom_prune_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join pruning — the pattern every large-scale
+    engine injects around a selective join (Spark InjectRuntimeFilter,
+    Trino dynamic filters): fold the small side's join keys (top-1000
+    orders by price — TakeOrderedAndProject, a distributed partial
+    top-k, no global sort) into a {_BLOOM_M}-bit Bloom filter (2 KB —
+    a CONFIG-sized driver collect independent of data scale), and drop
+    big-side rows inside the scan stage BEFORE the join exchange.
+    No false negatives (every true match survives — the summary proves
+    it: matched_revenue equals the unfiltered join's); false positives
+    only cost shuffle rows, quantified by n_false_positive_rows.
+    Salted-md5 positions (the CMS hash family) make membership
+    bit-replayable in DuckDB."""
+    from ..operators.sketch import bloom_might_contain, bloom_words
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hi = (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(_BLOOM_TOPN)
+        .select("o_orderkey")
+    )
+    words = bloom_words(hi, "o_orderkey", _BLOOM_M, _BLOOM_K)
+    cand = li.filter(
+        bloom_might_contain(F.col("l_orderkey"), words, _BLOOM_M, _BLOOM_K)
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    matched = cand.join(
+        F.broadcast(hi), cand["l_orderkey"] == hi["o_orderkey"]
+    ).agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        dsum(revenue, 6).alias("matched_revenue"),
+    )
+    return (
+        li.agg(F.count(F.lit(1)).alias("n_lineitem"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(matched)
+        .withColumn(
+            "n_false_positive_rows", F.col("n_candidates") - F.col("n_matched")
+        )
+        .select(
+            "n_lineitem",
+            "n_candidates",
+            "n_matched",
+            "n_false_positive_rows",
+            "matched_revenue",
+        )
+    )

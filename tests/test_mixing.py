@@ -201,3 +201,39 @@ def test_hll_linear_counting_engine_parity(spark):
         f" AS BIGINT) AS f FROM range(1, {HLL_M}) t(v)"
     ).fetchall()
     assert {v: f for v, f in dd} == got
+
+
+def test_bloom_filter_no_false_negatives_and_bounded(spark):
+    """Bloom guarantee: every true join key passes the filter (zero
+    false negatives — pruning can never drop a match), the filter size
+    is a config constant (m/64 words regardless of build-side rows),
+    and the false-positive rate at the design point stays under ~2%."""
+    import pyspark.sql.functions as F
+
+    from rust_vector_search_spark.operators.sketch import (
+        bloom_might_contain,
+        bloom_words,
+    )
+    from rust_vector_search_spark.sources import load_table
+
+    m_bits, k = 16384, 3
+    orders = load_table(spark, SF_ORACLE, "orders")
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    hi = (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(1000)
+        .select("o_orderkey")
+    )
+    words = bloom_words(hi, "o_orderkey", m_bits, k)
+    assert len(words) == m_bits // 64
+    member = bloom_might_contain(F.col("l_orderkey"), words, m_bits, k)
+    truly_matching = li.join(
+        F.broadcast(hi), li["l_orderkey"] == hi["o_orderkey"], "left_semi"
+    )
+    dropped = truly_matching.filter(~member).count()
+    assert dropped == 0  # no false negatives, ever
+    n_li = li.count()
+    n_cand = li.filter(member).count()
+    n_true = truly_matching.count()
+    assert n_cand >= n_true
+    assert (n_cand - n_true) <= 0.02 * (n_li - n_true)  # fp rate at design point

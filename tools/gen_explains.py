@@ -117,6 +117,20 @@ NOTES = {
         "BroadcastHashJoin; the selection pays exactly one exchange — "
         "the md5-ranked window per stratum."
     ),
+    "events_cms_heavy_hitters": (
+        "The sketch build is a partial+final count over a BOUNDED group "
+        "domain (4x256) — each map task emits at most 1024 rows into "
+        "the exchange regardless of input size; estimation joins the "
+        "sketch back as a BroadcastHashJoin."
+    ),
+    "bloom_prune_lineitem_orders": (
+        "The runtime-filter shape: the 2 KB word array rides into the "
+        "lineitem scan as a literal, so candidate pruning (getbit "
+        "tests, pure codegen integer ops) happens INSIDE the scan "
+        "stage — 93% of big-side rows never reach the join exchange; "
+        "the build side is TakeOrderedAndProject (distributed partial "
+        "top-k, no global sort) and the residual join broadcasts it."
+    ),
 }
 
 
