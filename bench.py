@@ -74,6 +74,10 @@ HEADLINE = [
     # words ride into the lineitem scan as a literal, pruning ~93% of
     # big-side rows before the join exchange
     "bloom_prune_lineitem_orders",
+    # r6 additions (final): 5 iterations of integer PageRank over the
+    # symmetrized customer-supplier graph (one slim join + one agg per
+    # iteration)
+    "pagerank_customer_supplier",
 ]
 
 

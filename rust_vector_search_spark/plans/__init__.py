@@ -157,6 +157,12 @@ _DEMOTED_STABLE = [
     # demotion making room for bloom_prune_lineitem_orders (the runtime
     # join-filter family's first row)
     "ann_ivf_topk",
+    # all-pairs family: the exact pair-emitting query's join/window
+    # machinery is identical to all_pairs_top3_sets (in-window, same
+    # distances, same top-3 cut — only the final collect_sort differs)
+    # — r6 late demotion making room for pagerank_customer_supplier
+    # (the first iterative weighted-graph row)
+    "all_pairs_top3",
 ]
 
 # Rows-only queries that EARN a driver slot despite having no oracle:

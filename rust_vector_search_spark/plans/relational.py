@@ -1173,3 +1173,67 @@ def bloom_prune_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "matched_revenue",
         )
     )
+
+
+# --- iterative graph algorithm: integer PageRank ------------------------------
+
+_PR_ITERS, _PR_DAMP, _PR_TOPK, _PR_SUPP_OFFSET = 5, 85, 20, 10_000_000
+
+
+def _pagerank_oracle() -> str:
+    from ..operators.graph import pagerank_oracle_sql
+
+    edges_cte = f"""bip AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + {_PR_SUPP_OFFSET} AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+edges AS (
+  SELECT CAST(c AS BIGINT) AS src, CAST(s AS BIGINT) AS dst FROM bip
+  UNION ALL
+  SELECT CAST(s AS BIGINT), CAST(c AS BIGINT) FROM bip)"""
+    return (
+        pagerank_oracle_sql(edges_cte, _PR_ITERS, _PR_DAMP)
+        + f"""
+SELECT node, rank, rnk FROM (
+  SELECT node, rank,
+         CAST(row_number() OVER (ORDER BY rank DESC, node) AS BIGINT) AS rnk
+  FROM r{_PR_ITERS}) t
+WHERE rnk <= {_PR_TOPK}
+"""
+    )
+
+
+@register("pagerank_customer_supplier", oracle=_pagerank_oracle())
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the customer–supplier trade graph
+    (customers and suppliers linked whenever a lineitem connects them,
+    symmetrized) — the weighted-importance family the dedup components
+    rows don't cover. Rank state is INTEGER micro-units with every
+    update an integer division (operators/graph.py), so the fixpoint
+    after 5 iterations is a pure function of the edge list — DuckDB
+    replays the iterations as unrolled CTEs, hash-exact. Per iteration
+    the plan is one slim join + one aggregation (16-byte rows, no
+    adjacency lists); at cluster scale the edge list buckets by src
+    once and every iteration's join is co-located. Top-20 nodes by
+    rank, ties on node id."""
+    from ..operators.graph import pagerank_integer
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    bip = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("c"),
+            (F.col("l_suppkey") + _PR_SUPP_OFFSET).cast("long").alias("s"),
+        )
+        .distinct()
+    )
+    edges = bip.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        bip.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    pr = pagerank_integer(edges, iters=_PR_ITERS, damping_pct=_PR_DAMP)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    return (
+        pr.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _PR_TOPK)
+        .select("node", "rank", "rnk")
+    )

@@ -237,3 +237,35 @@ def test_bloom_filter_no_false_negatives_and_bounded(spark):
     n_true = truly_matching.count()
     assert n_cand >= n_true
     assert (n_cand - n_true) <= 0.02 * (n_li - n_true)  # fp rate at design point
+
+
+def test_pagerank_integer_matches_reference_loop(spark):
+    """The distributed integer PageRank equals a pure-Python loop over
+    the same update rule on a small known graph (star + chain), and
+    rank mass concentrates on the hub."""
+    from rust_vector_search_spark.operators.graph import (
+        PR_UNIT,
+        pagerank_integer,
+    )
+
+    # star 0-(1,2,3) plus chain 3-4; symmetrized, deduplicated
+    raw = [(0, 1), (0, 2), (0, 3), (3, 4)]
+    sym = sorted(set(raw) | {(b, a) for a, b in raw})
+    sdf = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(sdf, iters=5, damping_pct=85).collect()
+    }
+
+    deg = {}
+    for a, _ in sym:
+        deg[a] = deg.get(a, 0) + 1
+    ranks = {n: PR_UNIT for n in deg}
+    base = 15 * PR_UNIT // 100
+    for _ in range(5):
+        inc = {n: 0 for n in deg}
+        for a, b in sym:
+            inc[b] += ranks[a] // deg[a]
+        ranks = {n: base + (inc[n] * 85) // 100 for n in deg}
+    assert got == ranks
+    assert got[0] == max(got.values())  # the hub dominates

@@ -131,6 +131,15 @@ NOTES = {
         "the build side is TakeOrderedAndProject (distributed partial "
         "top-k, no global sort) and the residual join broadcasts it."
     ),
+    "pagerank_customer_supplier": (
+        "Each of the 5 iterations is ONE join of the slim (src, dst, "
+        "degree) edge frame against the (node, rank) state + ONE "
+        "aggregation on dst — 16-byte rows through both exchanges, "
+        "never adjacency lists; rank state is a single bigint per "
+        "node (integer micro-units, so partial-agg order cannot "
+        "perturb the fixpoint). At cluster scale the edge frame "
+        "buckets by src once and every iteration joins co-located."
+    ),
 }
 
 
