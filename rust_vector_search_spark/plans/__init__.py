@@ -163,6 +163,10 @@ _DEMOTED_STABLE = [
     # — r6 late demotion making room for pagerank_customer_supplier
     # (the first iterative weighted-graph row)
     "all_pairs_top3",
+    # text→training-units family: doc_sequence_packing (zero-waste
+    # concat-and-chunk layout) holds the window slot; the overlapping
+    # RAG-chunker twin registers demoted from birth
+    "doc_chunk_windows",
 ]
 
 # Rows-only queries that EARN a driver slot despite having no oracle:

@@ -1318,3 +1318,63 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ", -1)),
         _SEQ_LEN,
     )
+
+
+_CHUNK_LEN, _CHUNK_STRIDE = 64, 32
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents),
+s AS (
+  SELECT doc_id, toks, n, unnest(range(0, n, {_CHUNK_STRIDE})) AS start
+  FROM t)
+SELECT doc_id,
+       CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS chunk_start,
+       CAST(least({_CHUNK_LEN}, n - start) AS BIGINT) AS chunk_len,
+       array_to_string(toks[start + 1 : least(start + {_CHUNK_LEN}, n)], ' ')
+         AS chunk_text
+FROM s
+""",
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/embedding-pipeline
+    unit-of-work splitter ({_CHUNK_LEN}-token chunks, {_CHUNK_STRIDE}
+    stride, trailing chunk short): every downstream embed/dedup/search
+    stage operates per chunk, so this op defines the corpus the vector
+    side indexes. Pure Catalyst HOFs (split → sequence → explode →
+    slice → array_join) — no UDF, one narrow stage, no exchange at
+    all: chunks derive row-local from each document, so the 100 TB
+    corpus chunks map-side inside the scan. The overlap twin of the
+    zero-waste `doc_sequence_packing` layout (which holds the family's
+    driver-window slot; this registers demoted-from-birth)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ", -1)
+    n = F.size(toks).cast("long")
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0).cast("long"), n - 1, F.lit(_CHUNK_STRIDE).cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        docs.select(
+            "doc_id",
+            toks.alias("toks"),
+            n.alias("n"),
+            F.explode(starts).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.col("start").alias("chunk_start"),
+            F.least(F.lit(_CHUNK_LEN).cast("long"), F.col("n") - F.col("start")).alias(
+                "chunk_len"
+            ),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start").cast("int") + 1, _CHUNK_LEN), " "
+            ).alias("chunk_text"),
+        )
+    )

@@ -269,3 +269,33 @@ def test_pagerank_integer_matches_reference_loop(spark):
         ranks = {n: base + (inc[n] * 85) // 100 for n in deg}
     assert got == ranks
     assert got[0] == max(got.values())  # the hub dominates
+
+
+def test_chunk_windows_cover_and_overlap(spark):
+    """Chunk invariants on real documents: starts advance by exactly
+    the stride, the union of [start, start+len) covers [0, n) with no
+    gap, every chunk has stride < len <= chunk_len tokens except the
+    tail, and chunk 0's text is the document's first chunk_len tokens."""
+    from rust_vector_search_spark.plans import QUERIES
+
+    rows = QUERIES["doc_chunk_windows"](spark, SF_ORACLE).collect()
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, SF_ORACLE, "documents").collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {d for d, t in docs.items() if len(t) > 0}
+    for doc_id, chunks in by_doc.items():
+        toks = docs[doc_id]
+        chunks.sort(key=lambda r: r["chunk_id"])
+        for i, c in enumerate(chunks):
+            assert c["chunk_id"] == i and c["chunk_start"] == i * 32
+            assert c["chunk_len"] == min(64, len(toks) - c["chunk_start"])
+            assert c["chunk_text"] == " ".join(
+                toks[c["chunk_start"] : c["chunk_start"] + 64]
+            )
+        last = chunks[-1]
+        assert last["chunk_start"] + last["chunk_len"] == len(toks)
+        assert last["chunk_start"] < len(toks) <= last["chunk_start"] + 32 or len(chunks) == 1
