@@ -167,6 +167,10 @@ _DEMOTED_STABLE = [
     # concat-and-chunk layout) holds the window slot; the overlapping
     # RAG-chunker twin registers demoted from birth
     "doc_chunk_windows",
+    # skew family: salted_agg_orders_by_status holds the window slot;
+    # the join-side salting rewrite registers demoted from birth (its
+    # oracle is the PLAIN join — value-checked locally every round)
+    "salted_join_orders_lineitem",
 ]
 
 # Rows-only queries that EARN a driver slot despite having no oracle:

@@ -1237,3 +1237,39 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PR_TOPK)
         .select("node", "rank", "rnk")
     )
+
+
+@register(
+    "salted_join_orders_lineitem",
+    oracle=f"""
+SELECT o.o_orderstatus,
+       count(*) AS n_rows,
+       {dd_sum("l.l_extendedprice * (1.0 - l.l_discount)", 6)} AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+""",
+)
+def salted_join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/skew.salted_join) — the rewrite
+    for the both-sides-too-big-to-broadcast skewed join AQE can't
+    always split: the big side salts deterministically, the small side
+    replicates 16×, the join key becomes (key, salt) so one hot key
+    spreads over 16 reducers. A shuffle_hash hint pins the exchange
+    strategy so the demo actually exercises the salted shuffle (the
+    16×-replicated orders side would otherwise auto-broadcast at this
+    scale). The oracle is the PLAIN key join — proving the rewrite
+    emits exactly the same rows."""
+    from ..operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    joined = salted_join(
+        li, orders.hint("shuffle_hash"), "l_orderkey", "o_orderkey", 16
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(revenue, 6).alias("revenue"),
+    )

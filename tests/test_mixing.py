@@ -299,3 +299,29 @@ def test_chunk_windows_cover_and_overlap(spark):
         last = chunks[-1]
         assert last["chunk_start"] + last["chunk_len"] == len(toks)
         assert last["chunk_start"] < len(toks) <= last["chunk_start"] + 32 or len(chunks) == 1
+
+
+def test_salted_join_equals_plain_join_and_salts_the_key(spark):
+    """The salted join emits exactly the plain join's rows, and the
+    physical join key really includes the salt (so a hot key spreads
+    over num_salts reducers) with the shuffle strategy honored."""
+    import io
+    from contextlib import redirect_stdout
+
+    from rust_vector_search_spark.operators.skew import salted_join
+
+    orders = load_table(spark, SF_ORACLE, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = load_table(spark, SF_ORACLE, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    j = salted_join(li, orders.hint("shuffle_hash"), "l_orderkey", "o_orderkey", 8)
+    plain = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert "_salt" in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
