@@ -86,6 +86,12 @@ MUST_BE_IN_WINDOW = [
     # r6-new: baseline-JPEG codec modality (VERDICT r5 item 7 retired
     # with a real decoder, not just a typed error)
     "multimodal_jpeg_features",
+    # r6 late: runtime-filter join pruning (bloom words in the scan
+    # stage) — the join-filter family's only row
+    "bloom_prune_lineitem_orders",
+    # r6 late: integer PageRank — the iterative weighted-graph
+    # family's only row
+    "pagerank_customer_supplier",
 ]
 
 
