@@ -647,9 +647,11 @@ def setop_nations_in_both_segments(spark: SparkSession, sf_dir: str) -> DataFram
 def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ cardinality per event type — the sketch the exact
     COUNT(DISTINCT) queries fall back to at 100 TB (one pass, bounded
-    memory, mergeable partials). Sketch internals are engine-specific,
+    memory, mergeable partials). Spark's HLL++ state is engine-internal,
     so this registers rows-only; the exact twin is
-    events_user_activity_distinct."""
+    events_user_activity_distinct and the value-hash-checked
+    engine-portable HLL is events_hll_distinct_users
+    (operators/sketch.hll_distinct)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
