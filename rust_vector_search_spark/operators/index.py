@@ -55,7 +55,13 @@ from pyspark.sql.window import Window
 
 from ..functions.vector import avg_vec, dot, point_is_above, sub_vec
 
-__all__ = ["RPForest", "build_rp_forest", "save_index", "load_index"]
+__all__ = [
+    "RPForest",
+    "build_rp_forest",
+    "build_rp_forest_batched",
+    "save_index",
+    "load_index",
+]
 
 
 @dataclass
@@ -153,6 +159,7 @@ def build_rp_forest(
     dedup: bool = True,
     checkpoint_interval: int = 1,
     local_threshold: int = 8192,
+    tree_offset: int = 0,
 ) -> RPForest:
     """Build the forest (O8 ``build_index``, ``src/lib.rs:81-103``).
 
@@ -164,7 +171,13 @@ def build_rp_forest(
     ``local_threshold``: node populations at or below this finish their
     subtree inside one applyInPandas task (phase 2); set 0 to force the
     pure level-synchronous build. Sized so a group's vectors fit one
-    task comfortably (8192 × 300 d × 8 B ≈ 20 MB)."""
+    task comfortably (8192 × 300 d × 8 B ≈ 20 MB).
+
+    ``tree_offset``: first tree id to build (trees span
+    ``[tree_offset, tree_offset + num_trees)``). Every pivot hash is
+    salted with the absolute tree_id, so building trees [10, 20) here is
+    bit-identical to trees 10-19 of a single 50-tree build — the
+    property ``build_rp_forest_batched`` relies on."""
     spark = emb.sparkSession
     base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
     if dedup:
@@ -176,7 +189,9 @@ def build_rp_forest(
     ).collect()[0]
     n_base, dim = int(probe.n), int(probe.d or 0)
 
-    trees = spark.range(num_trees).select(F.col("id").cast("int").alias("tree_id"))
+    trees = spark.range(tree_offset, tree_offset + num_trees).select(
+        F.col("id").cast("int").alias("tree_id")
+    )
 
     all_leaves: list[DataFrame] = []
     all_nodes: list[DataFrame] = []
@@ -370,6 +385,91 @@ def build_rp_forest(
         node_count=stats.n,
         dim=dim,
     )
+
+
+def build_rp_forest_batched(
+    emb: DataFrame,
+    path: str,
+    num_trees: int = 16,
+    max_node_size: int = 32,
+    seed: int = 42,
+    max_depth: int = 24,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dedup: bool = True,
+    local_threshold: int = 8192,
+    tree_batch_size: int = 8,
+) -> RPForest:
+    """Build the forest ``tree_batch_size`` trees at a time, appending
+    each batch to one tree_id-partitioned Parquet index at ``path``.
+
+    Why: the phase-2 subtree exchange ships each vector once PER TREE
+    (each subtree task needs its vectors' payloads) — at the reference's
+    wiki-news target (1M × 300-d × 50 trees, ``src/main.rs:17,141``)
+    that is ~65 GB of shuffle, which exceeded this container's local
+    disk (BASELINE.md §1M attempt). Batching bounds peak scratch disk to
+    ONE batch's exchange: after a batch's nodes/leaves land in Parquet,
+    its DataFrame references drop and a driver+JVM GC lets Spark's
+    ContextCleaner reclaim the batch's shuffle files and checkpoint
+    blocks before the next batch starts. The same knob serves a real
+    cluster whose executors have bounded local scratch.
+
+    Bit-equivalence: every pivot hash is salted with the ABSOLUTE
+    tree_id (``tree_offset``), so the concatenation of batches is
+    bit-identical to the monolithic ``build_rp_forest`` at the same
+    (num_trees, max_node_size, seed, max_depth, local_threshold) —
+    pinned by tests/test_index_persistence.py.
+
+    Returns the combined forest loaded back from ``path`` (its lineage
+    is a Parquet scan, so searching it never re-runs the build)."""
+    import gc as _gc
+    import shutil as _shutil
+
+    spark = emb.sparkSession
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
+    if dedup:
+        keep = base.groupBy("emb").agg(F.min("vec_id").alias("vec_id"))
+        base = base.join(keep, ["emb", "vec_id"], "left_semi")
+    # dedup once, scan per batch: each batch reads Parquet instead of
+    # re-running the dedup exchange (and the batch lineage stays flat)
+    base.write.mode("overwrite").parquet(f"{path}/emb")
+    emb_pq = spark.read.parquet(f"{path}/emb")
+
+    for sub in ("nodes", "leaves"):
+        _shutil.rmtree(f"{path}/{sub}", ignore_errors=True)
+
+    for offset in range(0, num_trees, tree_batch_size):
+        batch = min(tree_batch_size, num_trees - offset)
+        forest = build_rp_forest(
+            emb_pq,
+            num_trees=batch,
+            max_node_size=max_node_size,
+            seed=seed,
+            max_depth=max_depth,
+            id_col="vec_id",
+            vec_col="emb",
+            dedup=False,
+            local_threshold=local_threshold,
+            tree_offset=offset,
+        )
+        forest.nodes.write.mode("append").partitionBy("tree_id").parquet(
+            f"{path}/nodes"
+        )
+        forest.leaves.write.mode("append").partitionBy("tree_id").parquet(
+            f"{path}/leaves"
+        )
+        # drop every reference to the batch, then GC both runtimes so the
+        # ContextCleaner frees its shuffle files / checkpoint blocks NOW
+        # (not at some later arbitrary driver GC) — this is what bounds
+        # peak scratch disk to one batch
+        del forest
+        _gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass  # Spark Connect: no JVM handle; cleaner runs on its own
+
+    return load_index(spark, path, num_trees, max_node_size, seed)
 
 
 def save_index(forest: RPForest, path: str) -> None:

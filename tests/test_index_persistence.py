@@ -91,3 +91,40 @@ def test_fixture_search_join_and_broadcast_routes_agree(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_batched_build_bit_identical_to_monolithic(spark, tmp_path):
+    """build_rp_forest_batched (bounded-scratch path for the 1M-vector
+    wiki-news target, BASELINE.md §1M attempt) must emit EXACTLY the
+    forest the monolithic build emits: tree hashes are salted with the
+    absolute tree_id, so batch boundaries cannot leak into geometry."""
+    from rust_vector_search_spark.operators.index import build_rp_forest_batched
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    mono = build_rp_forest(
+        emb, num_trees=7, max_node_size=8, seed=42, local_threshold=64
+    )
+    batched = build_rp_forest_batched(
+        emb,
+        str(tmp_path / "bidx"),
+        num_trees=7,
+        max_node_size=8,
+        seed=42,
+        local_threshold=64,
+        tree_batch_size=3,  # 3 + 3 + 1: exercises a ragged final batch
+    )
+
+    def node_set(f):
+        return {
+            (r.tree_id, r.node_path, tuple(r.coeffs), r.constant)
+            for r in f.nodes.collect()
+        }
+
+    def leaf_set(f):
+        return {(r.tree_id, r.leaf_path, r.vec_id) for r in f.leaves.collect()}
+
+    assert node_set(batched) == node_set(mono)
+    assert leaf_set(batched) == leaf_set(mono)
+    assert batched.max_depth == mono.max_depth
+    assert batched.node_count == mono.node_count
+    assert batched.dim == mono.dim

@@ -10,8 +10,12 @@ unstructured i.i.d. Gaussian, the degenerate worst case for ANY
 space-partitioning index (measured: recall 0.39 at 20k, reference
 config — recorded in BASELINE.md as the adversarial floor).
 
-Usage: python tools/scale_probe.py [n_vectors] [num_trees] [leaf] [--gaussian]
+Usage: python tools/scale_probe.py [n_vectors] [num_trees] [leaf]
+           [--gaussian] [--batch B]
 Defaults: 100_000 vectors, the reference's 50 trees / leaf 5.
+``--batch B`` builds B trees at a time via build_rp_forest_batched —
+bounds peak scratch disk to one batch's subtree exchange (the 65 GB
+all-at-once exchange is what killed the first 1M attempt, BASELINE.md).
 NB: local-mode driver JVM holds all per-level checkpoint blocks — run
 with SPARK_GRAFT_DRIVER_MEM=48g for n >= 100k.
 """
@@ -32,8 +36,14 @@ import pyspark.sql.functions as F  # noqa: E402
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--gaussian"]
-    gaussian = "--gaussian" in sys.argv
+    argv = sys.argv[1:]
+    batch = 0
+    if "--batch" in argv:
+        i = argv.index("--batch")
+        batch = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if a != "--gaussian"]
+    gaussian = "--gaussian" in argv
     n = int(args[0]) if len(args) > 0 else 100_000
     num_trees = int(args[1]) if len(args) > 1 else 50
     leaf = int(args[2]) if len(args) > 2 else 5
@@ -46,7 +56,10 @@ def main() -> None:
     # override SPARK_GRAFT_BC_NODES_MB here.
     os.environ.setdefault("SPARK_GRAFT_MAX_RESULT", "8g")
 
-    from rust_vector_search_spark.operators.index import build_rp_forest
+    from rust_vector_search_spark.operators.index import (
+        build_rp_forest,
+        build_rp_forest_batched,
+    )
     from rust_vector_search_spark.operators.knn import knn_exact_fast
     from rust_vector_search_spark.operators.search import search_rp_forest
     from rust_vector_search_spark.session import get_spark
@@ -81,18 +94,32 @@ def main() -> None:
         emb.count()
 
         t0 = time.time()
-        forest = build_rp_forest(
-            emb,
-            num_trees=num_trees,
-            max_node_size=leaf,
-            seed=42,
-            max_depth=32,
-            local_threshold=16384,
-        )
+        if batch:
+            forest = build_rp_forest_batched(
+                emb,
+                f"{work}/idx",
+                num_trees=num_trees,
+                max_node_size=leaf,
+                seed=42,
+                max_depth=32,
+                local_threshold=16384,
+                tree_batch_size=batch,
+            )
+        else:
+            forest = build_rp_forest(
+                emb,
+                num_trees=num_trees,
+                max_node_size=leaf,
+                seed=42,
+                max_depth=32,
+                local_threshold=16384,
+            )
         t_build = time.time() - t0
+        free_gb = shutil.disk_usage("/").free / 2**30
         print(
             f"RESULT build: {t_build:.1f}s  trees={num_trees} leaf<={leaf} "
-            f"nodes={forest.node_count} depth={forest.max_depth}",
+            f"nodes={forest.node_count} depth={forest.max_depth} "
+            f"batch={batch or 'mono'} disk_free={free_gb:.0f}G",
             flush=True,
         )
 
