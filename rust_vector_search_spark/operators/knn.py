@@ -215,3 +215,39 @@ def knn_exact_fast(
     if exclude_self:
         partial = partial.filter(F.col("vec_id") != F.col("query_id"))
     return _topk(partial, k, [F.col("dist").asc(), F.col("vec_id").asc()])
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the top-k most-similar corpus vectors with a DIFFERENT label — the
+    near-miss examples a retriever/embedding model learns the most from
+    (in-batch random negatives are trivially easy; the hard ones sit
+    just across the class boundary).
+
+    ``queries`` carries (query_id, query_vec, query_label). This exact
+    form is the broadcast-queries baseline (same shape as
+    ``knn_exact_cosine`` — the oracle ground truth); a corpus-sized
+    query set composes the label filter with the IVF cell or RP-forest
+    candidate joins instead (operators/ivf.py, plans/annindex.py),
+    which keeps candidate generation sub-linear and applies the
+    label-mismatch predicate before the re-rank.
+    """
+    pairs = corpus.crossJoin(F.broadcast(queries)).filter(
+        (F.col(id_col) != F.col("query_id"))
+        & (F.col(label_col) != F.col("query_label"))
+    )
+    scored = pairs.select(
+        "query_id",
+        "query_label",
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("neg_label"),
+        cosine_sim("query_vec", vec_col).alias("cos_sim"),
+    )
+    return _topk(scored, k, [F.col("cos_sim").desc(), F.col("vec_id").asc()])

@@ -171,6 +171,28 @@ _DEMOTED_STABLE = [
     # the join-side salting rewrite registers demoted from birth (its
     # oracle is the PLAIN join — value-checked locally every round)
     "salted_join_orders_lineitem",
+    # r6b: agg-head family — q1 value-checks the same lineitem
+    # scan+filter+decimal-agg head with a richer aggregate list, and
+    # bloom_prune_lineitem_orders carries the identical
+    # price*(1-discount) revenue expression; slot to zorder_layout_stats
+    # (the first data-layout/skipping row)
+    "q6_forecast_revenue",
+    # r6b: rank-window family — the row_number-per-partition shape is
+    # carried in-window by scd2_customer_order_history (row_number +
+    # lead + cumsum over the same per-customer window) and by every kNN
+    # top-k window; slot to scd2 (the first CDC/versioning row)
+    "top3_orders_per_customer",
+    # r6b: exact-kNN family — knn_with_doc_labels (= entry(), in-window)
+    # computes the same sq-euclidean fold and rnk window over the same
+    # query set; slot to hard_negative_pairs (label-filtered contrastive
+    # mining — the new training-data row)
+    "knn_exact_euclidean",
+    # r6b: sessionization family — streaming_stateful_sessions replays
+    # the IDENTICAL 30-min gaps-and-islands math (same (ts, event_id)
+    # ordering) at per-session granularity through the stateful
+    # streaming path; a wrong gap decision changes its hash, so the
+    # batch per-user rollup stays transitively value-checked
+    "events_sessionization",
 ]
 
 # Rows-only queries that EARN a driver slot despite having no oracle:

@@ -1275,3 +1275,172 @@ def salted_join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum(revenue, 6).alias("revenue"),
     )
+
+
+def _zorder_layout_oracle() -> str:
+    from ..operators.layout import dd_morton_z2
+
+    z = dd_morton_z2("l_orderkey", "l_partkey")
+    return f"""
+WITH zb AS (
+  SELECT l_orderkey, l_partkey,
+         ntile(32) OVER (ORDER BY {z}, l_orderkey, l_partkey, l_linenumber)
+           AS bucket
+  FROM lineitem),
+nb AS (
+  SELECT l_orderkey, l_partkey,
+         ntile(32) OVER (ORDER BY l_orderkey, l_linenumber, l_partkey)
+           AS bucket
+  FROM lineitem),
+stats AS (
+  SELECT 'zorder' AS layout, bucket,
+         min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+         min(l_partkey)  AS min_partkey,  max(l_partkey)  AS max_partkey,
+         count(*) AS n_rows
+  FROM zb GROUP BY bucket
+  UNION ALL
+  SELECT 'natural' AS layout, bucket,
+         min(l_orderkey), max(l_orderkey),
+         min(l_partkey), max(l_partkey), count(*)
+  FROM nb GROUP BY bucket)
+SELECT layout, bucket, min_orderkey, max_orderkey, min_partkey, max_partkey,
+       n_rows,
+       (max_partkey >= 100 AND min_partkey <= 199) AS scan_needed
+FROM stats
+"""
+
+
+@register("zorder_layout_stats", oracle=_zorder_layout_oracle())
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout vs insertion order, measured by the min/max stats
+    a Parquet footer would carry (operators/layout.py): lineitem is cut
+    into 32 equal buckets twice — once sorted by the Morton interleave
+    of (l_orderkey, l_partkey), once by its natural (orderkey,
+    linenumber) order — and each bucket reports its per-key min/max
+    plus whether a scan with the selective predicate ``l_partkey
+    BETWEEN 100 AND 199`` could SKIP it. Under the natural layout
+    partkey values scatter across every bucket (scan_needed
+    everywhere); under z-order the predicate's rows concentrate in a
+    few buckets — the data-skipping effect Delta's OPTIMIZE ZORDER BY /
+    Iceberg's z-ordered rewrite buys, here as a pure-integer,
+    oracle-replayable plan (bit interleave = shift/and/or on BIGINT;
+    the only exchange is the one global sort any layout rewrite pays).
+    The reference keeps its corpus in RAM (src/lib.rs:15-19) — storage
+    layout is part of the Spark-first scale surface."""
+    from ..operators.layout import zorder_bucket_stats
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    zstats = zorder_bucket_stats(
+        li,
+        "l_orderkey",
+        "l_partkey",
+        n_buckets=32,
+        tie_break=["l_orderkey", "l_partkey", "l_linenumber"],
+    ).withColumn("layout", F.lit("zorder"))
+    nat_w = Window.orderBy("l_orderkey", "l_linenumber", "l_partkey")
+    nstats = (
+        li.withColumn("bucket", F.ntile(32).over(nat_w))
+        .groupBy("bucket")
+        .agg(
+            F.min("l_orderkey").alias("min_l_orderkey"),
+            F.max("l_orderkey").alias("max_l_orderkey"),
+            F.min("l_partkey").alias("min_l_partkey"),
+            F.max("l_partkey").alias("max_l_partkey"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn("layout", F.lit("natural"))
+    )
+    stats = zstats.unionByName(nstats)
+    return stats.select(
+        "layout",
+        "bucket",
+        F.col("min_l_orderkey").alias("min_orderkey"),
+        F.col("max_l_orderkey").alias("max_orderkey"),
+        F.col("min_l_partkey").alias("min_partkey"),
+        F.col("max_l_partkey").alias("max_partkey"),
+        "n_rows",
+        (
+            (F.col("max_l_partkey") >= 100) & (F.col("min_l_partkey") <= 199)
+        ).alias("scan_needed"),
+    )
+
+
+@register(
+    "scd2_customer_order_history",
+    oracle="""
+WITH daily AS (
+  SELECT o_custkey,
+         o_orderdate,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DECIMAL(38,2))
+           AS day_total,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey, o_orderdate),
+versioned AS (
+  SELECT o_custkey,
+         CAST(row_number() OVER w AS BIGINT) AS version,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER w AS valid_to,
+         day_total, n_orders,
+         CAST(SUM(day_total) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS cum_total
+  FROM daily
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate))
+SELECT v.o_custkey AS custkey, c.c_mktsegment AS segment,
+       v.version, v.valid_from, v.valid_to,
+       (v.valid_to IS NULL) AS is_current,
+       CAST(v.day_total AS DOUBLE) AS day_total,
+       v.n_orders, v.cum_total
+FROM versioned v JOIN customer c ON v.o_custkey = c.c_custkey
+""",
+)
+def scd2_customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 versioning — the CDC/merge
+    primitive every lakehouse pipeline runs: a change stream (here each
+    customer's daily order totals) becomes versioned dimension rows
+    with ``valid_from`` / ``valid_to`` half-open intervals, an
+    ``is_current`` flag on the open version, and a running balance.
+    One window exchange on the natural partition key (custkey) serves
+    the version number, the interval close (lead), and the cumulative
+    total; the dimension attributes arrive by broadcast join. Running
+    totals accumulate in DECIMAL (exact, order-independent) and cast to
+    DOUBLE once at the edge — the registry's portability contract, so
+    the whole history is value-hash-checkable."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("decimal(38,2)")
+            .alias("day_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    cum_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versioned = daily.select(
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        "day_total",
+        "n_orders",
+        F.sum("day_total").over(cum_w).cast("double").alias("cum_total"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return versioned.join(
+        F.broadcast(cust), versioned.o_custkey == cust.c_custkey
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        "version",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        F.col("day_total").cast("double").alias("day_total"),
+        "n_orders",
+        "cum_total",
+    )

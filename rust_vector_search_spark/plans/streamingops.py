@@ -272,3 +272,48 @@ def streaming_click_purchase_join_q(spark: SparkSession, sf_dir: str) -> DataFra
     )
     name = _run_to_memory(out, "ssjoin")
     return spark.table(name)
+
+
+@register(
+    "streaming_stateful_sessions",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged),
+agg AS (
+  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, sid)
+SELECT user_id, session_start, session_end, n_events,
+       (session_end = MAX(session_end) OVER (PARTITION BY user_id))
+         AS is_open
+FROM agg
+""",
+)
+def streaming_stateful_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization through a REAL readStream →
+    applyInPandasWithState → memory-sink pipeline
+    (streaming/incremental.py stateful_sessionizer): per-user session
+    state machines with an explicit (start, last, n) state schema —
+    the custom-stateful-operator category, value-hash-checked. The
+    single-file availableNow source makes the run one deterministic
+    micro-batch, so emitted sessions (closed ones plus the final open
+    snapshot per user) equal the batch gaps-and-islands islands — which
+    is exactly what the oracle replays; the batch built-in twin is
+    ``events_sessionization``/``events_session_windows``."""
+    from ..streaming import stateful_sessionizer
+
+    stream = _events_stream(spark, sf_dir, ordered=True).select(
+        "user_id", "ts", "event_id"
+    )
+    name = _run_to_memory(stateful_sessionizer(stream, gap_minutes=30), "sessst")
+    return spark.table(name)

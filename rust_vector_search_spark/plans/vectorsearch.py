@@ -567,3 +567,42 @@ def fasttext_vec_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x).alias("l1_sum"),
         F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x).alias("sq_norm"),
     )
+
+
+@register(
+    "hard_negative_pairs",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS query_label
+  FROM embeddings WHERE vec_id < {N_QUERIES})
+SELECT query_id, query_label, vec_id, neg_label, cos_sim, rnk FROM (
+  SELECT q.query_id, q.query_label, e.vec_id, e.label AS neg_label,
+         {dd_cosine('q.qv', 'e.embedding')} AS cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {dd_cosine('q.qv', 'e.embedding')} DESC, e.vec_id)
+           AS BIGINT) AS rnk
+  FROM q, embeddings e
+  WHERE e.vec_id <> q.query_id AND e.label <> q.query_label) t
+WHERE rnk <= 3
+""",
+)
+def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives (operators/knn.py
+    mine_hard_negatives): per query, the 3 most-cosine-similar vectors
+    whose label DIFFERS — the just-across-the-boundary near-misses a
+    retriever trains on. Exact broadcast-queries baseline here (the
+    oracle shape); the corpus-as-queries production form composes the
+    label-mismatch predicate with IVF-cell / forest candidate equi-joins
+    (sub-linear candidates, then re-rank)."""
+    from ..operators.knn import mine_hard_negatives
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return mine_hard_negatives(emb, queries, k=3).select(
+        "query_id", "query_label", "vec_id", "neg_label", "cos_sim", "rnk"
+    )

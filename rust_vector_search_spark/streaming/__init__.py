@@ -1,5 +1,6 @@
 from .incremental import (
     incremental_index_ingest,
+    stateful_sessionizer,
     stateful_user_counters,
     streaming_dedup,
     streaming_first_per_key,
@@ -9,6 +10,7 @@ from .incremental import (
 
 __all__ = [
     "incremental_index_ingest",
+    "stateful_sessionizer",
     "stateful_user_counters",
     "streaming_dedup",
     "streaming_first_per_key",

@@ -206,3 +206,84 @@ def stateful_user_counters(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_sessionizer(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization as a CUSTOM stateful streaming operator
+    (applyInPandasWithState) — the arbitrary-stateful escape hatch shape
+    (per-key state machine + explicit state schema) that built-in
+    session windows can't generalize to (per-key model state, CEP,
+    richer session payloads).
+
+    Per user the state is one open session (start_us, last_us, n).
+    Each micro-batch sorts its rows by (ts, event_id), folds them into
+    the state, EMITS every session the batch closes (gap > gap_minutes),
+    and finally emits the still-open session flagged ``is_open`` while
+    storing it for the next batch. Under a single availableNow batch the
+    emitted set is a pure function of the data — the batch
+    gaps-and-islands SQL replays it exactly (hence the oracle); a
+    production multi-batch run would emit open-session SNAPSHOTS per
+    batch (update-mode semantics) and close them by event-time timeout.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _epoch_us(series: "pd.Series") -> "pd.Series":
+        vals = series.astype("int64")
+        if str(series.dtype).endswith("[ns]"):
+            vals = vals // 1000
+        return vals
+
+    def _sessions(key, pdfs, state: GroupState):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        out_start, out_end, out_n, out_open = [], [], [], []
+        if len(batch):
+            batch = batch.assign(_us=_epoch_us(batch["ts"])).sort_values(
+                ["_us", "event_id"], kind="mergesort"
+            )
+            if state.exists:
+                start_us, last_us, n = state.get
+            else:
+                start_us, last_us, n = None, None, 0
+            for ts_us in batch["_us"].to_numpy():
+                ts_us = int(ts_us)
+                if start_us is None:
+                    start_us, last_us, n = ts_us, ts_us, 1
+                elif ts_us - last_us > gap_us:
+                    out_start.append(start_us)
+                    out_end.append(last_us)
+                    out_n.append(n)
+                    out_open.append(False)
+                    start_us, last_us, n = ts_us, ts_us, 1
+                else:
+                    last_us, n = ts_us, n + 1
+            if start_us is not None:
+                # open-session snapshot: emitted for visibility, kept in
+                # state so a later batch can extend or close it
+                out_start.append(start_us)
+                out_end.append(last_us)
+                out_n.append(n)
+                out_open.append(True)
+                state.update((start_us, last_us, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_n),
+                "session_start": pd.to_datetime(out_start, unit="us"),
+                "session_end": pd.to_datetime(out_end, unit="us"),
+                "n_events": out_n,
+                "is_open": out_open,
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _sessions,
+        outputStructType=(
+            "user_id long, session_start timestamp, session_end timestamp, "
+            "n_events long, is_open boolean"
+        ),
+        stateStructType="start_us long, last_us long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -71,7 +71,11 @@ def test_hot_paths_have_no_python_udf(spark):
     """Distance math must stay JVM-side (higher-order functions), never
     row-at-a-time Python (SURVEY §2.2 UDF row: zero UDFs in hot path)."""
     for name in ("knn_exact_euclidean", "ann_ivf_topk", "dedup_minhash_lsh_pairs",
-                 "q1_pricing_summary", "dedup_simhash_pairs"):
+                 "q1_pricing_summary", "dedup_simhash_pairs",
+                 # r6b: layout bit-math, CDC windows, and label-filtered
+                 # mining are pure Catalyst too
+                 "zorder_layout_stats", "scd2_customer_order_history",
+                 "hard_negative_pairs"):
         plan = plan_of(QUERIES[name](spark, SF_SMOKE))
         assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
         assert "PythonUDF" not in plan, f"{name} fell off the JVM path"

@@ -92,6 +92,16 @@ MUST_BE_IN_WINDOW = [
     # r6 late: integer PageRank — the iterative weighted-graph
     # family's only row
     "pagerank_customer_supplier",
+    # r6b: z-order layout + min/max skipping stats — the first
+    # data-layout row (pure-integer Morton interleave, oracle-replayed)
+    "zorder_layout_stats",
+    # r6b: SCD type-2 versioned merge — the first CDC/versioning row
+    "scd2_customer_order_history",
+    # r6b: contrastive hard-negative mining over the embeddings table
+    "hard_negative_pairs",
+    # r6b: applyInPandasWithState sessionization — the custom stateful
+    # streaming operator, value-hash-checked against batch islands
+    "streaming_stateful_sessions",
 ]
 
 
