@@ -78,6 +78,14 @@ HEADLINE = [
     # symmetrized customer-supplier graph (one slim join + one agg per
     # iteration)
     "pagerank_customer_supplier",
+    # r6b additions: z-order skipping stats (global sort + bucket agg),
+    # SCD2 versioned merge (one window exchange + broadcast dim),
+    # contrastive hard-negative mining (broadcast-query exact baseline),
+    # and applyInPandasWithState sessionization (stateful streaming)
+    "zorder_layout_stats",
+    "scd2_customer_order_history",
+    "hard_negative_pairs",
+    "streaming_stateful_sessions",
 ]
 
 

@@ -606,6 +606,163 @@ def _blas_rerank(
     )
 
 
+def _route_self_spills_local(
+    forest: RPForest,
+    rep_leafsets: DataFrame,
+    margin: float,
+    max_spills: int,
+) -> DataFrame:
+    """Numpy twin of the self-search spill recovery: given one row per
+    surviving corpus vector carrying its embedding and its 50 main-path
+    leaves — ``(rep_id, emb, tree_ids array<int>, leaf_paths
+    array<string>)`` — emit ONLY the multi-probe spill leaves
+    (rep_id, tree_id, leaf_path). Main-path leaves never pass through
+    here (the caller unions ``forest.leaves`` directly).
+
+    Two vectorized stages per batch, mirroring ``route_queries``
+    semantics exactly:
+      1. LEVEL WALK along each vector's own known path: at depth d,
+         every active (vector, tree) row looks up its ancestor node by
+         string key (pandas map — C iteration, no per-node Python
+         frontier) and one einsum computes every n·x at that depth.
+         Near-boundary rows (|n·x + c|/‖n‖ < margin) seed a spill at
+         the sibling child.
+      2. FRONTIER DESCENT of the spill seeds only (same batched loop as
+         ``_route_local``, spills entering at 1) — the spilled subtrees
+         are a small fraction of the corpus-wide descent the generic
+         path pays.
+
+    Each embedding crosses the Arrow exchange ONCE (paths ride as two
+    parallel arrays), so the exchange volume matches the generic
+    routing path, while the Python work drops from (corpus × trees ×
+    depth) frontier visits to (levels × einsum) + the spilled fraction.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = rep_leafsets.sparkSession
+    npdf = forest.nodes.select(
+        "tree_id", "node_path", "coeffs", "constant", "coeff_norm"
+    ).toPandas()
+    key_to_idx = {
+        f"{t}:{p}": i
+        for i, (t, p) in enumerate(
+            zip(npdf["tree_id"].to_numpy(), npdf["node_path"])
+        )
+    }
+    C = np.array([np.asarray(c, dtype=np.float64) for c in npdf["coeffs"]])
+    consts = npdf["constant"].to_numpy(np.float64)
+    norms = npdf["coeff_norm"].to_numpy(np.float64)
+    bc = spark.sparkContext.broadcast((key_to_idx, C, consts, norms))
+
+    def _spills(batches):
+        k2i, Cm, cst, nrm = bc.value
+        empty = pd.DataFrame({"rep_id": [], "tree_id": [], "leaf_path": []})
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield empty
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["emb"]]
+            )
+            rep = pdf["rep_id"].to_numpy(np.int64)
+            # explode (vector × tree) rows: row index back into X
+            rowi: list[int] = []
+            trees: list[int] = []
+            paths: list[str] = []
+            for i, (ts, ps) in enumerate(zip(pdf["tree_ids"], pdf["leaf_paths"])):
+                rowi.extend([i] * len(ts))
+                trees.extend(int(t) for t in ts)
+                paths.extend(ps)
+            rowi_a = np.asarray(rowi, np.int64)
+            tree_s = pd.Series(trees, dtype="int64").astype(str)
+            path_s = pd.Series(paths, dtype="object")
+            plen = path_s.str.len().to_numpy()
+
+            from collections import defaultdict
+
+            seeds: dict = defaultdict(list)  # (tree, path) -> [(row, sp)]
+            for d in range(int(plen.max()) if len(plen) else 0):
+                act = np.nonzero(plen > d)[0]
+                if len(act) == 0:
+                    break
+                pfx = path_s.iloc[act].str.slice(0, d)
+                keys = tree_s.iloc[act].str.cat(pfx, sep=":")
+                idx = keys.map(k2i).to_numpy(np.int64)
+                v = (
+                    np.einsum("ij,ij->i", Cm[idx], X[rowi_a[act]])
+                    + cst[idx]
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    near = np.abs(v) / nrm[idx] < margin
+                near &= nrm[idx] > 0.0
+                if not near.any():
+                    continue
+                taken = path_s.iloc[act].str.slice(d, d + 1).to_numpy()
+                pfx_a = pfx.to_numpy()
+                for j in np.nonzero(near)[0]:
+                    g = act[j]
+                    sib = pfx_a[j] + ("0" if taken[j] == "1" else "1")
+                    seeds[(trees[g], sib)].append(rowi[g])
+
+            # frontier descent of the spilled branches only (sp enters
+            # at 1; further spills only while sp < max_spills — the
+            # exact semantics of route_queries' spilled children)
+            out_q: list = []
+            out_t: list = []
+            out_p: list = []
+            frontier = {
+                key: (
+                    np.asarray(rows, np.int64),
+                    np.ones(len(rows), np.int8),
+                )
+                for key, rows in seeds.items()
+            }
+            while frontier:
+                nxt: dict = {}
+
+                def _add(key, idx_a, sp):
+                    if key in nxt:
+                        i0, s0 = nxt[key]
+                        nxt[key] = (
+                            np.concatenate([i0, idx_a]),
+                            np.concatenate([s0, sp]),
+                        )
+                    else:
+                        nxt[key] = (idx_a, sp)
+
+                for (t, path), (idx_a, sp) in frontier.items():
+                    ni = k2i.get(f"{t}:{path}")
+                    if ni is None:  # no inner node here ⇒ leaf
+                        out_q.extend(rep[idx_a])
+                        out_t.extend([t] * len(idx_a))
+                        out_p.extend([path] * len(idx_a))
+                        continue
+                    v = X[idx_a] @ Cm[ni] + cst[ni]
+                    above = v >= 0.0
+                    if above.any():
+                        _add((t, path + "1"), idx_a[above], sp[above])
+                    below = ~above
+                    if below.any():
+                        _add((t, path + "0"), idx_a[below], sp[below])
+                    if margin > 0.0 and nrm[ni] > 0.0:
+                        near = (np.abs(v) / nrm[ni] < margin) & (sp < max_spills)
+                        spill_up = near & below
+                        spill_dn = near & above
+                        if spill_up.any():
+                            _add((t, path + "1"), idx_a[spill_up], sp[spill_up] + 1)
+                        if spill_dn.any():
+                            _add((t, path + "0"), idx_a[spill_dn], sp[spill_dn] + 1)
+                frontier = nxt
+            yield pd.DataFrame(
+                {"rep_id": out_q, "tree_id": out_t, "leaf_path": out_p}
+            )
+
+    return rep_leafsets.mapInPandas(
+        _spills, "rep_id long, tree_id int, leaf_path string"
+    )
+
+
 def search_rp_forest_self(
     forest: RPForest,
     corpus: DataFrame,
@@ -615,6 +772,7 @@ def search_rp_forest_self(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: str = "hof",
+    engine: str = "catalyst",
 ) -> DataFrame:
     """Corpus-as-queries self-search — the 100 TB dedup shape
     (``src/main.rs:100-123``), ZERO Python in the plan.
@@ -656,6 +814,15 @@ def search_rp_forest_self(
     broadcast), where the generic path degrades to a join-chain that
     re-descends the whole corpus: leaves-reuse skips exactly that
     re-descent, and everything stays in codegen.
+
+    ``engine="numpy"`` (r6b) combines the two regimes' strengths UNDER
+    the gate: main-path leaves still come free from the leaves table,
+    and only the spill detection + spilled-branch descent run in Python
+    — one level-walk einsum over each vector's own ancestor chain plus
+    a frontier descent of the spilled fraction
+    (``_route_self_spills_local``), instead of the generic path's
+    full corpus × trees × depth frontier. Falls back to the Catalyst
+    spill chain when the node table exceeds the broadcast gate.
     """
     spark = corpus.sparkSession
     queries = corpus.select(
@@ -689,7 +856,36 @@ def search_rp_forest_self(
     nodes = forest.nodes
 
     routed_parts = [rep_routed]
-    if margin > 0.0:
+    use_numpy_spills = (
+        engine == "numpy"
+        and margin > 0.0
+        and forest.node_count > 0
+        and forest.node_count * per_node < gate
+    )
+    if use_numpy_spills:
+        rep_emb = corpus.join(
+            reps.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
+        ).select(F.col(id_col).alias("rep_id"), F.col(vec_col).alias("emb"))
+        # each rep's 50 main paths ride as two parallel arrays — the
+        # embedding crosses the Arrow exchange once, not once per tree
+        # ONE collect_list of structs, split after: two independent
+        # collect_lists would not guarantee positional correspondence
+        leafsets = (
+            forest.leaves.groupBy(F.col("vec_id").alias("rep_id"))
+            .agg(F.collect_list(F.struct("tree_id", "leaf_path")).alias("tl"))
+            .select(
+                "rep_id",
+                F.col("tl.tree_id").alias("tree_ids"),
+                F.col("tl.leaf_path").alias("leaf_paths"),
+            )
+        )
+        rep_leafsets = rep_emb.join(leafsets, "rep_id").select(
+            "rep_id", "emb", "tree_ids", "leaf_paths"
+        )
+        routed_parts.append(
+            _route_self_spills_local(forest, rep_leafsets, margin, 1)
+        )
+    elif margin > 0.0:
         rep_emb = corpus.join(
             reps.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
         ).select(F.col(id_col).alias("rep_id"), F.col(vec_col).alias("emb"))

@@ -173,3 +173,73 @@ def test_label_cluster_stats_consistent_with_centroids(spark):
     for label, poses in by_label.items():
         norm = math.sqrt(sum(v * v for v in poses.values()))
         assert math.isclose(norm, stats[label].centroid_norm, rel_tol=1e-9)
+
+
+def test_self_search_numpy_engine_matches_catalyst(emb):
+    """The r6b numpy spill path (level-walk einsum + spilled-frontier
+    descent, _route_self_spills_local) must produce the same result
+    set as the Catalyst spill chain — same leaves-reuse semantics,
+    different execution engine."""
+    from rust_vector_search_spark.operators.search import search_rp_forest_self
+
+    forest = build_rp_forest(emb, num_trees=8, max_node_size=5, seed=42)
+    cat = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in search_rp_forest_self(
+            forest, emb, k=3, spill_margin="auto", engine="catalyst"
+        ).collect()
+    }
+    np_ = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in search_rp_forest_self(
+            forest, emb, k=3, spill_margin="auto", engine="numpy"
+        ).collect()
+    }
+    assert cat == np_
+
+
+def test_self_search_numpy_engine_matches_generic_routing(emb):
+    """Leaves-reuse + numpy spills must equal the generic full-descent
+    routing at max_spills=1 on the routed-leaf level: same forest, same
+    margin, same (query, tree, leaf) set."""
+    from rust_vector_search_spark.operators.search import (
+        _route_self_spills_local,
+        resolve_spill_margin,
+        route_queries,
+    )
+
+    forest = build_rp_forest(emb, num_trees=6, max_node_size=5, seed=7)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    margin = resolve_spill_margin(queries)
+    generic = {
+        (r.query_id, r.tree_id, r.leaf_path)
+        for r in route_queries(
+            forest, queries, spill_margin=margin, max_spills=1,
+            route_strategy="broadcast",
+        ).collect()
+    }
+
+    leafsets = (
+        forest.leaves.groupBy(F.col("vec_id").alias("rep_id"))
+        .agg(F.collect_list(F.struct("tree_id", "leaf_path")).alias("tl"))
+        .select(
+            "rep_id",
+            F.col("tl.tree_id").alias("tree_ids"),
+            F.col("tl.leaf_path").alias("leaf_paths"),
+        )
+    )
+    rep_leafsets = emb.select(
+        F.col("vec_id").alias("rep_id"), F.col("embedding").alias("emb")
+    ).join(leafsets, "rep_id")
+    spills = {
+        (r.rep_id, r.tree_id, r.leaf_path)
+        for r in _route_self_spills_local(
+            forest, rep_leafsets, margin, 1
+        ).collect()
+    }
+    mains = {
+        (r.vec_id, r.tree_id, r.leaf_path) for r in forest.leaves.collect()
+    }
+    assert mains | spills == generic
