@@ -187,6 +187,11 @@ _DEMOTED_STABLE = [
     # query set; slot to hard_negative_pairs (label-filtered contrastive
     # mining — the new training-data row)
     "knn_exact_euclidean",
+    # r6b: lexical-relevance family — doc_bm25_hash_join_scan holds the
+    # window slot (same tokenization, same no-libm rational-score
+    # discipline); the TF-IDF keyword extractor registers demoted from
+    # birth, value-checked locally every round
+    "doc_tfidf_top_terms",
     # r6b: sessionization family — streaming_stateful_sessions replays
     # the IDENTICAL 30-min gaps-and-islands math (same (ts, event_id)
     # ordering) at per-session granularity through the stateful

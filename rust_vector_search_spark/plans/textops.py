@@ -1378,3 +1378,61 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_text"),
         )
     )
+
+
+@register(
+    "doc_tfidf_top_terms",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, s AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS s FROM documents)
+  WHERE s <> ''
+  GROUP BY doc_id, s),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, score, rnk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (df.df + 1) AS score,
+         CAST(row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (df.df + 1) DESC,
+                    tf.term) AS BIGINT) AS rnk
+  FROM tf JOIN df USING (term) CROSS JOIN n) t
+WHERE rnk <= 3
+""",
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the keyword-extraction /
+    relevance-weighting primitive next to BM25 (which holds the lexical
+    window slot). Cross-engine exactness uses the registry's rational
+    trick: the score is ONE IEEE division of exact integers,
+    tf·(N+1) / (df+1) — integer products below 2^53 divide
+    correctly-rounded identically in both engines, so ranks (tie-broken
+    by term) hash-match bitwise; no ln()/pow() idf (libm results are
+    not portable — same rationale as the BM25 odds-idf). Plan: the
+    explode→(doc, term) count and the term df are the two
+    algorithm-required exchanges; N broadcasts as a scalar; the top-3
+    window reuses the (doc_id) partitioning of the tf agg."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    n_docs = docs.count()
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = (F.col("tf") * (n_docs + 1)).cast("double") / (F.col("df") + 1)
+    w = Window.partitionBy("doc_id").orderBy(
+        score.desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
