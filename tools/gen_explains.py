@@ -140,6 +140,33 @@ NOTES = {
         "perturb the fixpoint). At cluster scale the edge frame "
         "buckets by src once and every iteration joins co-located."
     ),
+    "zorder_layout_stats": (
+        "The Morton interleave is 64 BIGINT shift/and/or terms inside "
+        "whole-stage codegen — no UDF; the only exchange is the single "
+        "global sort any layout rewrite pays (at cluster scale: "
+        "repartitionByRange on zval + sortWithinPartitions), and the "
+        "bucket stats aggregate map-side before the final merge."
+    ),
+    "scd2_customer_order_history": (
+        "ONE hash exchange on o_custkey serves the version row_number, "
+        "the lead() interval close, and the decimal running balance "
+        "(three window functions over the same sort); customer "
+        "attributes arrive as a BroadcastHashJoin — the change stream "
+        "never re-shuffles for the dimension."
+    ),
+    "hard_negative_pairs": (
+        "The 10-row labeled query set broadcasts "
+        "(BroadcastNestedLoopJoin); the label-mismatch predicate "
+        "filters INSIDE the join stage before any distance math, and "
+        "the cosine fold is a Catalyst HOF in codegen — the corpus "
+        "shuffles once, for the per-query top-k window."
+    ),
+    "doc_tfidf_top_terms": (
+        "Two algorithm-required exchanges — the (doc, term) tf count "
+        "and the per-term df — both partial+final; N arrives as a "
+        "literal; the top-3 window reuses the doc_id hash partitioning "
+        "of the tf aggregate, so no third computation shuffle."
+    ),
 }
 
 
