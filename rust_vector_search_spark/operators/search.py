@@ -344,6 +344,18 @@ def route_queries(
             "query_vec",
             F.col("_c.s").alias("spills"),
         )
+        # LINEAGE TRUNCATION every few levels in the lazy deep-index
+        # chain: a depth-32 chain over a 16M-node table produced a
+        # logical plan Catalyst's optimizer (MergeScalarSubqueries
+        # rewrite) chewed on for 39 CPU-MINUTES at the 1M × 300-d probe
+        # — a driver-side planning explosion, not an execution cost.
+        # Checkpointing every 8 levels bounds each job's plan to an
+        # 8-level suffix while keeping the materialization count low
+        # (the per-level variant measured slower at probe scale; the
+        # "join" strategy above still checkpoints every level because
+        # oracle replay needs narrow per-level reads).
+        if route_strategy != "join" and depth % 8 == 7:
+            active = active.localCheckpoint(eager=True)
     # rows that descended past the deepest hyperplane level are at leaves
     routed_parts.append(
         active.select("query_id", "tree_id", F.col("node_path").alias("leaf_path"))

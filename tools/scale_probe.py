@@ -42,6 +42,14 @@ def main() -> None:
         i = argv.index("--batch")
         batch = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
+    index_dir = None
+    if "--index" in argv:
+        # search-only mode: reuse a previously-built batched index (its
+        # dir holds idx/{nodes,leaves} and the deduped emb parquet) —
+        # lets the search/recall legs re-run without paying the build
+        i = argv.index("--index")
+        index_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     args = [a for a in argv if a != "--gaussian"]
     gaussian = "--gaussian" in argv
     n = int(args[0]) if len(args) > 0 else 100_000
@@ -65,6 +73,45 @@ def main() -> None:
     from rust_vector_search_spark.session import get_spark
 
     spark = get_spark(app_name="scale_probe")
+
+    if index_dir:
+        from rust_vector_search_spark.operators.index import load_index
+        from rust_vector_search_spark.operators.knn import knn_exact_fast
+        from rust_vector_search_spark.operators.search import search_rp_forest
+        from rust_vector_search_spark.session import get_spark
+
+        spark = get_spark(app_name="scale_probe_search")
+        emb = spark.read.parquet(f"{index_dir}/idx/emb").withColumnRenamed(
+            "emb", "embedding"
+        )
+        forest = load_index(
+            spark, f"{index_dir}/idx", num_trees=num_trees,
+            max_node_size=leaf, seed=42,
+        )
+        print(
+            f"loaded index: nodes={forest.node_count} depth={forest.max_depth}",
+            flush=True,
+        )
+        q = emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        t0 = time.time()
+        approx = search_rp_forest(forest, emb, q, k=k).select(
+            "query_id", "vec_id"
+        ).localCheckpoint(eager=True)
+        n_approx = approx.count()
+        t_search = time.time() - t0
+        print(f"RESULT search: {t_search:.1f}s  ({n_approx} result rows)", flush=True)
+        exact = knn_exact_fast(emb, q, k=k).select("query_id", "vec_id")
+        hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+        total = n_queries * k
+        print(
+            f"RESULT recall@{k}: {hits / total:.3f}  "
+            f"({num_trees} trees, leaf<={leaf}, from {index_dir})",
+            flush=True,
+        )
+        return
 
     work = tempfile.mkdtemp(prefix="scale_probe_")
     try:
