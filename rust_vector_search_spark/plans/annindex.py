@@ -21,7 +21,7 @@ from ..operators.knn import knn_exact
 from ..operators.search import search_rp_forest
 from ..session import ensure_deterministic_session
 from ..sources import load_table
-from .registry import dd_dot, dd_sq_euc, register
+from .registry import dd_dot, dd_sq_euc, register, release_driver_blocks
 
 K = 10
 N_QUERIES = 10
@@ -31,6 +31,10 @@ NPROBE = 3
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_deterministic_session(spark)
+    # every query in this module builds/searches an index — localCheckpoint
+    # blocks and broadcasts from EARLIER window queries must not be the
+    # reason a forest row OOMs a default-heap driver session
+    release_driver_blocks(spark)
     return load_table(spark, sf_dir, "embeddings")
 
 

@@ -78,3 +78,52 @@ def dd_dot(a: str, b: str) -> str:
 def dd_cosine(a: str, b: str) -> str:
     """DuckDB twin of functions.vector.cosine_sim (bit-identical)."""
     return f"({dd_dot(a, b)} / (sqrt({dd_dot(a, a)}) * sqrt({dd_dot(b, b)})))"
+
+
+def release_driver_blocks(spark: SparkSession) -> None:
+    """Defensive driver-side GC for block-heavy queries.
+
+    The external driver executes all 50 window queries in ONE session
+    with a DEFAULT driver heap. localCheckpoint blocks from earlier
+    queries are only reclaimed after a DRIVER gc (Spark's
+    ContextCleaner keys off JVM reference queues), so a block-heavy
+    query late in the window can OOM on garbage it didn't create
+    (observed: streaming_incremental_index_parity failing at window
+    slot 50 on a 1 GB heap while passing in isolation). Block-heavy
+    queries call this on entry; it is a no-op cost (~100 ms) in a
+    healthy session and works on Connect sessions too (python gc only).
+
+    One System.gc() is NOT enough: block/broadcast unregistration flows
+    python gc → py4j detach → JVM weak-ref processing → the ASYNC
+    ContextCleaner thread, so the heap only actually drops some time
+    after the gc call (measured: 929 MB at the failure point, 194 MB
+    once the cleaner caught up). This therefore loops gc rounds until
+    used heap falls under half of max (or a 3 s budget expires).
+    """
+    import gc
+    import time
+
+    gc.collect()
+    try:
+        jvm = spark.sparkContext._jvm
+        # earlier STREAMING queries leave loaded state-store providers
+        # cached in memory (maintenance unloads them lazily); stop()
+        # unloads them all now — they reload from checkpoint files if a
+        # stream needs them again, and queries in this registry never
+        # resume an earlier run's state
+        try:
+            jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+        except Exception:
+            pass
+        rt = jvm.Runtime.getRuntime()
+        deadline = time.time() + 3.0
+        while True:
+            jvm.System.gc()
+            if (rt.totalMemory() - rt.freeMemory()) < rt.maxMemory() * 0.5:
+                break
+            if time.time() >= deadline:
+                break
+            time.sleep(0.3)
+            gc.collect()
+    except Exception:
+        pass  # Spark Connect: no JVM handle

@@ -21,7 +21,7 @@ from ..streaming import (
     streaming_first_per_key,
     streaming_windowed_counts,
 )
-from .registry import dd_sum, register
+from .registry import dd_sum, register, release_driver_blocks
 
 
 def _events_stream(spark: SparkSession, sf_dir: str, ordered: bool = False):
@@ -129,65 +129,115 @@ def streaming_incremental_index_parity_q(
     (n_queries, recall_incremental, recall_full_rebuild) — the
     append-now/rebuild-periodically maintenance pattern's quality gap,
     made externally visible every round. Rows-only (seeded builds are not
-    SQL-replayable); tests/test_streaming.py gates both recalls."""
+    SQL-replayable); tests/test_streaming.py gates both recalls.
+
+    Materialization note: the heaviest row in the window (two forest
+    builds + two searches + exact kNN + a streaming ingest) computes its
+    single output row INSIDE this function and retries once after a
+    deep memory drain if the warm driver session throws an
+    allocation-failure error (observed: GCLocker-starved OOM at window
+    slot 50 on a default 1 GB heap while the same row passes in
+    isolation). Returning a pre-collected one-row frame keeps the
+    driver's own .count() trivial."""
     from ..operators.index import RPForest, build_rp_forest
     from ..operators.knn import knn_exact
     from ..operators.search import search_rp_forest
     from ..streaming import incremental_index_ingest
 
     ensure_deterministic_session(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
+    release_driver_blocks(spark)
     k = 10
-    old = emb.filter(F.col("vec_id") % 5 != 0)
-    new = emb.filter(F.col("vec_id") % 5 == 0)
-    forest = build_rp_forest(old, num_trees=50, max_node_size=5, seed=42)
 
-    tmp = tempfile.mkdtemp(prefix="inc_idx_")
-    src = f"{tmp}/src"
-    new.write.parquet(src)
-    stream = spark.readStream.schema(new.schema).parquet(src)
-    leaves_path = f"{tmp}/leaves"
-    q = incremental_index_ingest(stream, forest, leaves_path, f"{tmp}/ckpt")
-    q.awaitTermination(300)
-
-    appended = spark.read.parquet(leaves_path).select(
-        F.col("tree_id").cast("int"), "leaf_path", "vec_id"
-    )
-    augmented = RPForest(
-        nodes=forest.nodes,
-        leaves=forest.leaves.unionByName(appended),
-        num_trees=forest.num_trees,
-        max_node_size=forest.max_node_size,
-        seed=forest.seed,
-        max_depth=forest.max_depth,
-        node_count=forest.node_count,
-        dim=forest.dim,
-    )
-    rebuilt = build_rp_forest(emb, num_trees=50, max_node_size=5, seed=42)
-
-    queries = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    exact = knn_exact(emb, queries, k=k).select("query_id", "vec_id")
-
-    def _recall(f: RPForest) -> DataFrame:
-        approx = search_rp_forest(f, emb, queries, k=k).select(
-            "query_id", "vec_id"
+    def _attempt():
+        # every leg of this row runs the deterministic JVM-only paths:
+        # level-sync builds (local_threshold=0, no applyInPandas) and
+        # join-chain routing (no broadcast-map mapInPandas). The Arrow
+        # paths stay window-covered by ann_rp_forest_recall; THIS row's
+        # claim is ingest parity, and keeping it Arrow-free removes the
+        # GCLocker allocation pressure that OOMed a warm default-heap
+        # session (49 queries in) while the same row passed in isolation.
+        emb = load_table(spark, sf_dir, "embeddings")
+        old = emb.filter(F.col("vec_id") % 5 != 0)
+        new = emb.filter(F.col("vec_id") % 5 == 0)
+        forest = build_rp_forest(
+            old, num_trees=50, max_node_size=5, seed=42, local_threshold=0
         )
-        hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
-        return hits.groupBy("query_id").agg(
-            (F.count(F.lit(1)).cast("double") / F.lit(float(k))).alias("recall")
+
+        tmp = tempfile.mkdtemp(prefix="inc_idx_")
+        src = f"{tmp}/src"
+        new.write.parquet(src)
+        stream = spark.readStream.schema(new.schema).parquet(src)
+        leaves_path = f"{tmp}/leaves"
+        q = incremental_index_ingest(
+            stream, forest, leaves_path, f"{tmp}/ckpt", route_strategy="join"
         )
-    inc = _recall(augmented).select(
-        "query_id", F.col("recall").alias("recall_incremental")
-    )
-    reb = _recall(rebuilt).select(
-        "query_id", F.col("recall").alias("recall_full_rebuild")
-    )
-    return inc.join(reb, "query_id", "full").agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        F.avg("recall_incremental").alias("recall_incremental"),
-        F.avg("recall_full_rebuild").alias("recall_full_rebuild"),
+        q.awaitTermination(300)
+
+        appended = spark.read.parquet(leaves_path).select(
+            F.col("tree_id").cast("int"), "leaf_path", "vec_id"
+        )
+        augmented = RPForest(
+            nodes=forest.nodes,
+            leaves=forest.leaves.unionByName(appended),
+            num_trees=forest.num_trees,
+            max_node_size=forest.max_node_size,
+            seed=forest.seed,
+            max_depth=forest.max_depth,
+            node_count=forest.node_count,
+            dim=forest.dim,
+        )
+        rebuilt = build_rp_forest(
+            emb, num_trees=50, max_node_size=5, seed=42, local_threshold=0
+        )
+
+        queries = emb.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        exact = knn_exact(emb, queries, k=k).select("query_id", "vec_id")
+
+        def _recall(f: RPForest) -> DataFrame:
+            approx = search_rp_forest(
+                f, emb, queries, k=k, route_strategy="join"
+            ).select("query_id", "vec_id")
+            hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+            return hits.groupBy("query_id").agg(
+                (F.count(F.lit(1)).cast("double") / F.lit(float(k))).alias(
+                    "recall"
+                )
+            )
+
+        inc = _recall(augmented).select(
+            "query_id", F.col("recall").alias("recall_incremental")
+        )
+        reb = _recall(rebuilt).select(
+            "query_id", F.col("recall").alias("recall_full_rebuild")
+        )
+        return (
+            inc.join(reb, "query_id", "full")
+            .agg(
+                F.count(F.lit(1)).alias("n_queries"),
+                F.avg("recall_incremental").alias("recall_incremental"),
+                F.avg("recall_full_rebuild").alias("recall_full_rebuild"),
+            )
+            .collect()[0]
+        )
+
+    try:
+        row = _attempt()
+    except Exception as ex:
+        retryable = ("OutOfMemory", "GCLocker", "Boxed Exception")
+        if not any(s in str(ex) for s in retryable):
+            raise
+        import time as _time
+
+        release_driver_blocks(spark)
+        _time.sleep(2.0)
+        release_driver_blocks(spark)
+        row = _attempt()
+    return spark.createDataFrame(
+        [row],
+        "n_queries long, recall_incremental double, recall_full_rebuild double",
     )
 
 

@@ -151,10 +151,16 @@ def incremental_index_ingest(
     checkpoint_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    route_strategy: str = "auto",
 ) -> StreamingQuery:
     """Append new vectors to the forest's leaves: each micro-batch is
     routed through the frozen hyperplanes (same predicate as queries,
-    O6) and written to the leaf table partition-wise."""
+    O6) and written to the leaf table partition-wise.
+
+    ``route_strategy`` passes through to ``route_queries`` — "join"
+    keeps the whole ingest JVM-side (no Arrow crossing), which the
+    driver-window parity row uses to stay inside a default driver
+    heap late in a 50-query session."""
 
     def _route_and_append(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -162,7 +168,9 @@ def incremental_index_ingest(
         as_queries = batch.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
         )
-        routed = route_queries(forest, as_queries).select(
+        routed = route_queries(
+            forest, as_queries, route_strategy=route_strategy
+        ).select(
             "tree_id",
             F.col("leaf_path"),
             F.col("query_id").alias("vec_id"),
