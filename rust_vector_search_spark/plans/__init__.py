@@ -187,6 +187,17 @@ _DEMOTED_STABLE = [
     # query set; slot to hard_negative_pairs (label-filtered contrastive
     # mining — the new training-data row)
     "knn_exact_euclidean",
+    # r6b: sketch family — events_cms_heavy_hitters keeps the window
+    # slot (same salted-md5 state discipline); the theta/KMV
+    # intersection registers demoted from birth, the same policy the
+    # HLL twin followed — fully value-checked in CORRECTNESS_LOCAL
+    "events_theta_sketch_intersection",
+    # r6b: event-analytics family — the event-time window slots are
+    # held by sessionization (streaming_stateful_sessions), the
+    # trailing RANGE frame, the as-of join, and the stream-stream
+    # interval join; the funnel's per-stage min-agg + broadcast-join
+    # machinery is carried by those plus the semi-join rows
+    "events_funnel_counts",
     # r6b: lexical-relevance family — doc_bm25_hash_join_scan holds the
     # window slot (same tokenization, same no-libm rational-score
     # discipline); the TF-IDF keyword extractor registers demoted from

@@ -1444,3 +1444,180 @@ def scd2_customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "cum_total",
     )
+
+
+@register(
+    "events_funnel_counts",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts, MIN(v.v_ts) AS v_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+    AND e.ts <= c.v_ts + INTERVAL 7 DAY
+  GROUP BY e.user_id)
+SELECT stage, n_users FROM (
+  SELECT 1 AS ord, 'view' AS stage, COUNT(*) AS n_users FROM v
+  UNION ALL SELECT 2, 'view_click', COUNT(*) FROM c
+  UNION ALL SELECT 3, 'view_click_purchase_7d', COUNT(*) FROM p) t
+""",
+)
+def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel — the product-analytics staple: users who
+    viewed, then clicked AFTER their first view, then purchased after
+    that click within 7 days of the view. Each stage is a per-user MIN
+    aggregation joined forward (earliest qualifying event — pure
+    event-time arithmetic in microseconds, so both engines agree
+    bitwise); no window over the whole event stream, no self-join
+    explosion: the per-stage join keys are the (small) per-user stage
+    tables, broadcast against the big event scan at cluster scale."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"), F.min("v_ts").alias("v_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(
+            (F.col("ts") > F.col("c_ts"))
+            & (F.col("ts") <= F.col("v_ts") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    stages = (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("view").alias("stage"), "n_users"
+        )
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("view_click").alias("stage"), "n_users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit("view_click_purchase_7d").alias("stage"), "n_users"
+            )
+        )
+    )
+    return stages
+
+
+_THETA_K = 32
+_THETA_SCALE = float(2**60)  # 15 md5 hex chars -> uniform in [0, 2^60)
+
+
+def _theta_oracle() -> str:
+    h = _dd_hex("md5(CAST(user_id AS VARCHAR))", 1, 15)
+    return f"""
+WITH a AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+b AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+ha AS (SELECT ({h}) AS h FROM a),
+hb AS (SELECT ({h}) AS h FROM b),
+ta AS (SELECT max(h) AS theta_a FROM (SELECT h FROM ha ORDER BY h LIMIT {_THETA_K})),
+tb AS (SELECT max(h) AS theta_b FROM (SELECT h FROM hb ORDER BY h LIMIT {_THETA_K})),
+th AS (SELECT least(ta.theta_a, tb.theta_b) AS theta FROM ta, tb),
+inter AS (
+  SELECT COUNT(*) AS n_inter
+  FROM ha JOIN hb USING (h), th WHERE ha.h < th.theta),
+ex AS (
+  SELECT (SELECT COUNT(*) FROM a) AS exact_a,
+         (SELECT COUNT(*) FROM b) AS exact_b,
+         (SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS exact_inter)
+SELECT {_THETA_K} AS k, th.theta,
+       ({_THETA_K - 1}.0 * {_THETA_SCALE!r}) / CAST(ta.theta_a AS DOUBLE) AS est_a,
+       ({_THETA_K - 1}.0 * {_THETA_SCALE!r}) / CAST(tb.theta_b AS DOUBLE) AS est_b,
+       (CAST(inter.n_inter AS DOUBLE) * {_THETA_SCALE!r})
+         / CAST(th.theta AS DOUBLE) AS est_inter,
+       ex.exact_a, ex.exact_b, ex.exact_inter
+FROM ta, tb, th, inter, ex
+"""
+
+
+@register("events_theta_sketch_intersection", oracle=_theta_oracle())
+def events_theta_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch set algebra — the distinct-count operation
+    HyperLogLog cannot do: INTERSECTION cardinality across segments
+    (clickers ∩ purchasers) from two bounded k-minimum-value sketches.
+    Each segment keeps its k smallest md5-derived hashes (bounded state:
+    k longs per segment, mergeable by re-min — the 100 TB audience-
+    overlap shape); θ = min of the two k-th minima; the estimate is
+    |{{shared hashes < θ}}| · 2⁶⁰ / θ, and the segment estimates are the
+    textbook KMV (k−1)·2⁶⁰/θ_X. Deterministic md5 hashing makes every
+    value — sketches, θ, and the one-double-division estimates —
+    bit-replayable in DuckDB; exact counts ride along so the error is
+    externally visible."""
+    ev = _t(spark, sf_dir, "events")
+
+    def _seg(event_type: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .select("user_id")
+            .distinct()
+            .select(
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("h"),
+                "user_id",
+            )
+        )
+
+    a, b = _seg("click"), _seg("purchase")
+    ta = a.orderBy("h").limit(_THETA_K).agg(F.max("h").alias("theta_a"))
+    tb = b.orderBy("h").limit(_THETA_K).agg(F.max("h").alias("theta_b"))
+    th = ta.crossJoin(tb).select(
+        "theta_a", "theta_b", F.least("theta_a", "theta_b").alias("theta")
+    )
+    inter = (
+        a.select("h")
+        .join(b.select("h"), "h")
+        .crossJoin(F.broadcast(th.select("theta")))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ex = (
+        a.agg(F.count(F.lit(1)).alias("exact_a"))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("exact_b")))
+        .crossJoin(
+            a.select("user_id")
+            .join(b.select("user_id"), "user_id")
+            .agg(F.count(F.lit(1)).alias("exact_inter"))
+        )
+    )
+    scale = F.lit(_THETA_SCALE)
+    return (
+        th.crossJoin(inter)
+        .crossJoin(ex)
+        .select(
+            F.lit(_THETA_K).alias("k"),
+            "theta",
+            ((F.lit(float(_THETA_K - 1)) * scale) / F.col("theta_a").cast("double")).alias("est_a"),
+            ((F.lit(float(_THETA_K - 1)) * scale) / F.col("theta_b").cast("double")).alias("est_b"),
+            ((F.col("n_inter").cast("double") * scale) / F.col("theta").cast("double")).alias("est_inter"),
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+        )
+    )
