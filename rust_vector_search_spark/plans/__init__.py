@@ -187,6 +187,14 @@ _DEMOTED_STABLE = [
     # query set; slot to hard_negative_pairs (label-filtered contrastive
     # mining — the new training-data row)
     "knn_exact_euclidean",
+    # r6b: agg-maintenance family — the decimal-exact mergeable-partials
+    # discipline is window-held by the CMS/decimal-agg rows; the
+    # incremental-MV merge registers demoted from birth (its oracle IS
+    # the full recompute — value-checked locally every round)
+    "incremental_view_merge",
+    # r6b: profiling is count/distinct/min-max machinery carried by the
+    # distinct-agg and q1 rows; registers demoted from birth
+    "table_profile_lineitem",
     # r6b: sketch family — events_cms_heavy_hitters keeps the window
     # slot (same salted-md5 state discipline); the theta/KMV
     # intersection registers demoted from birth, the same policy the

@@ -1621,3 +1621,119 @@ def events_theta_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFr
             "exact_inter",
         )
     )
+
+
+@register(
+    "incremental_view_merge",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {dd_sum("value", 6)} AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def incremental_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance — the warehouse pattern
+    that replaces full recomputes at 100 TB: a stored aggregate (events
+    before a cutoff) absorbs a delta batch (events at/after the cutoff)
+    by MERGE — full-outer join on the group key, counts add, sums add in
+    DECIMAL (exact and associative, so merge order cannot perturb the
+    state — the same mergeable-partials property the sketch rows use).
+    The ORACLE is the full recompute over all events: hash-equality
+    proves base ⊕ delta ≡ recompute bitwise, which is the entire
+    correctness claim of incremental maintenance. Each side aggregates
+    map-side before one slim merge join; the delta never touches base
+    ROWS, only base AGGREGATES."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-06-01").cast("timestamp")
+
+    def _agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("s"),
+        )
+
+    base_mv = _agg(ev.filter(F.col("ts") < cutoff))
+    delta = _agg(ev.filter(F.col("ts") >= cutoff))
+    b, d = base_mv.alias("b"), delta.alias("d")
+    merged = b.join(
+        d, F.col("b.event_type") == F.col("d.event_type"), "full_outer"
+    ).select(
+        F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias(
+            "event_type"
+        ),
+        (
+            F.coalesce(F.col("b.n"), F.lit(0))
+            + F.coalesce(F.col("d.n"), F.lit(0))
+        ).alias("n_events"),
+        (
+            F.coalesce(F.col("b.s"), F.lit(0).cast("decimal(28,6)"))
+            + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(28,6)"))
+        )
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return merged
+
+
+@register(
+    "table_profile_lineitem",
+    oracle="""
+SELECT col, n_rows, n_nulls, n_distinct, min_value, max_value FROM (
+  SELECT 'l_orderkey' AS col, COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+         COUNT(DISTINCT l_orderkey) AS n_distinct,
+         CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
+         CAST(MAX(l_orderkey) AS VARCHAR) AS max_value
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+         COUNT(DISTINCT l_returnflag),
+         CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+         COUNT(DISTINCT l_quantity),
+         CAST(CAST(MIN(l_quantity) AS DECIMAL(18,2)) AS VARCHAR),
+         CAST(CAST(MAX(l_quantity) AS DECIMAL(18,2)) AS VARCHAR)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_shipdate', COUNT(*), COUNT(*) - COUNT(l_shipdate),
+         COUNT(DISTINCT l_shipdate),
+         CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR)
+  FROM lineitem) t
+""",
+)
+def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling / quality-audit pass (the ANALYZE TABLE shape a
+    pipeline runs before trusting a new drop): per-column row count,
+    null count, exact distinct count, and min/max — here for one column
+    of each major type class (int key, low-cardinality string, numeric
+    measure, timestamp). One scan per column group aggregates map-side;
+    min/max stringify through DECIMAL for the numeric column so both
+    engines format identically (raw double→string is not
+    cross-engine-stable). Timestamps stringify as UTC session time on
+    both sides."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def _profile(col: str, mm) -> DataFrame:
+        return li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            mm(F.min(col)).alias("min_value"),
+            mm(F.max(col)).alias("max_value"),
+        ).select(F.lit(col).alias("col"), "*")
+
+    ident = lambda c: c.cast("string")  # noqa: E731
+    dec = lambda c: c.cast("decimal(18,2)").cast("string")  # noqa: E731
+    out = (
+        _profile("l_orderkey", ident)
+        .unionByName(_profile("l_returnflag", ident))
+        .unionByName(_profile("l_quantity", dec))
+        .unionByName(_profile("l_shipdate", ident))
+    )
+    return out.select(
+        "col", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    )
