@@ -187,6 +187,13 @@ _DEMOTED_STABLE = [
     # query set; slot to hard_negative_pairs (label-filtered contrastive
     # mining — the new training-data row)
     "knn_exact_euclidean",
+    # r6b: modality family — PNG (compressed) + JPEG (lossy DCT) keep
+    # the real-codec mapInPandas coverage in-window; audio (the
+    # simplest remaining codec, same Arrow encode/decode shape) hands
+    # its slot to label_feature_moments — the FIRST oracle-checked
+    # grouped applyInPandas row, pinning the exact Arrow bridge the
+    # forest phase-2 build rides (which is otherwise rows-only)
+    "multimodal_audio_features",
     # r6b: agg-maintenance family — the decimal-exact mergeable-partials
     # discipline is window-held by the CMS/decimal-agg rows; the
     # incremental-MV merge registers demoted from birth (its oracle IS

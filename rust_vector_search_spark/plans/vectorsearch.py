@@ -606,3 +606,61 @@ def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mine_hard_negatives(emb, queries, k=3).select(
         "query_id", "query_label", "vec_id", "neg_label", "cos_sim", "rnk"
     )
+
+
+_MOM_SCALE = 1 << 20
+
+
+@register(
+    "label_feature_moments",
+    oracle=f"""
+SELECT label,
+       COUNT(*) AS n_vecs,
+       SUM(CAST(floor(embedding[1] * {_MOM_SCALE}) AS BIGINT)) AS s0_scaled,
+       MIN(CAST(floor(embedding[1] * {_MOM_SCALE}) AS BIGINT)) AS min0_scaled,
+       MAX(CAST(floor(embedding[1] * {_MOM_SCALE}) AS BIGINT)) AS max0_scaled,
+       CAST(SUM(CAST(floor(embedding[1] * {_MOM_SCALE}) AS BIGINT)) AS DOUBLE)
+         / (COUNT(*) * {_MOM_SCALE}) AS mean0
+FROM embeddings
+GROUP BY label
+""",
+)
+def label_feature_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-pandas UDAF (applyInPandas), VALUE-HASH-CHECKED — the
+    upgrade of the rows-only `label_cluster_stats` category: per label,
+    first-component count/sum/min/max/mean computed in an Arrow batch
+    with ONE portability rule — every float quantizes through
+    floor(x · 2²⁰) into exact int64 arithmetic (floor is unambiguous in
+    IEEE, numpy, and DuckDB, unlike round's half-even vs half-away
+    split), and the mean is one exact-integer IEEE division. Python
+    summation order cannot perturb integer sums, so the Arrow path
+    hash-matches the SQL twin bitwise — proving the applyInPandas
+    bridge itself (schema, grouping, batch assembly) correct, not just
+    row-stable."""
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+
+    def _moments(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        c0 = np.array([float(v[0]) for v in pdf["embedding"]], dtype=np.float64)
+        q = np.floor(c0 * _MOM_SCALE).astype(np.int64)
+        s0 = int(q.sum())
+        n = len(q)
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vecs": [n],
+                "s0_scaled": [s0],
+                "min0_scaled": [int(q.min())],
+                "max0_scaled": [int(q.max())],
+                "mean0": [s0 / (n * _MOM_SCALE)],
+            }
+        )
+
+    return emb.select("label", "embedding").groupBy("label").applyInPandas(
+        _moments,
+        "label long, n_vecs long, s0_scaled long, min0_scaled long, "
+        "max0_scaled long, mean0 double",
+    )

@@ -37,8 +37,10 @@ MUST_BE_IN_WINDOW = [
     "fasttext_vec_scan",
     # r3-new: O(log n) star-contraction components
     "dedup_simhash_components_star",
-    # r3-new: real-codec audio + frame-sampled video modalities
-    "multimodal_audio_features",
+    # r3-new real-codec audio left the window r6b: PNG + JPEG keep the
+    # mapInPandas codec coverage; its slot went to the first
+    # oracle-checked grouped applyInPandas row (below)
+    "label_feature_moments",
     # r6 late: the raw-frame video sampler (simplest modality) handed
     # its slot to the sequence-packing layout; PNG/JPEG/audio keep the
     # real-codec modality coverage in-window
