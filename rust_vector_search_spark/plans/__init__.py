@@ -187,6 +187,11 @@ _DEMOTED_STABLE = [
     # query set; slot to hard_negative_pairs (label-filtered contrastive
     # mining — the new training-data row)
     "knn_exact_euclidean",
+    # r6b: similarity-join family — the banded/bucketed candidate-join
+    # discipline is window-held by the minhash/simhash/substring rows
+    # (same block-then-verify shape); the edit-distance FastSS join
+    # registers demoted from birth, value-checked locally every round
+    "fuzzy_name_pairs",
     # r6b: modality family — PNG (compressed) + JPEG (lossy DCT) keep
     # the real-codec mapInPandas coverage in-window; audio (the
     # simplest remaining codec, same Arrow encode/decode shape) hands

@@ -1737,3 +1737,53 @@ def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "col", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
     )
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+SELECT a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+""",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (typo-level record linkage — the
+    fuzzy-matching dedup primitive) via FastSS deletion-neighborhood
+    BLOCKING: every name maps to itself plus its |s| single-deletion
+    variants (a pure Catalyst transform/explode — row-local, map-side);
+    two names are candidates iff their variant sets share a key, which
+    is a slim EQUI-join on the variant string; `levenshtein ≤ 1`
+    verifies candidates exactly. The oracle is the brute-force N² cross
+    join — ground truth the engine must match while never building the
+    quadratic pair space (at 100 TB the variant join ships
+    |s|+1 short strings per record; the cross join is impossible).
+    Candidate completeness: a substitution at i shares the delete-at-i
+    variant; an insertion/deletion shares the shorter string itself."""
+    cust = _t(spark, sf_dir, "customer").select("c_name")
+    variants = cust.select(
+        F.col("c_name"),
+        F.explode(
+            F.array_union(
+                F.array(F.col("c_name")),
+                F.expr(
+                    "transform(sequence(1, length(c_name)), i -> "
+                    "concat(substring(c_name, 1, i - 1), "
+                    "substring(c_name, i + 1, length(c_name) - i)))"
+                ),
+            )
+        ).alias("v"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.c_name") < F.col("b.c_name")))
+        .select(
+            F.col("a.c_name").alias("name_a"), F.col("b.c_name").alias("name_b")
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b").cast("long")
+    ).filter(F.col("dist") <= 1)
