@@ -167,6 +167,31 @@ NOTES = {
         "literal; the top-3 window reuses the doc_id hash partitioning "
         "of the tf aggregate, so no third computation shuffle."
     ),
+    "events_funnel_counts": (
+        "Each stage is a per-user MIN aggregation whose (small) output "
+        "broadcasts into the next stage's event filter — three "
+        "broadcast joins against the big scan, no window over the "
+        "whole stream, no self-join pair space."
+    ),
+    "incremental_view_merge": (
+        "Base and delta each aggregate map-side (partial+final on "
+        "event_type); the merge is ONE full-outer join of two "
+        "group-count-sized tables — the delta never touches base rows. "
+        "DECIMAL sums make base-plus-delta bit-equal to the full "
+        "recompute the oracle runs."
+    ),
+    "fuzzy_name_pairs": (
+        "The deletion-neighborhood explode is row-local (map-side "
+        "inside the scan); candidates meet on a slim variant "
+        "equi-join; levenshtein verifies candidates only — the "
+        "quadratic cross join exists solely in the oracle."
+    ),
+    "label_feature_moments": (
+        "One hash exchange on label feeds the grouped Arrow batches; "
+        "all arithmetic inside the pandas kernel is exact int64 after "
+        "floor-quantization, so the Python stage is value-checkable, "
+        "not just schema-stable."
+    ),
 }
 
 
