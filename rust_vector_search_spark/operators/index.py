@@ -387,6 +387,45 @@ def build_rp_forest(
     )
 
 
+def _hadoop_delete_or_raise(spark, paths: "list[str]") -> None:
+    """Recursively delete ``paths`` via the Hadoop FileSystem API and
+    RAISE if any still exists afterwards — appending batches onto a
+    half-deleted index directory must never proceed silently. Falls
+    back to shutil for plain local paths on JVM-less (Connect)
+    sessions, and refuses non-local URIs it cannot reach there."""
+    try:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    except Exception:
+        jvm = None
+    for p in paths:
+        if jvm is not None:
+            hpath = jvm.org.apache.hadoop.fs.Path(p)
+            fs = hpath.getFileSystem(hconf)
+            fs.delete(hpath, True)
+            if fs.exists(hpath):
+                raise RuntimeError(
+                    f"stale index dir {p!r} could not be deleted; refusing "
+                    "to append batches onto leftover nodes/leaves"
+                )
+        else:
+            import os as _os
+            import shutil as _shutil
+
+            if "://" in p and not p.startswith("file:"):
+                raise RuntimeError(
+                    f"cannot clear remote path {p!r} without a JVM handle "
+                    "(Spark Connect session); delete it out-of-band first"
+                )
+            local = p[len("file:"):] if p.startswith("file:") else p
+            _shutil.rmtree(local, ignore_errors=True)
+            if _os.path.exists(local):
+                raise RuntimeError(
+                    f"stale index dir {p!r} could not be deleted; refusing "
+                    "to append batches onto leftover nodes/leaves"
+                )
+
+
 def build_rp_forest_batched(
     emb: DataFrame,
     path: str,
@@ -423,7 +462,6 @@ def build_rp_forest_batched(
     Returns the combined forest loaded back from ``path`` (its lineage
     is a Parquet scan, so searching it never re-runs the build)."""
     import gc as _gc
-    import shutil as _shutil
 
     spark = emb.sparkSession
     base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
@@ -435,8 +473,14 @@ def build_rp_forest_batched(
     base.write.mode("overwrite").parquet(f"{path}/emb")
     emb_pq = spark.read.parquet(f"{path}/emb")
 
-    for sub in ("nodes", "leaves"):
-        _shutil.rmtree(f"{path}/{sub}", ignore_errors=True)
+    # clear stale output through the Hadoop FileSystem API — correct for
+    # ANY supported URI scheme (HDFS/S3A/local), where a local-only
+    # shutil delete would silently no-op on a remote path and the
+    # mode('append') batch writes below would land on a PRIOR run's
+    # nodes/leaves: duplicate (tree_id, node_path) rows and silently
+    # wrong search results (ADVICE r6, medium). Fails loudly if the
+    # stale dirs cannot be removed.
+    _hadoop_delete_or_raise(spark, [f"{path}/nodes", f"{path}/leaves"])
 
     for offset in range(0, num_trees, tree_batch_size):
         batch = min(tree_batch_size, num_trees - offset)

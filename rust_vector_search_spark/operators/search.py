@@ -1009,3 +1009,153 @@ def search_rp_forest_self(
         forest, corpus, queries, routed, k, backfill, id_col, vec_col,
         True, False, lambda: n_corpus, rerank,
     )
+
+
+def budgeted_candidates(
+    forest: RPForest,
+    queries: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Reference candidate-count parity mode (``leaf_take="first_min_n"``)
+    — the opt-in bit-faithful emulation of the reference's budgeted DFS
+    (``/root/reference/src/lib.rs:105-127``): per (query, tree) the
+    reference descends main-subtree-first, takes the FIRST
+    ``min(budget, len)`` vectors of each leaf it reaches, and backtracks
+    into the backup subtree of every ancestor until ``top_k`` candidates
+    are collected — so each tree contributes EXACTLY
+    ``min(top_k, tree_size)`` candidates, never a whole-leaf overshoot.
+
+    Relational formulation: the DFS visit order of leaves is the
+    lexicographic order of each leaf's DIVERGENCE STRING d, where
+    ``d[i] = leaf_path[i] XOR side(query, ancestor_i)`` (0 = the main
+    child at that level). Rank leaves by d, prefix-sum their sizes, and
+    cut the cumulative list at ``k`` — the boundary leaf contributes its
+    first ``k - prefix`` vectors. Intra-leaf order is ``vec_id``
+    ascending (the engine's canonical leaf order, index.py:96-99 — the
+    reference's is its in-memory partition order, unreproducible across
+    engines; counts match exactly, sets match up to intra-leaf order).
+
+    This mode scores the query against EVERY hyperplane (query × nodes
+    join) because the reference's backtracking can reach any leaf — an
+    emulation surface for parity testing, not the scale path (the
+    default whole-leaf + sibling-backfill search visits O(depth) nodes
+    per query and strictly dominates recall per candidate).
+
+    Returns (query_id, tree_id, vec_id) — the per-tree candidate sets.
+    """
+    nodes = forest.nodes
+    qsides = (
+        nodes.join(F.broadcast(queries.select("query_id", "query_vec")))
+        .select(
+            "tree_id",
+            "node_path",
+            "query_id",
+            F.when(
+                point_is_above(
+                    F.col("coeffs"), F.col("constant"), F.col("query_vec")
+                ),
+                F.lit("1"),
+            )
+            .otherwise(F.lit("0"))
+            .alias("qbit"),
+        )
+    )
+    leaf_dirs = forest.leaves.select("tree_id", "leaf_path").distinct()
+    ancestry = leaf_dirs.select(
+        "tree_id",
+        "leaf_path",
+        F.explode(F.sequence(F.lit(1), F.length("leaf_path"))).alias("lvl"),
+    ).select(
+        "tree_id",
+        "leaf_path",
+        "lvl",
+        F.expr("substring(leaf_path, 1, lvl - 1)").alias("node_path"),
+        F.expr("substring(leaf_path, lvl, 1)").alias("bit"),
+    )
+    div_bits = ancestry.join(qsides, ["tree_id", "node_path"]).select(
+        "query_id",
+        "tree_id",
+        "leaf_path",
+        "lvl",
+        F.when(F.col("bit") == F.col("qbit"), F.lit("0"))
+        .otherwise(F.lit("1"))
+        .alias("db"),
+    )
+    d_per_leaf = div_bits.groupBy("query_id", "tree_id", "leaf_path").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lvl", "db"))),
+                lambda s: s["db"],
+            ),
+        ).alias("d")
+    )
+    # a root-leaf tree (paths of length 0) has no ancestors: d = ""
+    leaf_sizes = forest.leaves.groupBy("tree_id", "leaf_path").agg(
+        F.count(F.lit(1)).alias("leaf_n")
+    )
+    ordered = (
+        leaf_dirs.join(queries.select("query_id"))
+        .join(d_per_leaf, ["query_id", "tree_id", "leaf_path"], "left")
+        .withColumn("d", F.coalesce(F.col("d"), F.lit("")))
+        .join(leaf_sizes, ["tree_id", "leaf_path"])
+    )
+    w = (
+        Window.partitionBy("query_id", "tree_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    takes = (
+        ordered.withColumn(
+            "prefix_n", F.coalesce(F.sum("leaf_n").over(w), F.lit(0))
+        )
+        .withColumn(
+            "take_n",
+            F.least(F.lit(k) - F.col("prefix_n"), F.col("leaf_n")),
+        )
+        .filter(F.col("take_n") > 0)
+        .select("query_id", "tree_id", "leaf_path", "take_n")
+    )
+    leaf_rn = forest.leaves.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("tree_id", "leaf_path").orderBy("vec_id")
+        ),
+    )
+    return takes.join(leaf_rn, ["tree_id", "leaf_path"]).filter(
+        F.col("rn") <= F.col("take_n")
+    ).select("query_id", "tree_id", "vec_id")
+
+
+def search_rp_forest_budgeted(
+    forest: RPForest,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Full search under the reference's ``first_min_n`` candidate
+    semantics: budgeted per-tree candidate sets (budgeted_candidates) →
+    DashSet-style distinct union (O10) → exact re-rank + top-k
+    (O11/O12), identical tail to the default search."""
+    cand = budgeted_candidates(forest, queries, k).select(
+        "query_id", "vec_id"
+    ).distinct()
+    vecs = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    scored = (
+        cand.join(vecs, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id", "vec_id", sq_euc_dist("query_vec", "v").alias("dist")
+        )
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).filter(F.col("rnk") <= k)

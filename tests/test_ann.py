@@ -243,3 +243,83 @@ def test_self_search_numpy_engine_matches_generic_routing(emb):
         (r.vec_id, r.tree_id, r.leaf_path) for r in forest.leaves.collect()
     }
     assert mains | spills == generic
+
+
+def test_budgeted_candidates_match_reference_dfs_on_fixture(spark):
+    """Candidate-count (and set) parity for the opt-in
+    ``first_min_n`` mode (VERDICT r6 #6): on the committed index
+    fixture, per-(query, tree) candidates from the distributed
+    budgeted search must EQUAL a driver-side replay of the reference's
+    recursive budgeted DFS (``/root/reference/src/lib.rs:105-127``:
+    main subtree first, take first min(budget, len) per leaf, backtrack
+    into every ancestor's backup subtree) — with intra-leaf order
+    pinned to vec_id ascending, the engine's canonical leaf order. In
+    particular each tree contributes exactly min(k, tree_size)
+    candidates, never a whole-leaf overshoot."""
+    import numpy as np
+
+    from rust_vector_search_spark.operators.index import load_index
+    from rust_vector_search_spark.operators.search import budgeted_candidates
+    from rust_vector_search_spark.plans.annindex import _FIXTURE_DIR
+
+    K_B = 12
+    SF_ORACLE = "/root/testdata/sf0.01"
+    forest = load_index(
+        spark, _FIXTURE_DIR, num_trees=50, max_node_size=5, seed=42
+    )
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    got_rows = budgeted_candidates(forest, queries, K_B).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault((r.query_id, r.tree_id), set()).add(r.vec_id)
+
+    # driver-side reference DFS over the collected fixture
+    nodes = {
+        (r.tree_id, r.node_path): (
+            np.asarray(r.coeffs, dtype=np.float64),
+            float(r.constant),
+        )
+        for r in forest.nodes.collect()
+    }
+    leaves: dict = {}
+    for r in forest.leaves.collect():
+        leaves.setdefault((r.tree_id, r.leaf_path), []).append(r.vec_id)
+    for key in leaves:
+        leaves[key].sort()  # intra-leaf order = vec_id ascending
+    qvecs = {
+        r.query_id: np.asarray(r.query_vec, dtype=np.float64)
+        for r in queries.collect()
+    }
+    tree_ids = sorted({t for t, _ in leaves})
+
+    def dfs(tree_id, path, budget, qv, out):
+        if budget <= 0:
+            return 0
+        node = nodes.get((tree_id, path))
+        if node is None:  # leaf: take first min(budget, len)
+            vals = leaves[(tree_id, path)]
+            take = min(budget, len(vals))
+            out.update(vals[:take])
+            return take
+        coeffs, const = node
+        above = float(np.dot(coeffs, qv)) + const >= 0.0
+        main, backup = ("1", "0") if above else ("0", "1")
+        k1 = dfs(tree_id, path + main, budget, qv, out)
+        if k1 < budget:
+            k1 += dfs(tree_id, path + backup, budget - k1, qv, out)
+        return k1
+
+    for qid, qv in qvecs.items():
+        for t in tree_ids:
+            want: set = set()
+            dfs(t, "", K_B, qv, want)
+            tree_size = sum(
+                len(v) for (tt, _), v in leaves.items() if tt == t
+            )
+            assert len(want) == min(K_B, tree_size)
+            assert got[(qid, t)] == want, (qid, t)

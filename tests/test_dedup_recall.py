@@ -282,3 +282,33 @@ def test_substring_dedup_clean_keeps_one_copy(spark):
     assert got[2] == (10, 12, filler_a)
     assert got[3] == (0, 19, "")
     assert got[4] == (25, 0, clean_doc)
+
+
+def test_simhash_duplicate_ids_one_row_per_input_row(spark):
+    """The documented simhash contract (VERDICT r6 #8): duplicate
+    ``id_col`` values yield one fingerprint PER ROW — never a merged
+    per-id fingerprint — and identical text always fingerprints
+    identically regardless of which duplicate row carries it."""
+    from rust_vector_search_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (1, "alpha beta gamma"),          # exact dup, same id
+            (1, "totally different words"),   # same id, different text
+            (2, "alpha beta gamma"),          # same text, different id
+        ],
+        "doc_id long, text string",
+    )
+    rows = simhash(df).collect()
+    assert len(rows) == 4  # one row per input row, ids NOT merged
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.doc_id, []).append(r.simhash)
+    assert sorted(by_id) == [1, 2]
+    assert len(by_id[1]) == 3 and len(by_id[2]) == 1
+    # identical text ⇒ identical fingerprint across rows and ids
+    same_text_fps = {by_id[2][0], *(
+        s for s in by_id[1] if by_id[1].count(s) >= 2
+    )}
+    assert len(same_text_fps) == 1
