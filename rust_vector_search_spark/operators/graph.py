@@ -36,6 +36,7 @@ def pagerank_integer(
     dst_col: str = "dst",
     iters: int = 5,
     damping_pct: int = 85,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """PageRank over a SYMMETRIZED edge list (every node has in- and
     out-edges, so there are no dangling-mass corrections), fixed
@@ -48,18 +49,28 @@ def pagerank_integer(
     non-negative), and bigint sums are exact — the whole fixpoint is a
     pure function of the edge list. Returns (node, rank) for every
     node. The caller symmetrizes; duplicate edges must be removed
-    (degree counts rows)."""
+    (degree counts rows).
+
+    Plan hygiene at depth (VERDICT r6 #7, same discipline as the
+    routing-frontier fix): the static (src, dst, degree) frame is
+    materialized ONCE with an eager localCheckpoint — lazily it would
+    re-enter the plan every iteration, re-deriving the caller's edge
+    pipeline ``iters`` times — and the rank state is checkpointed every
+    ``checkpoint_every`` iterations so the logical plan stays a bounded
+    suffix instead of growing linearly and re-running Catalyst over an
+    ever-deeper DAG (the known CPU-minutes planning pathology). With
+    that, per-iteration cost is flat in the iteration count."""
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # static per-edge frame: (src, dst, degree) — built once, reused
     # every iteration (at scale: bucket by src so the per-iteration
     # rank join is co-located)
-    ed = e.join(deg, "src")
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(PR_UNIT).cast("long").alias("rank")
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    ranks = ed.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(PR_UNIT).cast("long").alias("rank")
     )
     base = (100 - damping_pct) * PR_UNIT // 100
-    for _ in range(iters):
+    for i in range(iters):
         contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
             F.col("dst"), F.expr("rank DIV d").alias("c")
         )
@@ -69,6 +80,10 @@ def pagerank_integer(
                 + F.expr(f"CAST(sum(c) * {damping_pct} AS BIGINT) DIV 100")
             ).alias("rank")
         )
+        if checkpoint_every > 0 and (i + 1) % checkpoint_every == 0 and (
+            i + 1
+        ) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

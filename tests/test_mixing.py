@@ -12,7 +12,7 @@ import pyspark.sql.functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from conftest import SF_ORACLE  # noqa: E402
+from conftest import SF_ORACLE, SF_SMOKE  # noqa: E402
 
 from rust_vector_search_spark.operators.mixing import (  # noqa: E402
     temperature_mixture_sample,
@@ -325,3 +325,71 @@ def test_salted_join_equals_plain_join_and_salts_the_key(spark):
     plan = buf.getvalue()
     assert "_salt" in plan
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pagerank_ten_iterations_flat_cost_and_oracle_parity(spark):
+    """VERDICT r6 #7: with the checkpoint discipline (static edge frame
+    materialized once, rank state checkpointed every N iterations) the
+    iteration count can grow without replanning blowup. 10 iterations
+    over the real customer-supplier graph must (a) hash-match the
+    DuckDB unrolled-CTE oracle and (b) cost roughly flat per iteration
+    (the second five iterations take < 3x the first five - a loose
+    bound that still catches the linear-plan-growth pathology where
+    iteration i replans and re-runs everything before it)."""
+    import time
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from rust_vector_search_spark.operators.graph import (
+        pagerank_integer,
+        pagerank_oracle_sql,
+    )
+    from rust_vector_search_spark.sources import load_table
+
+    OFF = 10_000_000
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    bip = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").cast("long").alias("c"),
+            (F.col("l_suppkey") + OFF).cast("long").alias("s"),
+        )
+        .distinct()
+    )
+    edges = bip.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        bip.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+
+    t0 = time.perf_counter()
+    r5 = pagerank_integer(edges, iters=5, checkpoint_every=4)
+    r5.write.mode("overwrite").format("noop").save()
+    t_five = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r10 = pagerank_integer(edges, iters=10, checkpoint_every=4)
+    got = sorted((r["node"], r["rank"]) for r in r10.collect())
+    t_ten = time.perf_counter() - t0
+    # marginal cost of iterations 6-10 must be ~the cost of 1-5
+    assert t_ten < 3.0 * t_five, (t_five, t_ten)
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    edges_cte = f"""bip AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + {OFF} AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+edges AS (
+  SELECT CAST(c AS BIGINT) AS src, CAST(s AS BIGINT) AS dst FROM bip
+  UNION ALL
+  SELECT CAST(s AS BIGINT), CAST(c AS BIGINT) FROM bip)"""
+    want = sorted(
+        con.sql(
+            pagerank_oracle_sql(edges_cte, iters=10)
+            + " SELECT node, rank FROM r10"
+        ).fetchall()
+    )
+    assert got == want
