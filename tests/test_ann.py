@@ -323,3 +323,31 @@ def test_budgeted_candidates_match_reference_dfs_on_fixture(spark):
             )
             assert len(want) == min(K_B, tree_size)
             assert got[(qid, t)] == want, (qid, t)
+
+
+def test_join_chain_route_with_explicit_broadcast_runs_no_count_job(
+    spark, emb, forest, queries
+):
+    """VERDICT r6 #5: with ``route_strategy="join"`` and an explicit
+    ``broadcast_queries``, NEITHER consumer of the memoized lazy count
+    thunk fires — the query-set count job (one extra job per search)
+    must not run. Pinned by shadowing the instance's ``count`` so any
+    call trips an AssertionError before a job launches."""
+    from rust_vector_search_spark.operators.search import search_rp_forest
+
+    def _boom():
+        raise AssertionError("queries.count() ran on the join-chain path")
+
+    queries_guarded = queries.select("query_id", "query_vec")
+    queries_guarded.count = _boom  # shadow the bound method
+    out = search_rp_forest(
+        forest,
+        emb,
+        queries_guarded,
+        k=5,
+        spill_margin=0.0,
+        broadcast_queries=True,
+        route_strategy="join",
+        rerank="hof",
+    )
+    assert out.count() > 0  # materializing the search is fine
