@@ -137,15 +137,25 @@ NOTES = {
         "aggregation on dst — 16-byte rows through both exchanges, "
         "never adjacency lists; rank state is a single bigint per "
         "node (integer micro-units, so partial-agg order cannot "
-        "perturb the fixpoint). At cluster scale the edge frame "
-        "buckets by src once and every iteration joins co-located."
+        "perturb the fixpoint). The edge frame is localCheckpointed "
+        "once (lazily it would re-derive the orders-lineitem pipeline "
+        "per iteration) and the rank state checkpoints every 4 "
+        "iterations, so per-iteration cost is flat in the iteration "
+        "count (0.22 s marginal at sf0.1 through 20 iterations). At "
+        "cluster scale the edge frame buckets by src once and every "
+        "iteration joins co-located."
     ),
     "zorder_layout_stats": (
         "The Morton interleave is 64 BIGINT shift/and/or terms inside "
-        "whole-stage codegen — no UDF; the only exchange is the single "
-        "global sort any layout rewrite pays (at cluster scale: "
-        "repartitionByRange on zval + sortWithinPartitions), and the "
-        "bucket stats aggregate map-side before the final merge."
+        "whole-stage codegen over RANGE-NORMALIZED keys (broadcast "
+        "1-row bounds; wide keys keep their clustering instead of "
+        "wrapping at the 16-bit mask). Bucketing is the two-pass "
+        "distributed exact rank: repartitionByRange + "
+        "sortWithinPartitions frozen by localCheckpoint, per-partition "
+        "count offsets, then a narrow Arrow pass emitting only "
+        "per-bucket partials — ZERO Exchange SinglePartition in the "
+        "executed plan (r6's ntile-over-global-window sorted the whole "
+        "table on one task)."
     ),
     "scd2_customer_order_history": (
         "ONE hash exchange on o_custkey serves the version row_number, "
