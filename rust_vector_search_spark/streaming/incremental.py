@@ -216,7 +216,9 @@ def stateful_user_counters(stream: DataFrame) -> DataFrame:
     )
 
 
-def stateful_sessionizer(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def stateful_sessionizer(
+    stream: DataFrame, gap_minutes: int = 30, close_by_timeout: bool = False
+) -> DataFrame:
     """Gap-based sessionization as a CUSTOM stateful streaming operator
     (applyInPandasWithState) — the arbitrary-stateful escape hatch shape
     (per-key state machine + explicit state schema) that built-in
@@ -228,21 +230,28 @@ def stateful_sessionizer(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
     the state VECTORIZED (gap flags = diff > gap, session ids = cumsum,
     per-id min/max/count — the per-row Python loop this replaces was a
     real throughput ceiling: at pipeline scale the state function runs
-    once per key per batch over arbitrarily long event runs), EMITS
-    every session the batch closes (gap > gap_minutes), and finally
-    emits the still-open session flagged ``is_open`` while storing it
-    for the next batch.
+    once per key per batch over arbitrarily long event runs), and EMITS
+    every session the batch closes (gap > gap_minutes).
 
-    Runs in ``update`` output mode: the open-session row is a SNAPSHOT
-    that a later batch may extend or close and re-emit — update-mode
-    semantics (re-emitting a changed key is legal), where append mode
-    would forbid ever revising an emitted row. Under a single
-    availableNow batch (how the registry runs it — one coalesced source
-    file ⇒ one micro-batch) each session is emitted exactly once and
-    the emitted set is a pure function of the data, which is what the
-    batch gaps-and-islands oracle replays; a multi-batch sink must
-    expect per-batch snapshots and keep the latest row per
-    (user_id, session_start).
+    Two production modes for the still-open session:
+
+    - ``close_by_timeout=False`` (default): emit an open-session
+      SNAPSHOT flagged ``is_open`` each batch while keeping it in
+      state. Runs in ``update`` output mode — a later batch may extend
+      the session and re-emit it (legal in update, forbidden in
+      append). Under a single availableNow batch (how the registry
+      runs it — one coalesced source file ⇒ one micro-batch) each
+      session is emitted exactly once and the emitted set is a pure
+      function of the data, which is what the batch gaps-and-islands
+      oracle replays; a multi-batch sink must keep the latest row per
+      (user_id, session_start).
+    - ``close_by_timeout=True``: emit ONLY closed sessions (every row
+      final ⇒ append-mode-safe for any sink), and close idle open
+      sessions via EVENT-TIME TIMEOUT — when the watermark passes
+      last_event + gap the state times out, the session emits closed,
+      and state is removed (bounded state under unbounded keys). The
+      caller must put ``withWatermark`` on the stream; every batch
+      with rows re-arms the timer at the new session end + gap.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -258,11 +267,26 @@ def stateful_sessionizer(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
     def _sessions(key, pdfs, state: GroupState):
         import numpy as np
 
-        batch = pd.concat(list(pdfs), ignore_index=True)
         out_start: list[int] = []
         out_end: list[int] = []
         out_n: list[int] = []
         out_open: list[bool] = []
+        if close_by_timeout and state.hasTimedOut:
+            # watermark passed last_event + gap: the open session is
+            # final — emit it closed and drop the state
+            st_start, st_last, st_n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": pd.to_datetime([st_start], unit="us"),
+                    "session_end": pd.to_datetime([st_last], unit="us"),
+                    "n_events": [st_n],
+                    "is_open": [False],
+                }
+            )
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch):
             batch = batch.assign(_us=_epoch_us(batch["ts"])).sort_values(
                 ["_us", "event_id"], kind="mergesort"
@@ -305,13 +329,25 @@ def stateful_sessionizer(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 out_end.append(int(ends[i]))
                 out_n.append(int(ns[i]))
                 out_open.append(False)
-            # open-session snapshot: emitted for visibility (update-mode
-            # semantics), kept in state so a later batch can extend it
-            out_start.append(int(starts[-1]))
-            out_end.append(int(ends[-1]))
-            out_n.append(int(ns[-1]))
-            out_open.append(True)
             state.update((int(starts[-1]), int(ends[-1]), int(ns[-1])))
+            if close_by_timeout:
+                # append mode: the open session is NOT emitted — it
+                # closes (and emits) when the watermark passes its
+                # gap deadline. Re-arm the timer past the current
+                # watermark (Spark rejects a stale timestamp when this
+                # batch's rows are already older than the watermark).
+                deadline_ms = (int(ends[-1]) + gap_us) // 1000
+                state.setTimeoutTimestamp(
+                    max(deadline_ms, state.getCurrentWatermarkMs() + 1)
+                )
+            else:
+                # open-session snapshot: emitted for visibility
+                # (update-mode semantics), kept in state so a later
+                # batch can extend it
+                out_start.append(int(starts[-1]))
+                out_end.append(int(ends[-1]))
+                out_n.append(int(ns[-1]))
+                out_open.append(True)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(out_n),
@@ -329,6 +365,10 @@ def stateful_sessionizer(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
             "n_events long, is_open boolean"
         ),
         stateStructType="start_us long, last_us long, n long",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        outputMode="append" if close_by_timeout else "update",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if close_by_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -254,3 +254,64 @@ def test_stateful_sessionizer_multibatch_state_carry(spark, tmp_path):
         (3, 0): (0, 1, False),     # in-batch split, first island closed
         (3, 60): (60, 1, True),
     }
+
+
+def test_stateful_sessionizer_event_time_timeout_closes_idle_sessions(
+    spark, tmp_path
+):
+    """``close_by_timeout=True``: append-safe production mode — only
+    CLOSED sessions are emitted, and an idle open session closes via
+    event-time timeout once the watermark passes last_event + gap.
+    Watermark advances batch-by-batch (maxFilesPerTrigger=1): user 1's
+    session (ends t=10min, gap 30min ⇒ deadline t=40min) times out
+    mid-run once the watermark passes 40min; user 2 (deadline 130min)
+    times out in the final timer batch availableNow runs after the
+    last file (final watermark 200min); user 3 (deadline 230min >
+    final watermark) stays open and emits NOTHING — append mode never
+    sees a non-final row."""
+    import datetime as dt
+
+    from rust_vector_search_spark.streaming import stateful_sessionizer
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, minute // 60, minute % 60)
+
+    src = str(tmp_path / "sess_to_src")
+    schema = "user_id long, ts timestamp, event_id long"
+    batches = [
+        [(1, ts(0), 100), (1, ts(10), 101)],  # user 1 open [0, 10]
+        [(2, ts(100), 200)],                  # advances watermark to 100
+        [(3, ts(200), 300)],                  # watermark 100 > 40 ⇒ user 1 times out here
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        stateful_sessionizer(stream, gap_minutes=30, close_by_timeout=True)
+        .writeStream.format("memory")
+        .queryName("sess_to")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sess_to").collect()
+    got = {
+        r.user_id: (
+            r.session_start.minute,
+            r.session_end.minute,
+            r.n_events,
+            r.is_open,
+        )
+        for r in rows
+    }
+    # users 1 and 2 timed out (closed); user 3 still open ⇒ no row
+    assert got == {1: (0, 10, 2, False), 2: (40, 40, 1, False)}, rows
