@@ -389,6 +389,49 @@ def minhash_signature(
     return sh.select(F.col(id_col), F.col("shingles"), sigs.alias("sigs"))
 
 
+def band_key_expr(bands: int, rows: int, sigs_col: str = "sigs") -> Column:
+    """ARRAY of ``bands`` md5 band keys over a MinHash signature column:
+    band b's key hashes the concatenation of its ``rows`` signature
+    values (classic banded LSH; two docs collide on a band iff that
+    band's rows are all equal). Engine-portable: md5 over decimal-string
+    values replays bitwise in DuckDB."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at(sigs_col, b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_band_keys(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, band_key) for every document with ≥ 1 shingle — the
+    probe/index unit of banded LSH as a standalone surface (the
+    streaming incremental dedup appends these rows to a persistent
+    band index and probes arrivals against it)."""
+    sig = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n)
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(band_key_expr(bands, num_hashes // bands)).alias(
+            "band", "band_key"
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -415,20 +458,7 @@ def minhash_lsh_pairs(
                             ).localCheckpoint(eager=True)
     # sig is materialized (eager checkpoint) before these projections, so
     # the element_at references read the stored array — no recompute
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.element_at("sigs", b * rows + r + 1).cast("string")
-                        for r in range(rows)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
+    band_keys = band_key_expr(bands, rows)
     # band join carries IDS ONLY — never the shingle arrays (which would
     # be duplicated ×bands through the shuffle); shingles are joined back
     # for candidate pairs only, bounding the big-payload shuffle by the

@@ -229,6 +229,14 @@ _DEMOTED_STABLE = [
     # streaming path; a wrong gap decision changes its hash, so the
     # batch per-user rollup stays transitively value-checked
     "events_sessionization",
+    # r7: incremental LSH dedup against a persistent band index — the
+    # banding/signature math is window-held by the minhash components /
+    # survivors / pipeline rows (same signatures, same band keys — a
+    # wrong band key changes THEIR hashes too), and the streaming
+    # micro-batch discipline is window-held by the four streaming rows;
+    # registers demoted from birth (salted-join/theta-sketch policy),
+    # value-checked in CORRECTNESS_LOCAL every round
+    "streaming_lsh_dedup_history",
 ]
 
 # Rows-only queries that EARN a driver slot despite having no oracle:

@@ -429,3 +429,94 @@ def streaming_stateful_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame
         output_mode="update",
     )
     return spark.table(name)
+
+
+def _lsh_history_oracle() -> str:
+    from .textops import _HV_SQL, _SIGS_SQL, _TRIGRAMS_CTE
+
+    return f"""
+WITH {_TRIGRAMS_CTE},
+hvt AS (SELECT doc_id, {_HV_SQL} AS hv FROM sh),
+sig AS (SELECT doc_id, [{_SIGS_SQL}] AS sigs FROM hvt),
+banded AS (
+  SELECT doc_id,
+         generate_subscripts(sigs, 1) AS band,
+         unnest(list_transform(sigs, x -> md5(CAST(x AS VARCHAR)))) AS band_key
+  FROM sig),
+hits AS (
+  SELECT a.doc_id AS doc_id,
+         MIN(h.doc_id) AS hist_min_match,
+         COUNT(DISTINCT h.doc_id) AS n_hist_matches
+  FROM banded a JOIN banded h
+    ON a.band = h.band AND a.band_key = h.band_key
+   AND a.doc_id % 2 = 1 AND h.doc_id % 2 = 0
+  GROUP BY a.doc_id)
+SELECT s.doc_id,
+       hits.hist_min_match,
+       COALESCE(hits.n_hist_matches, 0) AS n_hist_matches,
+       COALESCE(hits.n_hist_matches, 0) > 0 AS is_candidate
+FROM sig s LEFT JOIN hits ON s.doc_id = hits.doc_id
+WHERE s.doc_id % 2 = 1
+"""
+
+
+@register("streaming_lsh_dedup_history", oracle=_lsh_history_oracle())
+def streaming_lsh_dedup_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup against a persistent band index
+    (streaming/incremental.streaming_lsh_dedup_ingest) — the streaming
+    twin of the batch MinHash-LSH family, run as a REAL two-micro-batch
+    pipeline: even-id documents arrive first (becoming the historical
+    index), odd-id documents arrive second and are flagged against it
+    (any shared LSH band key ⇒ near-dup candidate, with the min
+    matching historical id and distinct match count). Probe-before-
+    append makes the flags a pure function of (corpus, split), so the
+    batch SQL oracle replays them exactly: band keys for all docs, an
+    (arrival × history) band equi-join, and a left join for clean
+    arrivals. Registered past the driver window (demoted from birth):
+    the banding math is window-held by the minhash components /
+    survivors / pipeline rows — this row is value-checked in
+    CORRECTNESS_LOCAL every round."""
+    import os
+    import time
+
+    from ..sources import load_table
+    from ..streaming import streaming_lsh_dedup_ingest
+
+    ensure_deterministic_session(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="lsh_stream_src_")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    first_files = {
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    }
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # the file source orders micro-batches by modification time — pin
+    # history strictly older than arrivals regardless of fs timestamp
+    # granularity
+    now = time.time()
+    for f in os.listdir(src):
+        p = os.path.join(src, f)
+        if p.endswith(".parquet"):
+            os.utime(p, (now - 100, now - 100) if p in first_files else (now, now))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    work = tempfile.mkdtemp(prefix="lsh_stream_work_")
+    q = streaming_lsh_dedup_ingest(
+        stream,
+        index_path=f"{work}/index",
+        flags_path=f"{work}/flags",
+        checkpoint_path=f"{work}/ckpt",
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(f"{work}/flags")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "hist_min_match", "n_hist_matches", "is_candidate")
+    )

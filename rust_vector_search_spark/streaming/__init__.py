@@ -5,6 +5,7 @@ from .incremental import (
     streaming_dedup,
     streaming_first_per_key,
     streaming_interval_join,
+    streaming_lsh_dedup_ingest,
     streaming_windowed_counts,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "streaming_dedup",
     "streaming_first_per_key",
     "streaming_interval_join",
+    "streaming_lsh_dedup_ingest",
     "streaming_windowed_counts",
 ]

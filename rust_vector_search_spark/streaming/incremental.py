@@ -185,6 +185,93 @@ def incremental_index_ingest(
     )
 
 
+def streaming_lsh_dedup_ingest(
+    docs_stream: DataFrame,
+    index_path: str,
+    flags_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> StreamingQuery:
+    """Incremental near-duplicate dedup against a PERSISTENT band index
+    — the streaming twin of the batch MinHash-LSH family (the pattern a
+    continuously-ingesting training pipeline runs: new documents must
+    dedup against the whole historical corpus without rescanning it).
+
+    Per micro-batch, in order:
+      1. compute the batch's banded MinHash keys (one md5 per shingle,
+         affine permutations — operators/dedup.minhash_band_keys);
+      2. PROBE them against the accumulated band index at
+         ``index_path`` (an equi-join on (band, band_key) — ships band
+         keys, never shingles or text): any shared band key with an
+         EARLIER document flags the arrival as a near-dup candidate;
+      3. append per-doc flags (min matching historical id, distinct
+         matched-doc count, is_candidate) to ``flags_path``;
+      4. append the batch's own keys to ``index_path`` — becoming
+         history for every later batch.
+
+    Probe-before-append makes the flag a pure function of (data, batch
+    split): intra-batch duplicates are deliberately NOT flagged here —
+    that is the batch LSH family's job (run it inside the batch if
+    needed). The index grows by |batch|·bands slim rows per batch;
+    candidate verification (exact Jaccard) stays a downstream batch
+    join, exactly as in ``minhash_lsh_pairs``."""
+    from ..operators.dedup import minhash_band_keys
+
+    def _probe_and_append(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        keys = minhash_band_keys(
+            batch, text_col, id_col, num_hashes, bands, shingle_n
+        ).localCheckpoint(eager=True)  # computed once: probe + append
+        try:
+            hist = spark.read.parquet(index_path)
+            have_hist = True
+        except Exception:
+            have_hist = False
+        doc_ids = keys.select(id_col).distinct()
+        if have_hist:
+            hits = (
+                keys.join(
+                    hist.select(
+                        F.col(id_col).alias("hist_doc_id"), "band", "band_key"
+                    ),
+                    ["band", "band_key"],
+                )
+                .groupBy(id_col)
+                .agg(
+                    F.min("hist_doc_id").alias("hist_min_match"),
+                    F.countDistinct("hist_doc_id").alias("n_hist_matches"),
+                )
+            )
+            flags = doc_ids.join(hits, id_col, "left")
+        else:
+            flags = doc_ids.select(
+                id_col,
+                F.lit(None).cast("long").alias("hist_min_match"),
+                F.lit(0).cast("long").alias("n_hist_matches"),
+            )
+        flags = flags.select(
+            id_col,
+            "hist_min_match",
+            F.coalesce("n_hist_matches", F.lit(0)).alias("n_hist_matches"),
+            (F.coalesce("n_hist_matches", F.lit(0)) > 0).alias("is_candidate"),
+        )
+        flags.write.mode("append").parquet(flags_path)
+        keys.write.mode("append").parquet(index_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_probe_and_append)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stateful_user_counters(stream: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     a per-user running event counter with explicit state — the

@@ -315,3 +315,71 @@ def test_stateful_sessionizer_event_time_timeout_closes_idle_sessions(
     }
     # users 1 and 2 timed out (closed); user 3 still open ⇒ no row
     assert got == {1: (0, 10, 2, False), 2: (40, 40, 1, False)}, rows
+
+
+def test_streaming_lsh_dedup_flags_across_batches(spark, tmp_path):
+    """Incremental LSH dedup: an arrival sharing a band key with ANY
+    earlier batch's doc is flagged (min matching historical id
+    recorded); intra-batch duplicates are NOT flagged (probe happens
+    before the batch's own keys append); clean docs pass. Three
+    batches prove the index accumulates across batches, not just from
+    batch 1."""
+    import os
+    import time
+
+    from rust_vector_search_spark.streaming import streaming_lsh_dedup_ingest
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    other = ("completely different content about spark shuffles and "
+             "parquet footers with nothing shared at all here")
+    third = ("yet another unrelated document mentioning neither foxes "
+             "nor shuffles just plain filler text for testing")
+    batches = [
+        [(0, base), (2, other)],
+        # 11 = near-dup of 0 (one word changed at the end); 13 clean;
+        # 15 = exact dup of 13 IN THE SAME BATCH (must NOT be flagged)
+        [(11, base[:-7] + "today"), (13, third), (15, third)],
+        # 21 = dup of batch-2's 13 (index must have grown); 23 clean
+        [(21, third), (23, "totally novel words appear in this final "
+                           "document about absolutely nothing familiar")],
+    ]
+    src = str(tmp_path / "lsh_src")
+    schema = "doc_id long, text string"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    now = time.time()
+    # pin file mtimes to write order (batch order = mod-time order)
+    files = sorted(
+        (os.path.getmtime(os.path.join(src, f)), f)
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    for i, (_, f) in enumerate(files):
+        os.utime(os.path.join(src, f), (now - 100 + i, now - 100 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    work = str(tmp_path / "lsh_work")
+    q = streaming_lsh_dedup_ingest(
+        stream,
+        index_path=f"{work}/index",
+        flags_path=f"{work}/flags",
+        checkpoint_path=f"{work}/ckpt",
+    )
+    q.awaitTermination(120)
+    flags = {
+        r.doc_id: (r.hist_min_match, r.is_candidate)
+        for r in spark.read.parquet(f"{work}/flags").collect()
+    }
+    assert flags[11] == (0, True)       # near-dup of historical 0
+    assert flags[13] == (None, False)   # clean on arrival
+    assert flags[15] == (None, False)   # intra-batch dup: not this op's job
+    assert flags[21] == (13, True)      # index grew: matches batch-2 doc
+    assert flags[23] == (None, False)   # clean
+    assert flags[0] == (None, False) and flags[2] == (None, False)
