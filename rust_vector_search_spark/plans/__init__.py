@@ -237,6 +237,12 @@ _DEMOTED_STABLE = [
     # registers demoted from birth (salted-join/theta-sketch policy),
     # value-checked in CORRECTNESS_LOCAL every round
     "streaming_lsh_dedup_history",
+    # r7: the embedding twin of the row above — frozen-centroid cell
+    # probe + exact cosine against a persistent index; the cell/cosine
+    # math is window-held by dedup_embedding_survivors (same stride,
+    # same fold) and the micro-batch discipline by the streaming rows;
+    # demoted from birth, value-checked in CORRECTNESS_LOCAL
+    "streaming_embedding_dedup_history",
 ]
 
 # Rows-only queries that EARN a driver slot despite having no oracle:

@@ -520,3 +520,123 @@ def streaming_lsh_dedup_history_q(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("doc_id") % 2 == 1)
         .select("doc_id", "hist_min_match", "n_hist_matches", "is_candidate")
     )
+
+
+_EMB_DEDUP_STRIDE = 40  # centroid ids: % 40 = 0 ⇒ even ⇒ inside history
+_EMB_DEDUP_NPROBE = 3
+_EMB_DEDUP_THRESHOLD = 0.4  # same operating point as near_dup_cosine_bucketed
+
+
+def _embedding_dedup_history_oracle() -> str:
+    from .registry import dd_cosine, dd_sq_euc
+
+    hc = dd_sq_euc("h.embedding", "c.cv")
+    ac = dd_sq_euc("a.embedding", "c.cv")
+    cos = dd_cosine("a.embedding", "h.embedding")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+  WHERE vec_id % {_EMB_DEDUP_STRIDE} = 0),
+hist AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+arr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+hcell AS (
+  SELECT vec_id, cell, embedding FROM (
+    SELECT h.vec_id, c.c_id AS cell, h.embedding,
+           row_number() OVER (PARTITION BY h.vec_id
+                              ORDER BY {hc}, c.c_id) AS crn
+    FROM hist h, cent c) t
+  WHERE crn = 1),
+acell AS (
+  SELECT vec_id, cell FROM (
+    SELECT a.vec_id, c.c_id AS cell,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {ac}, c.c_id) AS crn
+    FROM arr a, cent c) t
+  WHERE crn <= {_EMB_DEDUP_NPROBE}),
+cand AS (
+  SELECT DISTINCT ac.vec_id AS a_id, h.vec_id AS h_id
+  FROM acell ac JOIN hcell h ON ac.cell = h.cell),
+hits AS (
+  SELECT cd.a_id AS vec_id,
+         MIN(cd.h_id) AS hist_min_match,
+         COUNT(DISTINCT cd.h_id) AS n_hist_matches
+  FROM cand cd
+  JOIN arr a ON cd.a_id = a.vec_id
+  JOIN hist h ON cd.h_id = h.vec_id
+  WHERE {cos} >= {_EMB_DEDUP_THRESHOLD}
+  GROUP BY cd.a_id)
+SELECT a.vec_id,
+       hits.hist_min_match,
+       COALESCE(hits.n_hist_matches, 0) AS n_hist_matches,
+       COALESCE(hits.n_hist_matches, 0) > 0 AS is_candidate
+FROM arr a LEFT JOIN hits ON a.vec_id = hits.vec_id
+"""
+
+
+@register(
+    "streaming_embedding_dedup_history", oracle=_embedding_dedup_history_oracle()
+)
+def streaming_embedding_dedup_history_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental embedding near-dup dedup against a persistent
+    cell-bucketed index (streaming/incremental.
+    streaming_embedding_dedup_ingest) — the EMBEDDING twin of
+    ``streaming_lsh_dedup_history``, run as a real two-micro-batch
+    pipeline: even-id vectors arrive first (becoming the historical
+    index under FROZEN deterministic centroids — every
+    {stride}-th id, all inside history), odd-id vectors arrive second,
+    probe their nprobe nearest cells, and flag exact-cosine matches
+    ≥ threshold against history only. Probe-before-append ⇒ flags are
+    a pure function of (corpus, split); the oracle replays centroid
+    assignment, the cell equi-join, and the cosine fold bit-for-bit.
+    Registered past the driver window (demoted from birth): the cell/
+    cosine math is window-held by near-dup and survivors rows; the
+    micro-batch discipline by the streaming rows."""
+    from ..streaming import streaming_embedding_dedup_ingest
+
+    ensure_deterministic_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(
+        F.col("vec_id") % _EMB_DEDUP_STRIDE == 0
+    ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+
+    import os
+    import time
+
+    src = tempfile.mkdtemp(prefix="embdedup_src_")
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    first_files = {
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    }
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    now = time.time()
+    for f in os.listdir(src):
+        p = os.path.join(src, f)
+        if p.endswith(".parquet"):
+            os.utime(p, (now - 100, now - 100) if p in first_files else (now, now))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    work = tempfile.mkdtemp(prefix="embdedup_work_")
+    q = streaming_embedding_dedup_ingest(
+        stream,
+        centroids,
+        index_path=f"{work}/index",
+        flags_path=f"{work}/flags",
+        checkpoint_path=f"{work}/ckpt",
+        threshold=_EMB_DEDUP_THRESHOLD,
+        nprobe=_EMB_DEDUP_NPROBE,
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(f"{work}/flags")
+        .filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "hist_min_match", "n_hist_matches", "is_candidate")
+    )

@@ -3,6 +3,7 @@ from .incremental import (
     stateful_sessionizer,
     stateful_user_counters,
     streaming_dedup,
+    streaming_embedding_dedup_ingest,
     streaming_first_per_key,
     streaming_interval_join,
     streaming_lsh_dedup_ingest,
@@ -14,6 +15,7 @@ __all__ = [
     "stateful_sessionizer",
     "stateful_user_counters",
     "streaming_dedup",
+    "streaming_embedding_dedup_ingest",
     "streaming_first_per_key",
     "streaming_interval_join",
     "streaming_lsh_dedup_ingest",

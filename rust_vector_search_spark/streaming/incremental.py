@@ -272,6 +272,111 @@ def streaming_lsh_dedup_ingest(
     )
 
 
+def streaming_embedding_dedup_ingest(
+    vec_stream: DataFrame,
+    centroids: DataFrame,
+    index_path: str,
+    flags_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.4,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Incremental embedding near-dup dedup against a persistent
+    cell-bucketed index — the EMBEDDING twin of
+    ``streaming_lsh_dedup_ingest`` (same probe-before-append contract,
+    IVF cells instead of LSH bands): arriving vectors must near-dup
+    against the whole historical corpus without an N² pair space or a
+    full rescan.
+
+    ``centroids`` (c_id, cv) is a FROZEN static frame — the same
+    frozen-coordinate discipline as ``incremental_index_ingest``'s
+    hyperplanes (cells stay stable as the index grows; re-centering is
+    a periodic batch rebuild). Per micro-batch:
+      1. probe: each arrival joins its ``nprobe`` nearest cells
+         (broadcast centroids, deterministic (dist, c_id) order);
+      2. candidates = historical vectors in those cells (equi-join on
+         cell against the parquet index — never a cross join);
+      3. exact cosine ≥ ``threshold`` flags, aggregated per arrival
+         (min matching historical id, distinct match count), appended
+         to ``flags_path``;
+      4. arrivals append to the index under their 1 nearest cell.
+    """
+    import pyspark.sql.functions as F
+
+    from ..functions.vector import cosine_sim
+    from ..operators.ivf import _nearest_cells
+
+    def _probe_and_append(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        pts = batch.select(F.col(id_col), F.col(vec_col)).localCheckpoint(
+            eager=True
+        )
+        try:
+            hist = spark.read.parquet(index_path)
+            have_hist = True
+        except Exception:
+            have_hist = False
+        ids = pts.select(id_col)
+        if have_hist:
+            probe = _nearest_cells(
+                pts, centroids, nprobe, id_col, vec_col
+            ).select(F.col(id_col), F.col("c_id").alias("cell"))
+            cand = (
+                probe.join(
+                    hist.select(
+                        "cell",
+                        F.col(id_col).alias("hist_id"),
+                        F.col(vec_col).alias("hist_vec"),
+                    ),
+                    "cell",
+                )
+                .select(id_col, "hist_id", "hist_vec")
+                .dropDuplicates([id_col, "hist_id"])
+            )
+            hits = (
+                cand.join(pts, id_col)
+                .filter(
+                    cosine_sim(vec_col, "hist_vec") >= F.lit(threshold)
+                )
+                .groupBy(id_col)
+                .agg(
+                    F.min("hist_id").alias("hist_min_match"),
+                    F.countDistinct("hist_id").alias("n_hist_matches"),
+                )
+            )
+            flags = ids.join(hits, id_col, "left")
+        else:
+            flags = ids.select(
+                id_col,
+                F.lit(None).cast("long").alias("hist_min_match"),
+                F.lit(0).cast("long").alias("n_hist_matches"),
+            )
+        flags = flags.select(
+            id_col,
+            "hist_min_match",
+            F.coalesce("n_hist_matches", F.lit(0)).alias("n_hist_matches"),
+            (F.coalesce("n_hist_matches", F.lit(0)) > 0).alias("is_candidate"),
+        )
+        flags.write.mode("append").parquet(flags_path)
+        own = _nearest_cells(pts, centroids, 1, id_col, vec_col).select(
+            F.col(id_col), F.col("c_id").alias("cell")
+        )
+        pts.join(own, id_col).select("cell", id_col, vec_col).write.mode(
+            "append"
+        ).parquet(index_path)
+
+    return (
+        vec_stream.writeStream.foreachBatch(_probe_and_append)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stateful_user_counters(stream: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     a per-user running event counter with explicit state — the

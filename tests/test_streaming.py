@@ -383,3 +383,76 @@ def test_streaming_lsh_dedup_flags_across_batches(spark, tmp_path):
     assert flags[21] == (13, True)      # index grew: matches batch-2 doc
     assert flags[23] == (None, False)   # clean
     assert flags[0] == (None, False) and flags[2] == (None, False)
+
+
+def test_streaming_embedding_dedup_flags_across_batches(spark, tmp_path):
+    """Embedding twin of the incremental LSH dedup: an arriving vector
+    cosine-matching ANY earlier batch's vector (within its probed
+    cells) is flagged; the index accumulates across batches; clean
+    vectors pass; intra-batch dups are not flagged."""
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    from rust_vector_search_spark.streaming import (
+        streaming_embedding_dedup_ingest,
+    )
+
+    def vec(*xs):
+        return [float(x) for x in xs]
+
+    e1 = vec(1, 0, 0, 0)
+    e2 = vec(0, 1, 0, 0)
+    e3 = vec(0, 0, 1, 0)
+    near_e1 = vec(0.999, 0.01, 0, 0)
+    batches = [
+        [(0, e1), (2, e2)],
+        [(11, near_e1), (13, e3), (15, e3)],  # 11 dups 0; 15 intra-batch dup of 13
+        [(21, e3), (23, vec(0, 0, 0, 1))],    # 21 dups batch-2's 13
+    ]
+    schema = "vec_id long, embedding array<double>"
+    src = str(tmp_path / "emb_src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    now = time.time()
+    files = sorted(
+        (os.path.getmtime(os.path.join(src, f)), f)
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    for i, (_, f) in enumerate(files):
+        os.utime(os.path.join(src, f), (now - 100 + i, now - 100 + i))
+
+    # frozen centroids: the 4 axis-ish directions from batch data
+    centroids = spark.createDataFrame(
+        [(100, e1), (101, e2), (102, e3), (103, vec(0, 0, 0, 1))],
+        "c_id long, cv array<double>",
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    work = str(tmp_path / "emb_work")
+    q = streaming_embedding_dedup_ingest(
+        stream,
+        centroids,
+        index_path=f"{work}/index",
+        flags_path=f"{work}/flags",
+        checkpoint_path=f"{work}/ckpt",
+        threshold=0.9,
+        nprobe=2,
+    )
+    q.awaitTermination(120)
+    flags = {
+        r.vec_id: (r.hist_min_match, r.is_candidate)
+        for r in spark.read.parquet(f"{work}/flags").collect()
+    }
+    assert flags[11] == (0, True)      # near-dup of historical 0
+    assert flags[13] == (None, False)  # clean on arrival
+    assert flags[15] == (None, False)  # intra-batch dup: not flagged here
+    assert flags[21] == (13, True)     # index grew across batches
+    assert flags[23] == (None, False)
