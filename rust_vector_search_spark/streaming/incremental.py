@@ -32,6 +32,9 @@ __all__ = [
     "streaming_first_per_key",
     "streaming_interval_join",
     "incremental_index_ingest",
+    "streaming_lsh_dedup_ingest",
+    "streaming_embedding_dedup_ingest",
+    "stateful_sessionizer",
     "stateful_user_counters",
 ]
 
@@ -185,6 +188,24 @@ def incremental_index_ingest(
     )
 
 
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API (any supported
+    URI scheme), falling back to os.path for plain local paths on
+    JVM-less (Connect) sessions. Used instead of catching read errors:
+    a CORRUPT index must fail the batch loudly, never silently read as
+    'no history yet' and emit wrong flags."""
+    try:
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+    except Exception:
+        import os
+
+        local = path[len("file:"):] if path.startswith("file:") else path
+        return os.path.exists(local)
+
+
 def streaming_lsh_dedup_ingest(
     docs_stream: DataFrame,
     index_path: str,
@@ -228,13 +249,10 @@ def streaming_lsh_dedup_ingest(
         keys = minhash_band_keys(
             batch, text_col, id_col, num_hashes, bands, shingle_n
         ).localCheckpoint(eager=True)  # computed once: probe + append
-        try:
-            hist = spark.read.parquet(index_path)
-            have_hist = True
-        except Exception:
-            have_hist = False
+        have_hist = _hadoop_path_exists(spark, index_path)
         doc_ids = keys.select(id_col).distinct()
         if have_hist:
+            hist = spark.read.parquet(index_path)
             hits = (
                 keys.join(
                     hist.select(
@@ -315,13 +333,10 @@ def streaming_embedding_dedup_ingest(
         pts = batch.select(F.col(id_col), F.col(vec_col)).localCheckpoint(
             eager=True
         )
-        try:
-            hist = spark.read.parquet(index_path)
-            have_hist = True
-        except Exception:
-            have_hist = False
+        have_hist = _hadoop_path_exists(spark, index_path)
         ids = pts.select(id_col)
         if have_hist:
+            hist = spark.read.parquet(index_path)
             probe = _nearest_cells(
                 pts, centroids, nprobe, id_col, vec_col
             ).select(F.col(id_col), F.col("c_id").alias("cell"))
