@@ -434,27 +434,38 @@ def streaming_stateful_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame
 def _lsh_history_oracle() -> str:
     from .textops import _HV_SQL, _SIGS_SQL, _TRIGRAMS_CTE
 
+    jac = ("CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+           " / (CAST(len(sa.shingles) + len(sb.shingles) AS DOUBLE)"
+           " - CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE))")
     return f"""
 WITH {_TRIGRAMS_CTE},
-hvt AS (SELECT doc_id, {_HV_SQL} AS hv FROM sh),
-sig AS (SELECT doc_id, [{_SIGS_SQL}] AS sigs FROM hvt),
+hvt AS (SELECT doc_id, shingles, {_HV_SQL} AS hv FROM sh),
+sig AS (SELECT doc_id, shingles, [{_SIGS_SQL}] AS sigs FROM hvt),
 banded AS (
   SELECT doc_id,
          generate_subscripts(sigs, 1) AS band,
          unnest(list_transform(sigs, x -> md5(CAST(x AS VARCHAR)))) AS band_key
   FROM sig),
-hits AS (
-  SELECT a.doc_id AS doc_id,
-         MIN(h.doc_id) AS hist_min_match,
-         COUNT(DISTINCT h.doc_id) AS n_hist_matches
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, h.doc_id AS h_id
   FROM banded a JOIN banded h
     ON a.band = h.band AND a.band_key = h.band_key
-   AND a.doc_id % 2 = 1 AND h.doc_id % 2 = 0
-  GROUP BY a.doc_id)
+   AND a.doc_id % 2 = 1 AND h.doc_id % 2 = 0),
+hits AS (
+  SELECT cd.a_id AS doc_id,
+         MIN(cd.h_id) AS hist_min_match,
+         COUNT(DISTINCT cd.h_id) AS n_hist_matches,
+         MAX({jac}) AS best_jaccard
+  FROM cand cd
+  JOIN sig sa ON cd.a_id = sa.doc_id
+  JOIN sig sb ON cd.h_id = sb.doc_id
+  WHERE {jac} >= 0.2
+  GROUP BY cd.a_id)
 SELECT s.doc_id,
        hits.hist_min_match,
        COALESCE(hits.n_hist_matches, 0) AS n_hist_matches,
-       COALESCE(hits.n_hist_matches, 0) > 0 AS is_candidate
+       hits.best_jaccard,
+       COALESCE(hits.n_hist_matches, 0) > 0 AS is_near_dup
 FROM sig s LEFT JOIN hits ON s.doc_id = hits.doc_id
 WHERE s.doc_id % 2 = 1
 """
@@ -467,12 +478,15 @@ def streaming_lsh_dedup_history_q(spark: SparkSession, sf_dir: str) -> DataFrame
     twin of the batch MinHash-LSH family, run as a REAL two-micro-batch
     pipeline: even-id documents arrive first (becoming the historical
     index), odd-id documents arrive second and are flagged against it
-    (any shared LSH band key ⇒ near-dup candidate, with the min
-    matching historical id and distinct match count). Probe-before-
+    (shared LSH band key ⇒ candidate, then VERIFIED by exact
+    shingle-set Jaccard ≥ 0.2 — the same block-then-verify contract as
+    the batch operator; flags carry the min verified historical id,
+    distinct verified match count, and best jaccard). Probe-before-
     append makes the flags a pure function of (corpus, split), so the
     batch SQL oracle replays them exactly: band keys for all docs, an
-    (arrival × history) band equi-join, and a left join for clean
-    arrivals. Registered past the driver window (demoted from birth):
+    (arrival × history) band equi-join, the jaccard verify (the
+    double division of exact intersect/union counts is bit-identical
+    across engines), and a left join for clean arrivals. Registered past the driver window (demoted from birth):
     the banding math is window-held by the minhash components /
     survivors / pipeline rows — this row is value-checked in
     CORRECTNESS_LOCAL every round."""
@@ -518,7 +532,13 @@ def streaming_lsh_dedup_history_q(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         spark.read.parquet(f"{work}/flags")
         .filter(F.col("doc_id") % 2 == 1)
-        .select("doc_id", "hist_min_match", "n_hist_matches", "is_candidate")
+        .select(
+            "doc_id",
+            "hist_min_match",
+            "n_hist_matches",
+            "best_jaccard",
+            "is_near_dup",
+        )
     )
 
 
@@ -568,7 +588,7 @@ hits AS (
 SELECT a.vec_id,
        hits.hist_min_match,
        COALESCE(hits.n_hist_matches, 0) AS n_hist_matches,
-       COALESCE(hits.n_hist_matches, 0) > 0 AS is_candidate
+       COALESCE(hits.n_hist_matches, 0) > 0 AS is_near_dup
 FROM arr a LEFT JOIN hits ON a.vec_id = hits.vec_id
 """
 
@@ -638,5 +658,5 @@ def streaming_embedding_dedup_history_q(
     return (
         spark.read.parquet(f"{work}/flags")
         .filter(F.col("vec_id") % 2 == 1)
-        .select("vec_id", "hist_min_match", "n_hist_matches", "is_candidate")
+        .select("vec_id", "hist_min_match", "n_hist_matches", "is_near_dup")
     )

@@ -216,54 +216,92 @@ def streaming_lsh_dedup_ingest(
     num_hashes: int = 16,
     bands: int = 16,
     shingle_n: int = 3,
+    jaccard_threshold: float = 0.2,
 ) -> StreamingQuery:
-    """Incremental near-duplicate dedup against a PERSISTENT band index
-    — the streaming twin of the batch MinHash-LSH family (the pattern a
-    continuously-ingesting training pipeline runs: new documents must
-    dedup against the whole historical corpus without rescanning it).
+    """Incremental near-duplicate dedup against a PERSISTENT two-part
+    LSH index — the streaming twin of the batch MinHash-LSH family (the
+    pattern a continuously-ingesting training pipeline runs: new
+    documents must dedup against the whole historical corpus without
+    rescanning it). The index holds ``{index_path}/bands``
+    (doc_id, band, band_key) for candidacy and
+    ``{index_path}/shingles`` (doc_id, xxhash64 shingle array) for
+    verification — the same block-then-verify contract as
+    ``minhash_lsh_pairs``, never candidacy alone.
 
     Per micro-batch, in order:
-      1. compute the batch's banded MinHash keys (one md5 per shingle,
-         affine permutations — operators/dedup.minhash_band_keys);
-      2. PROBE them against the accumulated band index at
-         ``index_path`` (an equi-join on (band, band_key) — ships band
-         keys, never shingles or text): any shared band key with an
-         EARLIER document flags the arrival as a near-dup candidate;
-      3. append per-doc flags (min matching historical id, distinct
-         matched-doc count, is_candidate) to ``flags_path``;
-      4. append the batch's own keys to ``index_path`` — becoming
-         history for every later batch.
+      1. compute the batch's MinHash signatures ONCE (one md5 per
+         shingle, affine permutations); derive band keys + shingle
+         hashes from the checkpointed signatures;
+      2. PROBE the band keys against the accumulated bands index (an
+         equi-join on (band, band_key) — only ids and 16-byte keys
+         move); candidates sharing ANY band with an EARLIER document
+         proceed to verification;
+      3. VERIFY candidates with exact shingle-set Jaccard against the
+         shingles index (long-array intersect — the payload join is
+         bounded by the candidate count, exactly as in the batch
+         operator); flags (min verified historical id, distinct
+         verified match count, best jaccard) append to ``flags_path``;
+      4. append the batch's own band keys + shingle hashes to the
+         index — becoming history for every later batch.
 
-    Probe-before-append makes the flag a pure function of (data, batch
-    split): intra-batch duplicates are deliberately NOT flagged here —
-    that is the batch LSH family's job (run it inside the batch if
-    needed). The index grows by |batch|·bands slim rows per batch;
-    candidate verification (exact Jaccard) stays a downstream batch
-    join, exactly as in ``minhash_lsh_pairs``."""
-    from ..operators.dedup import minhash_band_keys
+    Probe-before-append makes the flags a pure function of (data,
+    batch split): intra-batch duplicates are deliberately NOT flagged
+    here — that is the batch LSH family's job (run it inside the batch
+    if needed)."""
+    from ..operators.dedup import band_key_expr, minhash_signature
 
     def _probe_and_append(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        keys = minhash_band_keys(
-            batch, text_col, id_col, num_hashes, bands, shingle_n
-        ).localCheckpoint(eager=True)  # computed once: probe + append
-        have_hist = _hadoop_path_exists(spark, index_path)
-        doc_ids = keys.select(id_col).distinct()
+        sig = minhash_signature(
+            batch, text_col, id_col, num_hashes, shingle_n
+        ).localCheckpoint(eager=True)  # computed once: keys + shingles
+        keys = sig.select(
+            F.col(id_col),
+            F.posexplode(
+                band_key_expr(bands, num_hashes // bands)
+            ).alias("band", "band_key"),
+        )
+        shh = sig.select(
+            F.col(id_col),
+            F.transform("shingles", lambda x: F.xxhash64(x)).alias("h"),
+        )
+        have_hist = _hadoop_path_exists(spark, f"{index_path}/bands")
+        doc_ids = sig.select(id_col)
         if have_hist:
-            hist = spark.read.parquet(index_path)
-            hits = (
+            hist_bands = spark.read.parquet(f"{index_path}/bands")
+            hist_sh = spark.read.parquet(f"{index_path}/shingles")
+            cand = (
                 keys.join(
-                    hist.select(
+                    hist_bands.select(
                         F.col(id_col).alias("hist_doc_id"), "band", "band_key"
                     ),
                     ["band", "band_key"],
                 )
+                .select(id_col, "hist_doc_id")
+                .dropDuplicates([id_col, "hist_doc_id"])
+            )
+            scored = (
+                cand.join(shh, id_col)
+                .join(
+                    hist_sh.select(
+                        F.col(id_col).alias("hist_doc_id"),
+                        F.col("h").alias("hist_h"),
+                    ),
+                    "hist_doc_id",
+                )
+            )
+            inter = F.size(F.array_intersect("h", "hist_h")).cast("double")
+            union = (F.size("h") + F.size("hist_h")).cast("double") - inter
+            hits = (
+                scored.withColumn("jaccard", inter / union)
+                .filter(F.col("jaccard") >= F.lit(jaccard_threshold))
                 .groupBy(id_col)
                 .agg(
                     F.min("hist_doc_id").alias("hist_min_match"),
                     F.countDistinct("hist_doc_id").alias("n_hist_matches"),
+                    F.max("jaccard").alias("best_jaccard"),
                 )
             )
             flags = doc_ids.join(hits, id_col, "left")
@@ -272,15 +310,18 @@ def streaming_lsh_dedup_ingest(
                 id_col,
                 F.lit(None).cast("long").alias("hist_min_match"),
                 F.lit(0).cast("long").alias("n_hist_matches"),
+                F.lit(None).cast("double").alias("best_jaccard"),
             )
         flags = flags.select(
             id_col,
             "hist_min_match",
             F.coalesce("n_hist_matches", F.lit(0)).alias("n_hist_matches"),
-            (F.coalesce("n_hist_matches", F.lit(0)) > 0).alias("is_candidate"),
+            "best_jaccard",
+            (F.coalesce("n_hist_matches", F.lit(0)) > 0).alias("is_near_dup"),
         )
         flags.write.mode("append").parquet(flags_path)
-        keys.write.mode("append").parquet(index_path)
+        keys.write.mode("append").parquet(f"{index_path}/bands")
+        shh.write.mode("append").parquet(f"{index_path}/shingles")
 
     return (
         docs_stream.writeStream.foreachBatch(_probe_and_append)
@@ -374,7 +415,7 @@ def streaming_embedding_dedup_ingest(
             id_col,
             "hist_min_match",
             F.coalesce("n_hist_matches", F.lit(0)).alias("n_hist_matches"),
-            (F.coalesce("n_hist_matches", F.lit(0)) > 0).alias("is_candidate"),
+            (F.coalesce("n_hist_matches", F.lit(0)) > 0).alias("is_near_dup"),
         )
         flags.write.mode("append").parquet(flags_path)
         own = _nearest_cells(pts, centroids, 1, id_col, vec_col).select(

@@ -373,14 +373,15 @@ def test_streaming_lsh_dedup_flags_across_batches(spark, tmp_path):
         checkpoint_path=f"{work}/ckpt",
     )
     q.awaitTermination(120)
-    flags = {
-        r.doc_id: (r.hist_min_match, r.is_candidate)
-        for r in spark.read.parquet(f"{work}/flags").collect()
-    }
+    rows = spark.read.parquet(f"{work}/flags").collect()
+    flags = {r.doc_id: (r.hist_min_match, r.is_near_dup) for r in rows}
+    jac = {r.doc_id: r.best_jaccard for r in rows}
     assert flags[11] == (0, True)       # near-dup of historical 0
+    assert jac[11] is not None and 0.2 <= jac[11] < 1.0  # verified, not exact
     assert flags[13] == (None, False)   # clean on arrival
     assert flags[15] == (None, False)   # intra-batch dup: not this op's job
     assert flags[21] == (13, True)      # index grew: matches batch-2 doc
+    assert jac[21] == 1.0               # exact duplicate text
     assert flags[23] == (None, False)   # clean
     assert flags[0] == (None, False) and flags[2] == (None, False)
 
@@ -448,7 +449,7 @@ def test_streaming_embedding_dedup_flags_across_batches(spark, tmp_path):
     )
     q.awaitTermination(120)
     flags = {
-        r.vec_id: (r.hist_min_match, r.is_candidate)
+        r.vec_id: (r.hist_min_match, r.is_near_dup)
         for r in spark.read.parquet(f"{work}/flags").collect()
     }
     assert flags[11] == (0, True)      # near-dup of historical 0
