@@ -412,18 +412,22 @@ def band_key_expr(bands: int, rows: int, sigs_col: str = "sigs") -> Column:
 
 
 def minhash_band_keys(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 16,
     shingle_n: int = 3,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, band_key) for every document with ≥ 1 shingle — the
     probe/index unit of banded LSH as a standalone surface (the
-    streaming incremental dedup appends these rows to a persistent
-    band index and probes arrivals against it)."""
-    sig = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n)
+    streaming incremental dedup writes these rows to a persistent band
+    index and probes arrivals against it). Pass ``sig`` (a
+    ``minhash_signature`` frame, e.g. checkpointed and shared with a
+    shingle-hash projection) to skip recomputing signatures."""
+    if sig is None:
+        sig = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n)
     return sig.select(
         F.col(id_col),
         F.posexplode(band_key_expr(bands, num_hashes // bands)).alias(

@@ -49,9 +49,13 @@ def range_scale(c: Column, c_min: Column, c_max: Column, bits: int = Z_BITS) -> 
     all skipping benefit (ADVICE r6); range scaling keeps the key's
     ORDER inside the budget, which is all min/max pruning needs.
 
-    Caller guarantees ``(max - min) * mask`` fits in int64 — holds for
-    any key range below ~2^47 with the default 16-bit budget; assert at
-    call sites handling wider domains.
+    Caller guarantees ``(max - min) * mask < 2^53`` (key range below
+    ~2^37 with the default 16-bit budget) — the bound is the DOUBLE
+    exactness domain of the remainder-trick division below, not int64:
+    above 2^53 the exactly-divisible numerator itself rounds in double
+    and the truncated quotient can land one below DuckDB's integer
+    ``//``. Wider key domains need a decimal/bigint floor-division
+    rewrite; assert the bound at call sites handling them.
     """
     mask = (1 << bits) - 1
     span = F.greatest(c_max.cast("long") - c_min.cast("long"), F.lit(1))

@@ -80,6 +80,23 @@ def dd_cosine(a: str, b: str) -> str:
     return f"({dd_dot(a, b)} / (sqrt({dd_dot(a, a)}) * sqrt({dd_dot(b, b)})))"
 
 
+def stop_idle_state_stores(spark: SparkSession) -> None:
+    """Unload loaded state-store providers, but ONLY when no streaming
+    query is active: earlier availableNow runs leave their providers
+    cached in executor memory (maintenance unloads them lazily) and
+    registry queries never resume an earlier run's state — while
+    unloading a LIVE query's providers would force checkpoint reloads
+    mid-run (ADVICE r6). No-op on Connect sessions (no JVM handle).
+    The single shared implementation for release_driver_blocks and the
+    streaming-query epilogue (they must not drift)."""
+    try:
+        if not spark.streams.active:
+            jvm = spark.sparkContext._jvm
+            jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass
+
+
 def release_driver_blocks(spark: SparkSession) -> None:
     """Defensive driver-side GC for block-heavy queries.
 
@@ -113,18 +130,7 @@ def release_driver_blocks(spark: SparkSession) -> None:
         # latency in a session with nothing to reclaim
         if (rt.totalMemory() - rt.freeMemory()) < rt.maxMemory() * 0.5:
             return
-        # earlier STREAMING queries leave loaded state-store providers
-        # cached in memory (maintenance unloads them lazily); stop()
-        # unloads them all now — they reload from checkpoint files if a
-        # stream needs them again, and queries in this registry never
-        # resume an earlier run's state. NEVER while a stream is live:
-        # unloading a running query's providers forces checkpoint
-        # reloads mid-run (ADVICE r6).
-        try:
-            if not spark.streams.active:
-                jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-        except Exception:
-            pass
+        stop_idle_state_stores(spark)
         deadline = time.time() + 3.0
         while True:
             jvm.System.gc()

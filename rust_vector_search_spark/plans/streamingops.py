@@ -21,7 +21,12 @@ from ..streaming import (
     streaming_first_per_key,
     streaming_windowed_counts,
 )
-from .registry import dd_sum, register, release_driver_blocks
+from .registry import (
+    dd_sum,
+    register,
+    release_driver_blocks,
+    stop_idle_state_stores,
+)
 
 
 # Stream-source parquet dirs are PURE FUNCTIONS of (sf_dir, ordered) —
@@ -70,19 +75,28 @@ def _drop_stale_sinks(spark: SparkSession) -> None:
             pass
 
 
-def _unload_state_stores(spark: SparkSession) -> None:
-    """Unload state-store providers once no stream is active: an
-    availableNow run leaves its providers cached in executor memory
-    (maintenance unloads them lazily), and registry queries never
-    resume an earlier run's state — drop them eagerly so the next
-    (possibly non-streaming) query doesn't run against a heap holding
-    every prior stream's state maps."""
-    try:
-        if not spark.streams.active:
-            jvm = spark.sparkContext._jvm
-            jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-    except Exception:
-        pass  # Spark Connect: no JVM handle
+
+
+def stage_ordered_batches(frames, src: str) -> None:
+    """Write ``frames`` (a list of DataFrames) into ``src`` as one
+    parquet file each, with file mtimes pinned to list order — the
+    parquet file-stream source orders micro-batches by modification
+    time, and filesystem timestamp granularity is not trusted to
+    preserve sub-second write order. Shared by every staged
+    deterministic-batch-order source (and the mirror logic in
+    tests/test_streaming.py)."""
+    import os
+    import time
+
+    seen: set = set()
+    for i, frame in enumerate(frames):
+        frame.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+        now = time.time()
+        for f in os.listdir(src):
+            path = os.path.join(src, f)
+            if path.endswith(".parquet") and path not in seen:
+                os.utime(path, (now - 100 + i, now - 100 + i))
+                seen.add(path)
 
 
 def _run_to_memory(out, name_prefix: str, output_mode: str = "append") -> str:
@@ -97,7 +111,7 @@ def _run_to_memory(out, name_prefix: str, output_mode: str = "append") -> str:
         .start()
     )
     q.awaitTermination(300)
-    _unload_state_stores(spark)
+    stop_idle_state_stores(spark)
     _STALE_SINKS.append(name)
     return name
 
@@ -461,13 +475,13 @@ hits AS (
   JOIN sig sb ON cd.h_id = sb.doc_id
   WHERE {jac} >= 0.2
   GROUP BY cd.a_id)
-SELECT s.doc_id,
+SELECT d.doc_id,
        hits.hist_min_match,
        COALESCE(hits.n_hist_matches, 0) AS n_hist_matches,
        hits.best_jaccard,
        COALESCE(hits.n_hist_matches, 0) > 0 AS is_near_dup
-FROM sig s LEFT JOIN hits ON s.doc_id = hits.doc_id
-WHERE s.doc_id % 2 = 1
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+WHERE d.doc_id % 2 = 1
 """
 
 
@@ -490,32 +504,19 @@ def streaming_lsh_dedup_history_q(spark: SparkSession, sf_dir: str) -> DataFrame
     the banding math is window-held by the minhash components /
     survivors / pipeline rows — this row is value-checked in
     CORRECTNESS_LOCAL every round."""
-    import os
-    import time
-
     from ..sources import load_table
     from ..streaming import streaming_lsh_dedup_ingest
 
     ensure_deterministic_session(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     src = tempfile.mkdtemp(prefix="lsh_stream_src_")
-    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(src)
-    first_files = {
-        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
-    }
-    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    # the file source orders micro-batches by modification time — pin
-    # history strictly older than arrivals regardless of fs timestamp
-    # granularity
-    now = time.time()
-    for f in os.listdir(src):
-        p = os.path.join(src, f)
-        if p.endswith(".parquet"):
-            os.utime(p, (now - 100, now - 100) if p in first_files else (now, now))
+    stage_ordered_batches(
+        [
+            docs.filter(F.col("doc_id") % 2 == 0),  # history first
+            docs.filter(F.col("doc_id") % 2 == 1),  # then arrivals
+        ],
+        src,
+    )
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -621,24 +622,14 @@ def streaming_embedding_dedup_history_q(
         F.col("vec_id") % _EMB_DEDUP_STRIDE == 0
     ).select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
 
-    import os
-    import time
-
     src = tempfile.mkdtemp(prefix="embdedup_src_")
-    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(src)
-    first_files = {
-        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
-    }
-    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    now = time.time()
-    for f in os.listdir(src):
-        p = os.path.join(src, f)
-        if p.endswith(".parquet"):
-            os.utime(p, (now - 100, now - 100) if p in first_files else (now, now))
+    stage_ordered_batches(
+        [
+            emb.filter(F.col("vec_id") % 2 == 0),  # history first
+            emb.filter(F.col("vec_id") % 2 == 1),  # then arrivals
+        ],
+        src,
+    )
     stream = (
         spark.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1)

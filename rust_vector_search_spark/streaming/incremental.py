@@ -232,23 +232,30 @@ def streaming_lsh_dedup_ingest(
       1. compute the batch's MinHash signatures ONCE (one md5 per
          shingle, affine permutations); derive band keys + shingle
          hashes from the checkpointed signatures;
-      2. PROBE the band keys against the accumulated bands index (an
-         equi-join on (band, band_key) — only ids and 16-byte keys
-         move); candidates sharing ANY band with an EARLIER document
-         proceed to verification;
+      2. PROBE the band keys against STRICTLY-EARLIER batches of the
+         bands index (an equi-join on (band, band_key) — only ids and
+         16-byte keys move); candidates sharing ANY band with an
+         earlier document proceed to verification;
       3. VERIFY candidates with exact shingle-set Jaccard against the
          shingles index (long-array intersect — the payload join is
          bounded by the candidate count, exactly as in the batch
          operator); flags (min verified historical id, distinct
-         verified match count, best jaccard) append to ``flags_path``;
-      4. append the batch's own band keys + shingle hashes to the
+         verified match count, best jaccard) land in ``flags_path``.
+         Documents too short to shingle get an explicit clean row —
+         every arrival appears in the flags output exactly once;
+      4. write the batch's own band keys + shingle hashes into the
          index — becoming history for every later batch.
 
-    Probe-before-append makes the flags a pure function of (data,
-    batch split): intra-batch duplicates are deliberately NOT flagged
-    here — that is the batch LSH family's job (run it inside the batch
-    if needed)."""
-    from ..operators.dedup import band_key_expr, minhash_signature
+    IDEMPOTENT under foreachBatch's at-least-once retries: every write
+    OVERWRITES a ``batch=<id>`` subdirectory (a rerun replaces its own
+    partial output instead of appending duplicates), and the probe
+    filters the index to ``batch < current`` (a rerun that already
+    wrote its own keys cannot see them, preserving the intra-batch
+    contract). Probe-before-append therefore makes the flags a pure
+    function of (data, batch split); intra-batch duplicates are
+    deliberately NOT flagged here — that is the batch LSH family's job
+    (run it inside the batch if needed)."""
+    from ..operators.dedup import minhash_band_keys, minhash_signature
 
     def _probe_and_append(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -257,21 +264,24 @@ def streaming_lsh_dedup_ingest(
         sig = minhash_signature(
             batch, text_col, id_col, num_hashes, shingle_n
         ).localCheckpoint(eager=True)  # computed once: keys + shingles
-        keys = sig.select(
-            F.col(id_col),
-            F.posexplode(
-                band_key_expr(bands, num_hashes // bands)
-            ).alias("band", "band_key"),
+        keys = minhash_band_keys(
+            id_col=id_col, num_hashes=num_hashes, bands=bands, sig=sig
         )
         shh = sig.select(
             F.col(id_col),
             F.transform("shingles", lambda x: F.xxhash64(x)).alias("h"),
         )
         have_hist = _hadoop_path_exists(spark, f"{index_path}/bands")
-        doc_ids = sig.select(id_col)
+        # every arrival gets a flags row — including docs too short to
+        # shingle (absent from sig), which are clean by definition
+        doc_ids = batch.select(id_col).distinct()
         if have_hist:
-            hist_bands = spark.read.parquet(f"{index_path}/bands")
-            hist_sh = spark.read.parquet(f"{index_path}/shingles")
+            hist_bands = spark.read.parquet(f"{index_path}/bands").filter(
+                F.col("batch") < batch_id
+            )
+            hist_sh = spark.read.parquet(f"{index_path}/shingles").filter(
+                F.col("batch") < batch_id
+            )
             cand = (
                 keys.join(
                     hist_bands.select(
@@ -319,9 +329,13 @@ def streaming_lsh_dedup_ingest(
             "best_jaccard",
             (F.coalesce("n_hist_matches", F.lit(0)) > 0).alias("is_near_dup"),
         )
-        flags.write.mode("append").parquet(flags_path)
-        keys.write.mode("append").parquet(f"{index_path}/bands")
-        shh.write.mode("append").parquet(f"{index_path}/shingles")
+        flags.write.mode("overwrite").parquet(f"{flags_path}/batch={batch_id}")
+        keys.write.mode("overwrite").parquet(
+            f"{index_path}/bands/batch={batch_id}"
+        )
+        shh.write.mode("overwrite").parquet(
+            f"{index_path}/shingles/batch={batch_id}"
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(_probe_and_append)
@@ -358,9 +372,15 @@ def streaming_embedding_dedup_ingest(
       2. candidates = historical vectors in those cells (equi-join on
          cell against the parquet index — never a cross join);
       3. exact cosine ≥ ``threshold`` flags, aggregated per arrival
-         (min matching historical id, distinct match count), appended
+         (min matching historical id, distinct match count), written
          to ``flags_path``;
-      4. arrivals append to the index under their 1 nearest cell.
+      4. arrivals land in the index under their 1 nearest cell.
+
+    IDEMPOTENT under foreachBatch's at-least-once retries: every write
+    OVERWRITES a ``batch=<id>`` subdirectory and the probe filters the
+    index to ``batch < current`` — a rerun replaces its own partial
+    output and cannot see its own keys (same contract as
+    ``streaming_lsh_dedup_ingest``).
     """
     import pyspark.sql.functions as F
 
@@ -377,7 +397,11 @@ def streaming_embedding_dedup_ingest(
         have_hist = _hadoop_path_exists(spark, index_path)
         ids = pts.select(id_col)
         if have_hist:
-            hist = spark.read.parquet(index_path)
+            # strictly-earlier batches only: a retried batch that
+            # already wrote its own cell rows must not probe them
+            hist = spark.read.parquet(index_path).filter(
+                F.col("batch") < batch_id
+            )
             probe = _nearest_cells(
                 pts, centroids, nprobe, id_col, vec_col
             ).select(F.col(id_col), F.col("c_id").alias("cell"))
@@ -417,13 +441,15 @@ def streaming_embedding_dedup_ingest(
             F.coalesce("n_hist_matches", F.lit(0)).alias("n_hist_matches"),
             (F.coalesce("n_hist_matches", F.lit(0)) > 0).alias("is_near_dup"),
         )
-        flags.write.mode("append").parquet(flags_path)
+        # idempotent under at-least-once retries: each batch OVERWRITES
+        # its own batch=<id> subdirectory instead of appending
+        flags.write.mode("overwrite").parquet(f"{flags_path}/batch={batch_id}")
         own = _nearest_cells(pts, centroids, 1, id_col, vec_col).select(
             F.col(id_col), F.col("c_id").alias("cell")
         )
         pts.join(own, id_col).select("cell", id_col, vec_col).write.mode(
-            "append"
-        ).parquet(index_path)
+            "overwrite"
+        ).parquet(f"{index_path}/batch={batch_id}")
 
     return (
         vec_stream.writeStream.foreachBatch(_probe_and_append)
@@ -563,8 +589,19 @@ def stateful_sessionizer(
             ends = us[last_idx]
             ns = counts.astype(object)
             if st_last is not None and ids[0] == 0:
-                # carried session extended by this batch's leading run
-                starts[0] = st_start
+                # carried session extended by this batch's leading run.
+                # CLAMP both ends against the stored state: late
+                # (out-of-order) rows are admitted into the open
+                # session — the state store does not drop them, only
+                # timeouts follow the watermark — and must never
+                # REGRESS session_end below the stored last event (or
+                # the re-armed timeout deadline with it) nor leave
+                # session_start above an earlier late row. Lateness
+                # beyond this (a late row that should MERGE two
+                # already-split sessions) is out of scope — bound it
+                # with the stream's watermark.
+                starts[0] = min(st_start, int(us[first_idx[0]]))
+                ends[0] = max(st_last, int(ends[0]))
                 ns[0] = st_n + counts[0]
             elif st_last is not None:
                 # carried session closed untouched by any batch row

@@ -324,9 +324,6 @@ def test_streaming_lsh_dedup_flags_across_batches(spark, tmp_path):
     before the batch's own keys append); clean docs pass. Three
     batches prove the index accumulates across batches, not just from
     batch 1."""
-    import os
-    import time
-
     from rust_vector_search_spark.streaming import streaming_lsh_dedup_ingest
 
     base = ("the quick brown fox jumps over the lazy dog and then "
@@ -344,21 +341,15 @@ def test_streaming_lsh_dedup_flags_across_batches(spark, tmp_path):
         [(21, third), (23, "totally novel words appear in this final "
                            "document about absolutely nothing familiar")],
     ]
+    from rust_vector_search_spark.plans.streamingops import (
+        stage_ordered_batches,
+    )
+
     src = str(tmp_path / "lsh_src")
     schema = "doc_id long, text string"
-    for i, rows in enumerate(batches):
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "append" if i else "overwrite"
-        ).parquet(src)
-    now = time.time()
-    # pin file mtimes to write order (batch order = mod-time order)
-    files = sorted(
-        (os.path.getmtime(os.path.join(src, f)), f)
-        for f in os.listdir(src)
-        if f.endswith(".parquet")
+    stage_ordered_batches(
+        [spark.createDataFrame(rows, schema) for rows in batches], src
     )
-    for i, (_, f) in enumerate(files):
-        os.utime(os.path.join(src, f), (now - 100 + i, now - 100 + i))
 
     stream = (
         spark.readStream.schema(schema)
@@ -391,9 +382,6 @@ def test_streaming_embedding_dedup_flags_across_batches(spark, tmp_path):
     cosine-matching ANY earlier batch's vector (within its probed
     cells) is flagged; the index accumulates across batches; clean
     vectors pass; intra-batch dups are not flagged."""
-    import os
-    import time
-
     import pyspark.sql.functions as F
 
     from rust_vector_search_spark.streaming import (
@@ -412,20 +400,15 @@ def test_streaming_embedding_dedup_flags_across_batches(spark, tmp_path):
         [(11, near_e1), (13, e3), (15, e3)],  # 11 dups 0; 15 intra-batch dup of 13
         [(21, e3), (23, vec(0, 0, 0, 1))],    # 21 dups batch-2's 13
     ]
+    from rust_vector_search_spark.plans.streamingops import (
+        stage_ordered_batches,
+    )
+
     schema = "vec_id long, embedding array<double>"
     src = str(tmp_path / "emb_src")
-    for i, rows in enumerate(batches):
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "append" if i else "overwrite"
-        ).parquet(src)
-    now = time.time()
-    files = sorted(
-        (os.path.getmtime(os.path.join(src, f)), f)
-        for f in os.listdir(src)
-        if f.endswith(".parquet")
+    stage_ordered_batches(
+        [spark.createDataFrame(rows, schema) for rows in batches], src
     )
-    for i, (_, f) in enumerate(files):
-        os.utime(os.path.join(src, f), (now - 100 + i, now - 100 + i))
 
     # frozen centroids: the 4 axis-ish directions from batch data
     centroids = spark.createDataFrame(
