@@ -276,10 +276,16 @@ def streaming_lsh_dedup_ingest(
         # shingle (absent from sig), which are clean by definition
         doc_ids = batch.select(id_col).distinct()
         if have_hist:
-            hist_bands = spark.read.parquet(f"{index_path}/bands").filter(
-                F.col("batch") < batch_id
-            )
-            hist_sh = spark.read.parquet(f"{index_path}/shingles").filter(
+            # explicit schemas: planning must not infer from footers —
+            # a crashed attempt's PARTIAL batch=<id> files may be
+            # corrupt, and the batch<current partition filter prunes
+            # them from the scan only if no footer is read up front
+            hist_bands = spark.read.schema(
+                f"{id_col} long, band int, band_key string, batch int"
+            ).parquet(f"{index_path}/bands").filter(F.col("batch") < batch_id)
+            hist_sh = spark.read.schema(
+                f"{id_col} long, h array<long>, batch int"
+            ).parquet(f"{index_path}/shingles").filter(
                 F.col("batch") < batch_id
             )
             cand = (
@@ -397,11 +403,13 @@ def streaming_embedding_dedup_ingest(
         have_hist = _hadoop_path_exists(spark, index_path)
         ids = pts.select(id_col)
         if have_hist:
-            # strictly-earlier batches only: a retried batch that
-            # already wrote its own cell rows must not probe them
-            hist = spark.read.parquet(index_path).filter(
-                F.col("batch") < batch_id
-            )
+            # strictly-earlier batches only (a retried batch that
+            # already wrote its own cell rows must not probe them);
+            # explicit schema so planning never reads a crashed
+            # attempt's partial footers
+            hist = spark.read.schema(
+                f"cell long, {id_col} long, {vec_col} array<double>, batch int"
+            ).parquet(index_path).filter(F.col("batch") < batch_id)
             probe = _nearest_cells(
                 pts, centroids, nprobe, id_col, vec_col
             ).select(F.col(id_col), F.col("c_id").alias("cell"))
