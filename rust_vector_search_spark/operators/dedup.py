@@ -427,6 +427,8 @@ def minhash_band_keys(
     ``minhash_signature`` frame, e.g. checkpointed and shared with a
     shingle-hash projection) to skip recomputing signatures."""
     if sig is None:
+        if docs is None:
+            raise ValueError("minhash_band_keys: pass docs or sig")
         sig = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n)
     return sig.select(
         F.col(id_col),

@@ -83,8 +83,8 @@ def stage_ordered_batches(frames, src: str) -> None:
     parquet file-stream source orders micro-batches by modification
     time, and filesystem timestamp granularity is not trusted to
     preserve sub-second write order. Shared by every staged
-    deterministic-batch-order source (and the mirror logic in
-    tests/test_streaming.py)."""
+    deterministic-batch-order source, including the operator tests in
+    tests/test_streaming.py (which import it)."""
     import os
     import time
 

@@ -271,7 +271,9 @@ def streaming_lsh_dedup_ingest(
             F.col(id_col),
             F.transform("shingles", lambda x: F.xxhash64(x)).alias("h"),
         )
-        have_hist = _hadoop_path_exists(spark, f"{index_path}/bands")
+        have_hist = _hadoop_path_exists(
+            spark, f"{index_path}/bands"
+        ) and _hadoop_path_exists(spark, f"{index_path}/shingles")
         # every arrival gets a flags row — including docs too short to
         # shingle (absent from sig), which are clean by definition
         doc_ids = batch.select(id_col).distinct()
@@ -280,11 +282,12 @@ def streaming_lsh_dedup_ingest(
             # a crashed attempt's PARTIAL batch=<id> files may be
             # corrupt, and the batch<current partition filter prunes
             # them from the scan only if no footer is read up front
+            id_t = batch.schema[id_col].dataType.simpleString()
             hist_bands = spark.read.schema(
-                f"{id_col} long, band int, band_key string, batch int"
+                f"{id_col} {id_t}, band int, band_key string, batch int"
             ).parquet(f"{index_path}/bands").filter(F.col("batch") < batch_id)
             hist_sh = spark.read.schema(
-                f"{id_col} long, h array<long>, batch int"
+                f"{id_col} {id_t}, h array<long>, batch int"
             ).parquet(f"{index_path}/shingles").filter(
                 F.col("batch") < batch_id
             )
@@ -407,8 +410,10 @@ def streaming_embedding_dedup_ingest(
             # already wrote its own cell rows must not probe them);
             # explicit schema so planning never reads a crashed
             # attempt's partial footers
+            id_t = batch.schema[id_col].dataType.simpleString()
+            vec_t = batch.schema[vec_col].dataType.simpleString()
             hist = spark.read.schema(
-                f"cell long, {id_col} long, {vec_col} array<double>, batch int"
+                f"cell long, {id_col} {id_t}, {vec_col} {vec_t}, batch int"
             ).parquet(index_path).filter(F.col("batch") < batch_id)
             probe = _nearest_cells(
                 pts, centroids, nprobe, id_col, vec_col
@@ -581,8 +586,18 @@ def stateful_sessionizer(
                 st_start, st_last, st_n = state.get
             else:
                 st_start, st_last, st_n = None, None, 0
-            prev = np.concatenate(([st_last], us[:-1])) if st_last is not None \
+            # gap reference = RUNNING MAX of everything seen before the
+            # row (the stored last event and all earlier batch rows):
+            # with a carried last_us AFTER a late batch row, the plain
+            # previous-element reference would inflate the next row's
+            # gap and spuriously split the session the late row joined.
+            # The batch itself is sorted, so only st_last can exceed a
+            # later element.
+            prev = (
+                np.maximum.accumulate(np.concatenate(([st_last], us)))[:-1]
+                if st_last is not None
                 else np.concatenate(([us[0]], us[:-1]))
+            )
             new_sess = (us - prev) > gap_us
             if st_last is None:
                 new_sess[0] = True

@@ -440,3 +440,77 @@ def test_streaming_embedding_dedup_flags_across_batches(spark, tmp_path):
     assert flags[15] == (None, False)  # intra-batch dup: not flagged here
     assert flags[21] == (13, True)     # index grew across batches
     assert flags[23] == (None, False)
+
+
+def test_stateful_sessionizer_late_row_does_not_split_session(spark, tmp_path):
+    """A late out-of-order row admitted into the carried open session
+    must not become the gap reference for the next row: with state
+    (last=100min) and a batch [90min (late), 125min], the 125min row is
+    35min after the late row but only 25min after the stored last event
+    — ONE session, not a spurious split (the gap reference is the
+    running max of everything seen, not the previous sorted row)."""
+    import datetime as dt
+
+    from rust_vector_search_spark.plans.streamingops import (
+        stage_ordered_batches,
+    )
+    from rust_vector_search_spark.streaming import stateful_sessionizer
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, minute // 60, minute % 60)
+
+    schema = "user_id long, ts timestamp, event_id long"
+    src = str(tmp_path / "late_src")
+    stage_ordered_batches(
+        [
+            spark.createDataFrame(
+                [(1, ts(0), 100), (1, ts(100), 101)], schema
+            ),
+            spark.createDataFrame(
+                [(1, ts(90), 102), (1, ts(125), 103)], schema
+            ),
+        ],
+        src,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful_sessionizer(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sess_late")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # latest snapshot per (user, start): one open session spanning the
+    # whole run — starts at 0 (first batch-1 session start... the 0 and
+    # 100 rows are 100min apart, so batch 1 closes [0,0] and carries
+    # [100,100]; batch 2's late 90min row extends the carried session
+    # backward-in-time and 125min extends it forward
+    rows = spark.sql(
+        """SELECT * FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY user_id, session_start
+               ORDER BY session_end DESC, n_events DESC, is_open ASC) AS rn
+             FROM sess_late) WHERE rn = 1"""
+    ).collect()
+    got = {
+        (r.session_start.hour * 60 + r.session_start.minute): (
+            r.session_end.hour * 60 + r.session_end.minute,
+            r.n_events,
+            r.is_open,
+        )
+        for r in rows
+    }
+    # batch 1's open snapshot (start=100) remains under its old key —
+    # a late row extending a session BACKWARD changes the snapshot key,
+    # which is exactly why multi-batch consumers keep the latest row
+    # per USER for open sessions; the correctness claims are the two
+    # final rows:
+    assert got[0] == (0, 1, False)    # 0min singleton closed by the gap
+    assert got[90] == (125, 3, True)  # late 90 + stored 100 + 125: ONE session
+    assert 125 not in got and 100 not in got or got.get(100) == (100, 1, True), rows
