@@ -496,9 +496,17 @@ def build_rp_forest_batched(
             local_threshold=local_threshold,
             tree_offset=offset,
         )
-        forest.nodes.write.mode("append").partitionBy("tree_id").parquet(
-            f"{path}/nodes"
-        )
+        # materialize the node LEVEL and cluster row groups by it: the
+        # join-chain search filters one level per step, and an lvl
+        # equality predicate pushes into the parquet scan (row-group
+        # min/max pruning) — without it a depth-32 descent re-reads the
+        # WHOLE node table 32 times (the dominant search cost measured
+        # on parquet-backed indexes at the 250k/1M probes)
+        forest.nodes.withColumn(
+            "lvl", F.length("node_path")
+        ).sortWithinPartitions("lvl").write.mode("append").partitionBy(
+            "tree_id"
+        ).parquet(f"{path}/nodes")
         forest.leaves.write.mode("append").partitionBy("tree_id").parquet(
             f"{path}/leaves"
         )
@@ -520,10 +528,14 @@ def save_index(forest: RPForest, path: str) -> None:
     """Persist the forest as Parquet partitioned by tree_id — a NEW
     capability vs the reference (whose index dies with the process,
     ``src/lib.rs:15-19``); partition pruning makes single-tree reads
-    cheap at scale."""
-    forest.nodes.write.mode("overwrite").partitionBy("tree_id").parquet(
-        f"{path}/nodes"
-    )
+    cheap at scale. Nodes carry a materialized ``lvl`` column with
+    lvl-clustered row groups so the per-level routing filter pushes
+    into the scan (same rationale as the batched write above)."""
+    forest.nodes.withColumn(
+        "lvl", F.length("node_path")
+    ).sortWithinPartitions("lvl").write.mode("overwrite").partitionBy(
+        "tree_id"
+    ).parquet(f"{path}/nodes")
     forest.leaves.write.mode("overwrite").partitionBy("tree_id").parquet(
         f"{path}/leaves"
     )

@@ -275,9 +275,22 @@ def route_queries(
         F.lit(0).alias("spills"),
     )
     nodes = forest.nodes
+    # per-level selection: a persisted index (operators/index.py batched
+    # write) carries a materialized `lvl` column with lvl-sorted row
+    # groups, so the equality filter PUSHES into the parquet scan and
+    # prunes ~(depth-1)/depth of every level's read — the join-chain
+    # descent over a parquet-backed index otherwise re-scans the whole
+    # node table once per level (measured: the dominant search cost at
+    # the 250k/1M probe scale). length(node_path) is the in-memory
+    # fallback (not pushable; fine for block-backed forests).
+    has_lvl = "lvl" in nodes.columns
     routed_parts: list[DataFrame] = []
     for depth in range(forest.max_depth):
-        level_nodes = nodes.filter(F.length("node_path") == depth)
+        level_nodes = nodes.filter(
+            (F.col("lvl") == depth)
+            if has_lvl
+            else (F.length("node_path") == depth)
+        )
         stepped = active.join(
             hint(level_nodes), ["tree_id", "node_path"], "left"
         )
