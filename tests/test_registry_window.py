@@ -21,7 +21,11 @@ DRIVER_CAP = 50
 # plus this round's O1 scan — all must be inside the window
 MUST_BE_IN_WINDOW = [
     "dedup_minhash_components",
-    "streaming_dedup_users",
+    # r8: streaming_dedup_users demoted (three streaming siblings plus
+    # both incremental rows keep the micro-batch discipline in-window);
+    # its slot went to the persistent-index incremental dedup rows
+    "streaming_lsh_dedup_history",
+    "streaming_embedding_dedup_history",
     # r6 late: the int8 linear-prefilter baseline handed its slot to the
     # IVF-PQ composition — the SQ8 math stays value-checked in-window
     # through ann_ivf_int8_topk, the quantized-prefilter + exact-re-rank
@@ -39,8 +43,11 @@ MUST_BE_IN_WINDOW = [
     "dedup_simhash_components_star",
     # r3-new real-codec audio left the window r6b: PNG + JPEG keep the
     # mapInPandas codec coverage; its slot went to the first
-    # oracle-checked grouped applyInPandas row (below)
-    "label_feature_moments",
+    # oracle-checked grouped applyInPandas row. r8: that float-moments
+    # row failed the DRIVER DuckDB twice (passes local DuckDB 1.0.0 —
+    # build-specific float divergence); replaced by the INTEGER-ONLY
+    # witness of the same grouped-Arrow bridge (VERDICT r7 #1)
+    "label_id_stats",
     # r6 late: the raw-frame video sampler (simplest modality) handed
     # its slot to the sequence-packing layout; PNG/JPEG/audio keep the
     # real-codec modality coverage in-window
