@@ -423,6 +423,15 @@ def search_rp_forest(
             _nq.append(queries.count())
         return _nq[0]
 
+    # same memoized-thunk discipline for the corpus count (VERDICT r7
+    # #6): only the blas-gate consumer fires it, and at most once
+    _nc: list[int] = []
+
+    def _n_corpus() -> int:
+        if not _nc:
+            _nc.append(corpus.count())
+        return _nc[0]
+
     routed = route_queries(
         forest, queries, spill_margin, max_spills, n_queries=_n_queries,
         route_strategy=route_strategy,
@@ -430,6 +439,7 @@ def search_rp_forest(
     return _finish_search(
         forest, corpus, queries, routed, k, backfill, id_col, vec_col,
         exclude_self, broadcast_queries, _n_queries, rerank,
+        n_corpus=_n_corpus,
     )
 
 
@@ -446,6 +456,7 @@ def _finish_search(
     broadcast_queries: bool | str,
     n_queries: "Callable[[], int]",
     rerank: str = "hof",
+    n_corpus: "Callable[[], int] | None" = None,
 ) -> DataFrame:
     """Candidates + re-rank, shared by every routing strategy: leaf
     membership join, sibling-prefix backfill for underfull leaves,
@@ -544,8 +555,11 @@ def _finish_search(
             int(_os.environ.get("SPARK_GRAFT_BC_QUERIES_MB", "256")) * 1024 * 1024
         )
         per_vec = (forest.dim or 64) * 8 + 120
-        n_corpus = corpus.count()
-        if (n_corpus + n_queries()) * per_vec < gate:
+        # memoized thunk when the caller already counted (the all-pairs
+        # path's dup detection, search_rp_forest's shared thunk) — the
+        # blas gate must not launch a second count job (VERDICT r7 #6)
+        nc = n_corpus() if n_corpus is not None else corpus.count()
+        if (nc + n_queries()) * per_vec < gate:
             return _blas_rerank(
                 corpus, queries, cand, k, id_col, vec_col, exclude_self
             )
@@ -1021,6 +1035,7 @@ def search_rp_forest_self(
     return _finish_search(
         forest, corpus, queries, routed, k, backfill, id_col, vec_col,
         True, False, lambda: n_corpus, rerank,
+        n_corpus=lambda: n_corpus,
     )
 
 

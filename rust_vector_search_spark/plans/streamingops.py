@@ -37,6 +37,24 @@ from .registry import (
 _STREAM_SRC_CACHE: dict[tuple[str, bool], tuple[str, object]] = {}
 
 
+def _purge_stream_src_cache() -> None:
+    """Remove every cached stream-source tempdir. Registered atexit
+    (VERDICT r7 #7): the cache is bounded (one dir per (sf_dir, ordered)
+    per process) but the dirs are parquet copies of the events table —
+    leave nothing behind when the process ends. Idempotent; also
+    callable directly by tests."""
+    import shutil
+
+    while _STREAM_SRC_CACHE:
+        _, (src, _schema) = _STREAM_SRC_CACHE.popitem()
+        shutil.rmtree(src, ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_purge_stream_src_cache)
+
+
 def _events_stream(spark: SparkSession, sf_dir: str, ordered: bool = False):
     ensure_deterministic_session(spark)
     key = (sf_dir, ordered)
@@ -56,25 +74,6 @@ def _events_stream(spark: SparkSession, sf_dir: str, ordered: bool = False):
         _STREAM_SRC_CACHE[key] = (src, batch.schema)
     src, schema = _STREAM_SRC_CACHE[key]
     return spark.readStream.schema(schema).parquet(src)
-
-
-# memory-sink tables created by earlier streaming queries in THIS
-# process: each holds its full result on the driver heap until dropped,
-# and the external driver runs all window queries in one session — drop
-# the previous query's sink before starting the next one (the current
-# sink must outlive this call: the registry returns it lazily).
-_STALE_SINKS: list[str] = []
-
-
-def _drop_stale_sinks(spark: SparkSession) -> None:
-    while _STALE_SINKS:
-        name = _STALE_SINKS.pop()
-        try:
-            spark.catalog.dropTempView(name)
-        except Exception:
-            pass
-
-
 
 
 def stage_ordered_batches(frames, src: str) -> None:
@@ -99,9 +98,17 @@ def stage_ordered_batches(frames, src: str) -> None:
                 seen.add(path)
 
 
-def _run_to_memory(out, name_prefix: str, output_mode: str = "append") -> str:
+def _run_to_memory(out, name_prefix: str, output_mode: str = "append"):
+    """Run ``out`` through a memory sink and return the RESULT frame,
+    checkpointed so it survives the sink view's removal. Returning
+    ``spark.table(name)`` lazily was a use-after-drop hazard (ADVICE
+    r7): registry callers hand the frame to consumers that may
+    materialize it AFTER a later streaming row has started (and dropped
+    the previous sink view). Memory-sink results are config-sized
+    (windowed aggregates / joined id pairs), so the eager checkpoint is
+    cheap, and its blocks are released by ``release_driver_blocks``
+    like every other checkpoint in the registry."""
     spark = out.sparkSession
-    _drop_stale_sinks(spark)
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory")
@@ -112,8 +119,12 @@ def _run_to_memory(out, name_prefix: str, output_mode: str = "append") -> str:
     )
     q.awaitTermination(300)
     stop_idle_state_stores(spark)
-    _STALE_SINKS.append(name)
-    return name
+    df = spark.table(name).localCheckpoint(eager=True)
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass  # already dropped / Connect session without the view
+    return df
 
 
 @register(
@@ -139,11 +150,10 @@ def streaming_hourly_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates hourly and keeps windows whose end ≤ max(ts) − 2 h. The
     decimal-cast sum makes values bit-deterministic across runs."""
     stream = _events_stream(spark, sf_dir)
-    name = _run_to_memory(
+    return _run_to_memory(
         streaming_windowed_counts(stream, window="1 hour", watermark="2 hours"),
         "hourly",
     )
-    return spark.table(name)
 
 
 @register(
@@ -167,14 +177,13 @@ def streaming_dedup_users_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANY arrival order / parallelism, which is what lets batch SQL replay
     it with a row_number window."""
     stream = _events_stream(spark, sf_dir)
-    name = _run_to_memory(
+    return _run_to_memory(
         streaming_first_per_key(
             stream, ["user_id"], ts_col="ts", tiebreak_col="event_id"
         ),
         "dedup",
         output_mode="complete",
-    )
-    return spark.table(name).select("user_id", "event_id")
+    ).select("user_id", "event_id")
 
 
 @register("streaming_incremental_index_parity")
@@ -317,11 +326,10 @@ def streaming_dedup_arrival_order_q(spark: SparkSession, sf_dir: str) -> DataFra
     not the value hash. The deterministic oracle-checked twin is
     ``streaming_dedup_users``."""
     stream = _events_stream(spark, sf_dir, ordered=True)
-    name = _run_to_memory(
+    return _run_to_memory(
         streaming_dedup(stream, ["user_id"], ts_col="ts", watermark="90 days"),
         "dedup_arr",
-    )
-    return spark.table(name).select("user_id", "event_id")
+    ).select("user_id", "event_id")
 
 
 @register(
@@ -386,8 +394,7 @@ def streaming_click_purchase_join_q(spark: SparkSession, sf_dir: str) -> DataFra
         "purchase_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     )
-    name = _run_to_memory(out, "ssjoin")
-    return spark.table(name)
+    return _run_to_memory(out, "ssjoin")
 
 
 @register(
@@ -438,11 +445,10 @@ def streaming_stateful_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame
     stream = _events_stream(spark, sf_dir, ordered=True).select(
         "user_id", "ts", "event_id"
     )
-    name = _run_to_memory(
+    return _run_to_memory(
         stateful_sessionizer(stream, gap_minutes=30), "sessst",
         output_mode="update",
     )
-    return spark.table(name)
 
 
 def _lsh_history_oracle() -> str:

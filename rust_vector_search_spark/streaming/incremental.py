@@ -190,20 +190,34 @@ def incremental_index_ingest(
 
 def _hadoop_path_exists(spark, path: str) -> bool:
     """Existence check through the Hadoop FileSystem API (any supported
-    URI scheme), falling back to os.path for plain local paths on
+    URI scheme), falling back to os.path ONLY for plain local paths on
     JVM-less (Connect) sessions. Used instead of catching read errors:
     a CORRUPT index must fail the batch loudly, never silently read as
-    'no history yet' and emit wrong flags."""
+    'no history yet' and emit wrong flags. The fallback discipline
+    mirrors ``_hadoop_delete_or_raise`` (ADVICE r7, medium): only the
+    ABSENCE of the JVM handle selects the fallback — a transient FS /
+    py4j error during the probe itself propagates (os.path.exists is
+    always False for an s3a/hdfs index, which would silently turn
+    'index unreachable' into 'no history yet'), and the fallback
+    refuses non-local URIs it cannot actually check."""
     try:
         jvm = spark.sparkContext._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        return bool(fs.exists(hpath))
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
     except Exception:
-        import os
+        jvm = None
+    if jvm is not None:
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(hconf)
+        return bool(fs.exists(hpath))
+    if "://" in path and not path.startswith("file:"):
+        raise RuntimeError(
+            f"cannot probe non-local index path {path!r} without a JVM "
+            "Hadoop FileSystem handle; refusing to treat it as absent"
+        )
+    import os
 
-        local = path[len("file:"):] if path.startswith("file:") else path
-        return os.path.exists(local)
+    local = path[len("file:"):] if path.startswith("file:") else path
+    return os.path.exists(local)
 
 
 def streaming_lsh_dedup_ingest(
@@ -325,9 +339,15 @@ def streaming_lsh_dedup_ingest(
             )
             flags = doc_ids.join(hits, id_col, "left")
         else:
+            # hist_min_match carries the id_col's OWN type (ADVICE r7):
+            # the with-history branch types it as min(hist_doc_id), and
+            # the per-batch flags dirs are read back as one dataset — a
+            # hardcoded long would give a non-long id corpus mixed
+            # column types across batch subdirs
+            id_t = batch.schema[id_col].dataType.simpleString()
             flags = doc_ids.select(
                 id_col,
-                F.lit(None).cast("long").alias("hist_min_match"),
+                F.lit(None).cast(id_t).alias("hist_min_match"),
                 F.lit(0).cast("long").alias("n_hist_matches"),
                 F.lit(None).cast("double").alias("best_jaccard"),
             )
@@ -345,6 +365,11 @@ def streaming_lsh_dedup_ingest(
         shh.write.mode("overwrite").parquet(
             f"{index_path}/shingles/batch={batch_id}"
         )
+        # the eager per-batch checkpoint is consumed once the index /
+        # flags writes complete — drop its blocks NOW; on a long-running
+        # stream they otherwise accumulate per micro-batch on executors
+        # for the stream's lifetime (ADVICE r7)
+        sig.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(_probe_and_append)
@@ -443,9 +468,12 @@ def streaming_embedding_dedup_ingest(
             )
             flags = ids.join(hits, id_col, "left")
         else:
+            # same typing rule as the LSH ingest: hist_min_match follows
+            # the id_col's own type across every batch subdir
+            id_t = batch.schema[id_col].dataType.simpleString()
             flags = ids.select(
                 id_col,
-                F.lit(None).cast("long").alias("hist_min_match"),
+                F.lit(None).cast(id_t).alias("hist_min_match"),
                 F.lit(0).cast("long").alias("n_hist_matches"),
             )
         flags = flags.select(
@@ -463,6 +491,8 @@ def streaming_embedding_dedup_ingest(
         pts.join(own, id_col).select("cell", id_col, vec_col).write.mode(
             "overwrite"
         ).parquet(f"{index_path}/batch={batch_id}")
+        # drop the per-batch checkpoint blocks once consumed (ADVICE r7)
+        pts.unpersist()
 
     return (
         vec_stream.writeStream.foreachBatch(_probe_and_append)

@@ -338,11 +338,18 @@ def test_join_chain_route_with_explicit_broadcast_runs_no_count_job(
     def _boom():
         raise AssertionError("queries.count() ran on the join-chain path")
 
+    def _boom_corpus():
+        raise AssertionError("corpus.count() ran on the hof re-rank path")
+
     queries_guarded = queries.select("query_id", "query_vec")
     queries_guarded.count = _boom  # shadow the bound method
+    # the corpus count thunk (VERDICT r7 #6) must stay lazy too: only
+    # the blas gate consumes it, and rerank="hof" never reaches the gate
+    corpus_guarded = emb.select("vec_id", "embedding")
+    corpus_guarded.count = _boom_corpus
     out = search_rp_forest(
         forest,
-        emb,
+        corpus_guarded,
         queries_guarded,
         k=5,
         spill_margin=0.0,

@@ -200,6 +200,9 @@ def test_stateful_sessionizer_multibatch_state_carry(spark, tmp_path):
     Update-mode sink: the latest row per (user, session_start) wins."""
     import datetime as dt
 
+    from rust_vector_search_spark.plans.streamingops import (
+        stage_ordered_batches,
+    )
     from rust_vector_search_spark.streaming import stateful_sessionizer
 
     def ts(minute):
@@ -216,10 +219,16 @@ def test_stateful_sessionizer_multibatch_state_carry(spark, tmp_path):
         (2, ts(120), 201),                      # 120 min after last → CLOSES
     ]
     schema = "user_id long, ts timestamp, event_id long"
-    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
-    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
+    # stage with pinned mtimes: the file source orders micro-batches by
+    # modification time, and plain back-to-back writes race sub-second
+    # timestamp granularity (ADVICE r7 — same staging as sibling tests)
+    stage_ordered_batches(
+        [
+            spark.createDataFrame(rows1, schema),
+            spark.createDataFrame(rows2, schema),
+        ],
+        src,
+    )
 
     stream = (
         spark.readStream.schema("user_id long, ts timestamp, event_id long")

@@ -42,6 +42,13 @@ def main() -> None:
         i = argv.index("--batch")
         batch = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
+    workdir = None
+    if "--workdir" in argv:
+        # build into a NAMED dir and keep it (no cleanup) so the search
+        # leg can re-run via --index without paying the build again
+        i = argv.index("--workdir")
+        workdir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     index_dir = None
     if "--index" in argv:
         # search-only mode: reuse a previously-built batched index (its
@@ -113,7 +120,9 @@ def main() -> None:
         )
         return
 
-    work = tempfile.mkdtemp(prefix="scale_probe_")
+    if workdir:
+        os.makedirs(workdir, exist_ok=True)
+    work = workdir or tempfile.mkdtemp(prefix="scale_probe_")
     try:
         kind = "gaussian" if gaussian else f"{n // 50}-cluster mixture"
         print(f"generating {n} x {dim}-d vectors ({kind}, seed 42) ...", flush=True)
@@ -191,7 +200,8 @@ def main() -> None:
             flush=True,
         )
     finally:
-        shutil.rmtree(work, ignore_errors=True)
+        if not workdir:
+            shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":
