@@ -173,6 +173,114 @@ def _route_local(
     )
 
 
+def _route_tree_local(
+    forest: RPForest,
+    queries: DataFrame,
+    spill_margin: float,
+    max_spills: int,
+) -> DataFrame:
+    """Tree-sharded descent — the DEEP-index twin of ``_route_local``
+    with the broadcast direction inverted (VERDICT r7 #3): when the node
+    table is too big to broadcast but the query batch is bounded, ship
+    the node table ONCE through a tree_id shuffle (each task holds whole
+    trees), broadcast the query matrix, and descend every query through
+    the task's tree in one local batched-frontier pass. Depth falls out
+    of the cost model entirely: no per-level scans, joins, or broadcast
+    barriers — one exchange of the index, O(n_queries · depth) node
+    touches per tree, and the output is the slim routed triple. This is
+    the 1000-executor shape: trees spread across the cluster, each
+    executor descends the (tiny) query set for its shard.
+
+    Semantics identical to ``_route_local`` (side = n·x + c ≥ 0, ties
+    above, ``src/hyperplane.rs:10``; multi-probe spills both children
+    while |n·x + c|/‖n‖ < margin and spills < max_spills); each
+    (query, tree, leaf_path) is emitted at most once by construction.
+    numpy dots reassociate like every broadcast-map route — oracle
+    replays force ``route_strategy="join"`` instead."""
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    qpdf = queries.select("query_id", "query_vec").toPandas()
+    qids_g = qpdf["query_id"].to_numpy(np.int64)
+    Q_g = np.array(
+        [np.asarray(v, dtype=np.float64) for v in qpdf["query_vec"]]
+    )
+    bc = spark.sparkContext.broadcast((qids_g, Q_g))
+    margin = float(spill_margin)
+
+    def _route(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        t = int(key[0])
+        qid, Q = bc.value
+        if len(pdf) == 0 or len(qid) == 0:
+            return pd.DataFrame({"query_id": [], "tree_id": [], "leaf_path": []})
+        k2i = {p: i for i, p in enumerate(pdf["node_path"])}
+        consts = pdf["constant"].to_numpy(np.float64)
+        norms = pdf["coeff_norm"].to_numpy(np.float64)
+        coeffs_col = pdf["coeffs"]
+        out_q: list = []
+        out_p: list = []
+        # batched frontier descent (one numpy matvec per touched node);
+        # coeffs convert to float64 ON TOUCH — a descent touches
+        # O(n_queries · depth) of the tree's nodes, so eagerly building
+        # the full (nodes × dim) float64 matrix per task would cost more
+        # memory than the whole descent
+        frontier: dict = {
+            "": (np.arange(len(qid)), np.zeros(len(qid), np.int8))
+        }
+        while frontier:
+            nxt: dict = {}
+
+            def _add(path, idx, sp):
+                if path in nxt:
+                    i0, s0 = nxt[path]
+                    nxt[path] = (
+                        np.concatenate([i0, idx]),
+                        np.concatenate([s0, sp]),
+                    )
+                else:
+                    nxt[path] = (idx, sp)
+
+            for path, (idx, sp) in frontier.items():
+                ni = k2i.get(path)
+                if ni is None:  # no inner node here ⇒ leaf
+                    out_q.extend(qid[idx])
+                    out_p.extend([path] * len(idx))
+                    continue
+                cvec = np.asarray(coeffs_col.iloc[ni], dtype=np.float64)
+                v = Q[idx] @ cvec + consts[ni]
+                above = v >= 0.0
+                if above.any():
+                    _add(path + "1", idx[above], sp[above])
+                below = ~above
+                if below.any():
+                    _add(path + "0", idx[below], sp[below])
+                if margin > 0.0 and norms[ni] > 0.0:
+                    near = (np.abs(v) / norms[ni] < margin) & (sp < max_spills)
+                    spill_up = near & below
+                    spill_dn = near & above
+                    if spill_up.any():
+                        _add(path + "1", idx[spill_up], sp[spill_up] + 1)
+                    if spill_dn.any():
+                        _add(path + "0", idx[spill_dn], sp[spill_dn] + 1)
+            frontier = nxt
+        return pd.DataFrame(
+            {
+                "query_id": out_q,
+                "tree_id": np.full(len(out_q), t, dtype=np.int32),
+                "leaf_path": out_p,
+            }
+        )
+
+    return (
+        forest.nodes.select(
+            "tree_id", "node_path", "coeffs", "constant", "coeff_norm"
+        )
+        .groupBy("tree_id")
+        .applyInPandas(_route, "query_id long, tree_id int, leaf_path string")
+    )
+
+
 def route_queries(
     forest: RPForest,
     queries: DataFrame,
@@ -263,6 +371,34 @@ def route_queries(
             if cur_parts is not None and want < cur_parts:
                 queries = queries.coalesce(want)
         return _route_local(forest, queries, float(spill_margin), max_spills)
+    # DEEP index, bounded query batch: invert the broadcast — shuffle
+    # the node table once by tree_id and descend all queries locally per
+    # tree (depth-independent; no per-level scans/joins). Gated on (a)
+    # the query payload fitting the broadcast budget and (b) one tree's
+    # nodes fitting a single task (billion-scale per-tree shards fall
+    # back to the join-chain below).
+    if route_strategy == "auto":
+        nq_val = n_queries() if callable(n_queries) else n_queries
+        if nq_val is not None:
+            q_gate = (
+                int(_os.environ.get("SPARK_GRAFT_BC_QUERIES_MB", "256"))
+                * 1024 * 1024
+            )
+            task_gate = (
+                int(_os.environ.get("SPARK_GRAFT_TREE_TASK_MB", "2048"))
+                * 1024 * 1024
+            )
+            per_tree = (
+                forest.node_count // max(forest.num_trees, 1)
+            ) * per_node
+            if (
+                nq_val * per_node < q_gate
+                and per_tree < task_gate
+                and forest.node_count > 0
+            ):
+                return _route_tree_local(
+                    forest, queries, float(spill_margin), max_spills
+                )
     hint = F.broadcast if use_broadcast else (lambda df: df)
     trees = spark.range(forest.num_trees).select(
         F.col("id").cast("int").alias("tree_id")
@@ -284,6 +420,16 @@ def route_queries(
     # the 250k/1M probe scale). length(node_path) is the in-memory
     # fallback (not pushable; fine for block-backed forests).
     has_lvl = "lvl" in nodes.columns
+    # NB (r8): a per-level broadcast variant of this chain (semi-filter
+    # each level's nodes to the frontier keys, broadcast the survivors
+    # into the left-outer step) was built and probed at 250k/4M-nodes —
+    # and REMOVED: 32 levels of nested broadcast subtrees serialize the
+    # whole chained plan into every task binary, and task
+    # DESERIALIZATION (recursive ObjectInputStream over the nested
+    # graph) ran 14+ min per task before any work (jstack evidence).
+    # Bounded query batches take _route_tree_local above instead; this
+    # shuffle chain remains the fallback for frontiers too big to
+    # broadcast (corpus-as-queries on an un-shardable index).
     routed_parts: list[DataFrame] = []
     for depth in range(forest.max_depth):
         level_nodes = nodes.filter(

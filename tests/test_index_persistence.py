@@ -93,6 +93,49 @@ def test_fixture_search_join_and_broadcast_routes_agree(spark):
     assert a == b
 
 
+def test_tree_local_route_agrees_with_join_chain(spark, monkeypatch):
+    """The r8 deep-index route — node table tree-sharded through ONE
+    exchange, queries broadcast, per-tree local numpy descent — must
+    route identically to the join-chain (and hence to the broadcast
+    map, by the test above), spills included. Forced by disabling the
+    node-map broadcast gate so 'auto' falls through to the tree-local
+    path (pinned: the routed triples, not just final top-k)."""
+    import pyspark.sql.functions as F
+
+    from rust_vector_search_spark.operators.index import load_index
+    from rust_vector_search_spark.operators.search import route_queries
+    from rust_vector_search_spark.sources import load_table
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "index_fixture",
+    )
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    forest = load_index(spark, fixture, num_trees=50, max_node_size=5, seed=42)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    monkeypatch.setenv("SPARK_GRAFT_BC_NODES_MB", "0")
+    tree_local = {
+        (r.query_id, r.tree_id, r.leaf_path)
+        for r in route_queries(
+            forest, q, spill_margin=0.0375, max_spills=2, n_queries=5
+        ).collect()
+    }
+    join_chain = {
+        (r.query_id, r.tree_id, r.leaf_path)
+        for r in route_queries(
+            forest,
+            q,
+            spill_margin=0.0375,
+            max_spills=2,
+            route_strategy="join",
+        ).collect()
+    }
+    assert tree_local == join_chain and len(tree_local) > 0
+
+
 def test_batched_build_bit_identical_to_monolithic(spark, tmp_path):
     """build_rp_forest_batched (bounded-scratch path for the 1M-vector
     wiki-news target, BASELINE.md §1M attempt) must emit EXACTLY the
@@ -166,6 +209,17 @@ def test_persisted_index_lvl_filter_pushes_into_scan(
     pushed = re.findall(r"PushedFilters: \[[^\]]*EqualTo\(lvl,\d+\)[^\]]*\]", plan)
     # one pushed per-level equality per descent level (depth ≥ 2 here)
     assert len(pushed) >= 2, f"lvl equality not pushed into the scan:\n{plan[:2000]}"
+
+    # the deep-index bounded-batch route is tree-local (one exchange of
+    # the node table, per-tree local descent) — no per-level joins at
+    # all, so the plan carries the applyInPandas stage, zero SortMergeJoin
+    routed_tl = route_queries(loaded, q, spill_margin=0.0, n_queries=5)
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        routed_tl.explain("formatted")
+    plan_tl = buf2.getvalue()
+    assert "SortMergeJoin" not in plan_tl, plan_tl[:2000]
+    assert "FlatMapGroupsInPandas" in plan_tl or "MapInPandas" in plan_tl
     # and the search itself still works over the pruned scans
     before = {
         (r.query_id, r.vec_id, r.rnk)

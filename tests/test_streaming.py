@@ -523,3 +523,39 @@ def test_stateful_sessionizer_late_row_does_not_split_session(spark, tmp_path):
     assert got[0] == (0, 1, False)    # 0min singleton closed by the gap
     assert got[90] == (125, 3, True)  # late 90 + stored 100 + 125: ONE session
     assert 125 not in got and 100 not in got or got.get(100) == (100, 1, True), rows
+
+
+def test_stream_source_cache_warm_skips_rewrite_and_purges(spark):
+    """VERDICT r7 #5: a warm ``_STREAM_SRC_CACHE`` entry must REPLAY the
+    staged source dir — the second ``_events_stream`` call for the same
+    (sf_dir, ordered) key cannot re-run the global-sort write (pinned on
+    the staged files' identity + mtimes: any rewrite would replace
+    them). And ``_purge_stream_src_cache`` (atexit, VERDICT r7 #7)
+    removes the dirs and empties the cache."""
+    import os
+
+    from rust_vector_search_spark.plans.streamingops import (
+        _STREAM_SRC_CACHE,
+        _events_stream,
+        _purge_stream_src_cache,
+    )
+
+    _events_stream(spark, SF_SMOKE, ordered=True)
+    src, _ = _STREAM_SRC_CACHE[(SF_SMOKE, True)]
+    listing1 = {
+        (f, os.path.getmtime(os.path.join(src, f))) for f in os.listdir(src)
+    }
+    _events_stream(spark, SF_SMOKE, ordered=True)
+    src2, _ = _STREAM_SRC_CACHE[(SF_SMOKE, True)]
+    assert src2 == src  # same staged dir replayed
+    listing2 = {
+        (f, os.path.getmtime(os.path.join(src, f))) for f in os.listdir(src)
+    }
+    assert listing1 == listing2  # no file was rewritten
+
+    _purge_stream_src_cache()
+    assert not _STREAM_SRC_CACHE
+    assert not os.path.exists(src)
+    # the cache refills transparently on the next call
+    _events_stream(spark, SF_SMOKE, ordered=True)
+    assert (SF_SMOKE, True) in _STREAM_SRC_CACHE
