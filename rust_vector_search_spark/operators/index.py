@@ -79,6 +79,11 @@ class RPForest:
     max_depth: int = 0  # deepest inner-node level; routing needs ≤ max_depth+1 steps
     node_count: int = 0  # total hyperplanes; drives broadcast-vs-shuffle routing
     dim: int = 0  # embedding dimensionality; sizes the broadcast estimate
+    # storage path when loaded from a persisted index (save_index /
+    # build_rp_forest_batched write partitionBy("tree_id")): deep-index
+    # routing exploits that layout to read each tree as one pruned
+    # single-partition scan instead of shuffling the whole node table
+    path: "str | None" = None
 
 
 def _subtree_builder(max_node_size: int, max_depth: int, seed: int):
@@ -559,4 +564,5 @@ def load_index(
         max_depth=(stats.d or 0) + 1,
         node_count=stats.n,
         dim=int(stats.dim or 0),
+        path=path,
     )

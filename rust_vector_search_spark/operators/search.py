@@ -182,14 +182,18 @@ def _route_tree_local(
     """Tree-sharded descent — the DEEP-index twin of ``_route_local``
     with the broadcast direction inverted (VERDICT r7 #3): when the node
     table is too big to broadcast but the query batch is bounded, ship
-    the node table ONCE through a tree_id shuffle (each task holds whole
-    trees), broadcast the query matrix, and descend every query through
-    the task's tree in one local batched-frontier pass. Depth falls out
-    of the cost model entirely: no per-level scans, joins, or broadcast
-    barriers — one exchange of the index, O(n_queries · depth) node
-    touches per tree, and the output is the slim routed triple. This is
-    the 1000-executor shape: trees spread across the cluster, each
-    executor descends the (tiny) query set for its shard.
+    the node table AT MOST ONCE through a tree_id exchange (each task
+    holds whole trees), broadcast the query matrix, and descend every
+    query through the task's tree in one local batched-frontier pass.
+    Depth falls out of the cost model entirely: no per-level scans,
+    joins, or broadcast barriers — O(n_queries · depth) node touches
+    per tree, output is the slim routed triple. This is the
+    1000-executor shape: trees spread across the cluster, each executor
+    descends the (tiny) query set for its shard. For a PERSISTED index
+    (``forest.path`` set) even the one exchange disappears: the on-disk
+    ``partitionBy("tree_id")`` layout is read as a union of
+    partition-pruned single-partition scans — zero node bytes cross an
+    exchange.
 
     Semantics identical to ``_route_local`` (side = n·x + c ≥ 0, ties
     above, ``src/hyperplane.rs:10``; multi-probe spills both children
@@ -209,22 +213,19 @@ def _route_tree_local(
     bc = spark.sparkContext.broadcast((qids_g, Q_g))
     margin = float(spill_margin)
 
-    def _route(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
-        t = int(key[0])
-        qid, Q = bc.value
-        if len(pdf) == 0 or len(qid) == 0:
-            return pd.DataFrame({"query_id": [], "tree_id": [], "leaf_path": []})
+    def _descend_one_tree(pdf, qid, Q):
+        """Batched frontier descent of every query through ONE tree's
+        node rows (one numpy matvec per touched node); coeffs convert
+        to float64 ON TOUCH — a descent touches O(n_queries · depth) of
+        the tree's nodes, so eagerly building the full (nodes × dim)
+        float64 matrix per task would cost more memory than the whole
+        descent. Returns (query_ids, leaf_paths)."""
         k2i = {p: i for i, p in enumerate(pdf["node_path"])}
         consts = pdf["constant"].to_numpy(np.float64)
         norms = pdf["coeff_norm"].to_numpy(np.float64)
         coeffs_col = pdf["coeffs"]
         out_q: list = []
         out_p: list = []
-        # batched frontier descent (one numpy matvec per touched node);
-        # coeffs convert to float64 ON TOUCH — a descent touches
-        # O(n_queries · depth) of the tree's nodes, so eagerly building
-        # the full (nodes × dim) float64 matrix per task would cost more
-        # memory than the whole descent
         frontier: dict = {
             "": (np.arange(len(qid)), np.zeros(len(qid), np.int8))
         }
@@ -264,6 +265,88 @@ def _route_tree_local(
                     if spill_dn.any():
                         _add(path + "0", idx[spill_dn], sp[spill_dn] + 1)
             frontier = nxt
+        return out_q, out_p
+
+    cols = ["tree_id", "node_path", "coeffs", "constant", "coeff_norm"]
+    schema = "query_id long, tree_id int, leaf_path string"
+
+    if forest.path is not None:
+        # PERSISTED index: the nodes table is partitionBy("tree_id") on
+        # disk, so each tree is one partition-pruned scan — exploit the
+        # layout and read every tree as its own single-partition branch
+        # (union of pruned coalesced scans) instead of SHUFFLING the
+        # whole node table through a groupBy exchange. At the 1M-vector
+        # reference target the exchange is ~29 GB of shuffle write plus
+        # sorter spill — it exhausted the single-node probe's disk; this
+        # path moves ZERO node bytes through an exchange. (A real
+        # cluster spreads the shuffle across executors, but zero is
+        # still better than spread.)
+        def _route_parts(batches):
+            qid, Q = bc.value
+            chunks: list = []
+            for pdf in batches:
+                if len(pdf):
+                    chunks.append(pdf)
+            if not chunks or len(qid) == 0:
+                yield pd.DataFrame(
+                    {"query_id": [], "tree_id": [], "leaf_path": []}
+                )
+                return
+            part = pd.concat(chunks, ignore_index=True)
+            # one partition = one pruned tree dir by construction; the
+            # groupby tolerates partition coalescing all the same
+            for t, tpdf in part.groupby("tree_id", sort=False):
+                out_q, out_p = _descend_one_tree(tpdf, qid, Q)
+                yield pd.DataFrame(
+                    {
+                        "query_id": out_q,
+                        "tree_id": np.full(len(out_q), int(t), np.int32),
+                        "leaf_path": out_p,
+                    }
+                )
+
+        # descend per BRANCH, then union the (tiny) routed outputs at
+        # the RDD level. The SQL union is NOT usable here: Spark's
+        # SQLPartitioningAwareUnionRDD ALIGNS single-partition children
+        # into one partition, so a DataFrame union of the 50 branches
+        # executes every scan+descent sequentially in ONE task (observed
+        # at the 1M probe: a single task decompressing tree after tree).
+        # sc.union is the classic concatenating UnionRDD — one task per
+        # branch, all schedulable in parallel; only the slim routed
+        # triples cross the Python↔JVM boundary twice.
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        routed_branches = [
+            forest.nodes.filter(F.col("tree_id") == t)
+            .select(*cols)
+            .coalesce(1)
+            .mapInPandas(_route_parts, schema)
+            .rdd
+            for t in range(forest.num_trees)
+        ]
+        out_schema = StructType(
+            [
+                StructField("query_id", LongType()),
+                StructField("tree_id", IntegerType()),
+                StructField("leaf_path", StringType()),
+            ]
+        )
+        return spark.createDataFrame(
+            spark.sparkContext.union(routed_branches), out_schema
+        )
+
+    def _route(key, pdf):
+        t = int(key[0])
+        qid, Q = bc.value
+        if len(pdf) == 0 or len(qid) == 0:
+            return pd.DataFrame({"query_id": [], "tree_id": [], "leaf_path": []})
+        out_q, out_p = _descend_one_tree(pdf, qid, Q)
         return pd.DataFrame(
             {
                 "query_id": out_q,
@@ -273,11 +356,9 @@ def _route_tree_local(
         )
 
     return (
-        forest.nodes.select(
-            "tree_id", "node_path", "coeffs", "constant", "coeff_norm"
-        )
+        forest.nodes.select(*cols)
         .groupBy("tree_id")
-        .applyInPandas(_route, "query_id long, tree_id int, leaf_path string")
+        .applyInPandas(_route, schema)
     )
 
 
