@@ -210,16 +210,27 @@ def test_persisted_index_lvl_filter_pushes_into_scan(
     # one pushed per-level equality per descent level (depth ≥ 2 here)
     assert len(pushed) >= 2, f"lvl equality not pushed into the scan:\n{plan[:2000]}"
 
-    # the deep-index bounded-batch route is tree-local (one exchange of
-    # the node table, per-tree local descent) — no per-level joins at
-    # all, so the plan carries the applyInPandas stage, zero SortMergeJoin
+    # the deep-index bounded-batch route is tree-local — no per-level
+    # joins at all, zero SortMergeJoin. Over a PERSISTED index the
+    # routing is the RDD-level union of per-tree scan+descend branches
+    # (sc.union; see _route_tree_local), which surfaces as an
+    # ExistingRDD scan; an in-memory forest would surface the grouped
+    # Arrow stage instead.
     routed_tl = route_queries(loaded, q, spill_margin=0.0, n_queries=5)
     buf2 = io.StringIO()
     with contextlib.redirect_stdout(buf2):
         routed_tl.explain("formatted")
     plan_tl = buf2.getvalue()
     assert "SortMergeJoin" not in plan_tl, plan_tl[:2000]
-    assert "FlatMapGroupsInPandas" in plan_tl or "MapInPandas" in plan_tl
+    assert (
+        "ExistingRDD" in plan_tl
+        or "FlatMapGroupsInPandas" in plan_tl
+        or "MapInPandas" in plan_tl
+    )
+    # and the branch parallelism survives the union (the SQL union
+    # would align the 50 single-partition branches into ONE task —
+    # BASELINE.md r8 rejected-designs note)
+    assert routed_tl.rdd.getNumPartitions() == loaded.num_trees
     # and the search itself still works over the pruned scans
     before = {
         (r.query_id, r.vec_id, r.rnk)

@@ -202,6 +202,13 @@ NOTES = {
         "floor-quantization, so the Python stage is value-checkable, "
         "not just schema-stable."
     ),
+    "label_id_stats": (
+        "The r8 driver-window witness of the same grouped-Arrow bridge "
+        "with ZERO float hazard: one hash exchange on label, a two-column "
+        "(label, vec_id) projection into the Arrow batches, exact int64 "
+        "aggregates out — any hash mismatch can only be the bridge "
+        "itself, never numerics."
+    ),
 }
 
 
