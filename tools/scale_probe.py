@@ -57,12 +57,17 @@ def main() -> None:
         i = argv.index("--index")
         index_dir = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    n_queries = 100
+    if "--queries" in argv:
+        i = argv.index("--queries")
+        n_queries = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
     args = [a for a in argv if a != "--gaussian"]
     gaussian = "--gaussian" in argv
     n = int(args[0]) if len(args) > 0 else 100_000
     num_trees = int(args[1]) if len(args) > 1 else 50
     leaf = int(args[2]) if len(args) > 2 else 5
-    dim, n_queries, k = 300, 100, 10
+    dim, k = 300, 10
 
     # NB: measured at 320k nodes / 300-d (20k × 50 trees): the join-chain
     # fallback routes 100 queries in ~123 s vs ~239 s for a force-raised
