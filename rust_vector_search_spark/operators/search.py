@@ -281,29 +281,48 @@ def _route_tree_local(
         # path moves ZERO node bytes through an exchange. (A real
         # cluster spreads the shuffle across executors, but zero is
         # still better than spread.)
-        def _route_parts(batches):
-            qid, Q = bc.value
-            chunks: list = []
-            for pdf in batches:
-                if len(pdf):
-                    chunks.append(pdf)
-            if not chunks or len(qid) == 0:
-                yield pd.DataFrame(
-                    {"query_id": [], "tree_id": [], "leaf_path": []}
-                )
-                return
-            part = pd.concat(chunks, ignore_index=True)
-            # one partition = one pruned tree dir by construction; the
-            # groupby tolerates partition coalescing all the same
-            for t, tpdf in part.groupby("tree_id", sort=False):
-                out_q, out_p = _descend_one_tree(tpdf, qid, Q)
-                yield pd.DataFrame(
-                    {
-                        "query_id": out_q,
-                        "tree_id": np.full(len(out_q), int(t), np.int32),
-                        "leaf_path": out_p,
-                    }
-                )
+        def _route_parts_for(branch_tree: int):
+            # closure over the branch's tree id: a tree with ZERO inner
+            # nodes (single-leaf tree — whole corpus under
+            # max_node_size) produces an EMPTY pruned scan, and without
+            # the closure its root leaf "" would silently drop from the
+            # routing (the join-chain and broadcast routes both emit it)
+            def _route_parts(batches):
+                qid, Q = bc.value
+                chunks: list = []
+                for pdf in batches:
+                    if len(pdf):
+                        chunks.append(pdf)
+                if len(qid) == 0:
+                    yield pd.DataFrame(
+                        {"query_id": [], "tree_id": [], "leaf_path": []}
+                    )
+                    return
+                if not chunks:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "tree_id": np.full(
+                                len(qid), branch_tree, np.int32
+                            ),
+                            "leaf_path": [""] * len(qid),
+                        }
+                    )
+                    return
+                part = pd.concat(chunks, ignore_index=True)
+                # one partition = one pruned tree dir by construction;
+                # the groupby tolerates partition coalescing all the same
+                for t, tpdf in part.groupby("tree_id", sort=False):
+                    out_q, out_p = _descend_one_tree(tpdf, qid, Q)
+                    yield pd.DataFrame(
+                        {
+                            "query_id": out_q,
+                            "tree_id": np.full(len(out_q), int(t), np.int32),
+                            "leaf_path": out_p,
+                        }
+                    )
+
+            return _route_parts
 
         # descend per BRANCH, then union the (tiny) routed outputs at
         # the RDD level. The SQL union is NOT usable here: Spark's
@@ -326,7 +345,7 @@ def _route_tree_local(
             forest.nodes.filter(F.col("tree_id") == t)
             .select(*cols)
             .coalesce(1)
-            .mapInPandas(_route_parts, schema)
+            .mapInPandas(_route_parts_for(t), schema)
             .rdd
             for t in range(forest.num_trees)
         ]
@@ -355,6 +374,11 @@ def _route_tree_local(
             }
         )
 
+    # NB: a tree with zero inner nodes would produce no group here (its
+    # root leaf "" would drop) — unreachable by construction: every tree
+    # splits the same corpus, so node_count > 0 (the route gate) implies
+    # every tree has a root hyperplane. The layout path above is
+    # closure-guarded anyway.
     return (
         forest.nodes.select(*cols)
         .groupBy("tree_id")
