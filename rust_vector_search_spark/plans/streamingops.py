@@ -110,14 +110,27 @@ def _run_to_memory(out, name_prefix: str, output_mode: str = "append"):
     like every other checkpoint in the registry."""
     spark = out.sparkSession
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # scope the STATE-STORE fan-out to the fixture scale: a stateful
+    # stream instantiates one state store per shuffle partition at query
+    # start (AQE never coalesces stateful-streaming partitions), so a
+    # vanilla 200-partition driver session pays 200 provider instances
+    # per streaming row. Every row is partition-count value-independent
+    # by the registry's portability contract (locally validated at 32);
+    # the ambient conf is restored before returning.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     stop_idle_state_stores(spark)
     df = spark.table(name).localCheckpoint(eager=True)
     try:
