@@ -61,6 +61,7 @@ __all__ = [
     "build_rp_forest_batched",
     "save_index",
     "load_index",
+    "subset_forest",
 ]
 
 
@@ -79,6 +80,13 @@ class RPForest:
     max_depth: int = 0  # deepest inner-node level; routing needs ≤ max_depth+1 steps
     node_count: int = 0  # total hyperplanes; drives broadcast-vs-shuffle routing
     dim: int = 0  # embedding dimensionality; sizes the broadcast estimate
+    # LARGEST single tree's node count: the tree-local route holds one
+    # whole tree per task, so its memory gate must see the max, not the
+    # mean — a skew-built forest (uneven batched depths) can have one
+    # tree far above node_count/num_trees (ADVICE r8). Computed in the
+    # same stats scan that counts nodes; 0 ⇒ unknown (gate falls back
+    # to the mean estimate).
+    max_tree_nodes: int = 0
     # storage path when loaded from a persisted index (save_index /
     # build_rp_forest_batched write partitionBy("tree_id")): deep-index
     # routing exploits that layout to read each tree as one pruned
@@ -377,9 +385,22 @@ def build_rp_forest(
         leaves = leaves.localCheckpoint(eager=True)
     # else: nodes/leaves are narrow filters of the already-checkpointed
     # phase-2 output — extra checkpoints would only add jobs
-    stats = nodes.agg(
-        F.count(F.lit(1)).alias("n"), F.max(F.length("node_path")).alias("d")
-    ).collect()[0]
+    # one scan, two agg levels: the per-tree partial keeps map-side
+    # combine (≤ num_trees rows shuffle) and yields the max single-tree
+    # size the tree-local route's task-memory gate needs (ADVICE r8)
+    stats = (
+        nodes.groupBy("tree_id")
+        .agg(
+            F.count(F.lit(1)).alias("tn"),
+            F.max(F.length("node_path")).alias("td"),
+        )
+        .agg(
+            F.sum("tn").alias("n"),
+            F.max("td").alias("d"),
+            F.max("tn").alias("mt"),
+        )
+        .collect()[0]
+    )
     return RPForest(
         nodes=nodes,
         leaves=leaves,
@@ -387,8 +408,9 @@ def build_rp_forest(
         max_node_size=max_node_size,
         seed=seed,
         max_depth=(stats.d if stats.d is not None else -1) + 1,
-        node_count=stats.n,
+        node_count=stats.n or 0,
         dim=dim,
+        max_tree_nodes=int(stats.mt or 0),
     )
 
 
@@ -529,6 +551,47 @@ def build_rp_forest_batched(
     return load_index(spark, path, num_trees, max_node_size, seed)
 
 
+def subset_forest(forest: RPForest, num_trees: int) -> RPForest:
+    """A forest restricted to its first ``num_trees`` trees — the
+    recall-vs-cost dial at SEARCH time: more trees ⇒ more candidate
+    leaves ⇒ higher recall and more re-rank work, with no rebuild
+    (the reference fixes the tradeoff at build time via NUM_TREES,
+    ``src/main.rs:141``; here one persisted 50-tree index serves any
+    smaller operating point). Filters are on the ``tree_id`` partition
+    column, so a persisted index prunes the dropped trees' directories
+    from every scan. Stats are recomputed with the standard one-scan
+    two-level agg (cheap: ≤ num_trees partial rows shuffle)."""
+    if num_trees >= forest.num_trees:
+        return forest
+    nodes = forest.nodes.filter(F.col("tree_id") < num_trees)
+    leaves = forest.leaves.filter(F.col("tree_id") < num_trees)
+    stats = (
+        nodes.groupBy("tree_id")
+        .agg(
+            F.count(F.lit(1)).alias("tn"),
+            F.max(F.length("node_path")).alias("td"),
+        )
+        .agg(
+            F.sum("tn").alias("n"),
+            F.max("td").alias("d"),
+            F.max("tn").alias("mt"),
+        )
+        .collect()[0]
+    )
+    return RPForest(
+        nodes=nodes,
+        leaves=leaves,
+        num_trees=num_trees,
+        max_node_size=forest.max_node_size,
+        seed=forest.seed,
+        max_depth=(stats.d if stats.d is not None else -1) + 1,
+        node_count=stats.n or 0,
+        dim=forest.dim,
+        max_tree_nodes=int(stats.mt or 0),
+        path=forest.path,
+    )
+
+
 def save_index(forest: RPForest, path: str) -> None:
     """Persist the forest as Parquet partitioned by tree_id — a NEW
     capability vs the reference (whose index dies with the process,
@@ -550,11 +613,21 @@ def load_index(
     spark: SparkSession, path: str, num_trees: int, max_node_size: int, seed: int
 ) -> RPForest:
     nodes = spark.read.parquet(f"{path}/nodes")
-    stats = nodes.agg(
-        F.max(F.length("node_path")).alias("d"),
-        F.count(F.lit(1)).alias("n"),
-        F.max(F.size("coeffs")).alias("dim"),
-    ).collect()[0]
+    stats = (
+        nodes.groupBy("tree_id")
+        .agg(
+            F.max(F.length("node_path")).alias("td"),
+            F.count(F.lit(1)).alias("tn"),
+            F.max(F.size("coeffs")).alias("tdim"),
+        )
+        .agg(
+            F.max("td").alias("d"),
+            F.sum("tn").alias("n"),
+            F.max("tdim").alias("dim"),
+            F.max("tn").alias("mt"),
+        )
+        .collect()[0]
+    )
     return RPForest(
         nodes=nodes,
         leaves=spark.read.parquet(f"{path}/leaves"),
@@ -562,7 +635,8 @@ def load_index(
         max_node_size=max_node_size,
         seed=seed,
         max_depth=(stats.d or 0) + 1,
-        node_count=stats.n,
+        node_count=stats.n or 0,
         dim=int(stats.dim or 0),
+        max_tree_nodes=int(stats.mt or 0),
         path=path,
     )

@@ -110,15 +110,28 @@ def _run_to_memory(out, name_prefix: str, output_mode: str = "append"):
     like every other checkpoint in the registry."""
     spark = out.sparkSession
     name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    # scope the STATE-STORE fan-out to the fixture scale: a stateful
+    # scope the STATE-STORE fan-out to the source scale: a stateful
     # stream instantiates one state store per shuffle partition at query
     # start (AQE never coalesces stateful-streaming partitions), so a
     # vanilla 200-partition driver session pays 200 provider instances
     # per streaming row. Every row is partition-count value-independent
     # by the registry's portability contract (locally validated at 32);
-    # the ambient conf is restored before returning.
+    # the ambient conf is restored before returning — including the
+    # UNSET state: on a session that never set the conf explicitly,
+    # spark.conf.get(key, None) returns None and a bare re-set would
+    # silently pin the override for every later batch query (ADVICE
+    # r8), so that branch unsets instead. Partition count defaults to
+    # the cluster parallelism capped at 32 (state stores are per-
+    # partition fixed overhead; fixture-scale sources never need more)
+    # and is overridable via SPARK_GRAFT_STREAM_PARTS for deployments
+    # whose streaming state genuinely needs wider fan-out.
+    import os
+
+    parts = os.environ.get("SPARK_GRAFT_STREAM_PARTS")
+    if parts is None:
+        parts = str(min(spark.sparkContext.defaultParallelism, 32) or 32)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
     try:
         q = (
             out.writeStream.format("memory")
@@ -131,6 +144,8 @@ def _run_to_memory(out, name_prefix: str, output_mode: str = "append"):
     finally:
         if prev_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
     stop_idle_state_stores(spark)
     df = spark.table(name).localCheckpoint(eager=True)
     try:

@@ -171,8 +171,18 @@ def incremental_index_ingest(
         as_queries = batch.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
         )
+        # hand route_queries a lazy batch count so a DEEP frozen index
+        # (node table past the broadcast gate) can take the tree-local
+        # route for bounded micro-batches instead of the per-level
+        # join-chain — the count only fires when the node-size gates
+        # already accepted that route (r9)
         routed = route_queries(
-            forest, as_queries, route_strategy=route_strategy
+            forest,
+            as_queries,
+            route_strategy=route_strategy,
+            n_queries=(lambda: as_queries.count())
+            if route_strategy == "auto"
+            else None,
         ).select(
             "tree_id",
             F.col("leaf_path"),

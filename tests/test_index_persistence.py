@@ -243,3 +243,60 @@ def test_persisted_index_lvl_filter_pushes_into_scan(
         ).collect()
     }
     assert before == after
+
+
+def test_forest_stats_track_max_tree_nodes(spark, tmp_path):
+    """ADVICE r8: the tree-local route holds one whole tree per task, so
+    its memory gate needs the LARGEST tree's node count, not the mean —
+    computed in the build/load stats scan and persisted across save/load."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    forest = build_rp_forest(emb, num_trees=3, max_node_size=8, seed=11)
+    per_tree = {
+        r.tree_id: r["count"]
+        for r in forest.nodes.groupBy("tree_id").count().collect()
+    }
+    assert forest.max_tree_nodes == max(per_tree.values())
+    assert forest.node_count == sum(per_tree.values())
+
+    path = str(tmp_path / "mtidx")
+    save_index(forest, path)
+    loaded = load_index(spark, path, num_trees=3, max_node_size=8, seed=11)
+    assert loaded.max_tree_nodes == forest.max_tree_nodes
+
+
+def test_tree_local_chunked_branches_agree_with_join_chain(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r8 #5: when num_trees exceeds the branch cap, the
+    persisted-layout route groups several trees per branch (one task
+    descends its chunk's trees serially) — routed triples must be
+    identical to the join-chain, and the scheduler fan-out must equal
+    the cap, not the tree count."""
+    from rust_vector_search_spark.operators.search import route_queries
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    forest = build_rp_forest(emb, num_trees=5, max_node_size=8, seed=3)
+    path = str(tmp_path / "chunkidx")
+    save_index(forest, path)
+    loaded = load_index(spark, path, num_trees=5, max_node_size=8, seed=3)
+
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    monkeypatch.setenv("SPARK_GRAFT_BC_NODES_MB", "0")  # force tree-local
+    monkeypatch.setenv("SPARK_GRAFT_ROUTE_BRANCHES", "2")  # 5 trees / 2 branches
+    chunked = route_queries(
+        loaded, q, spill_margin=0.0375, max_spills=2, n_queries=4
+    )
+    assert chunked.rdd.getNumPartitions() == 2
+    got = {(r.query_id, r.tree_id, r.leaf_path) for r in chunked.collect()}
+    want = {
+        (r.query_id, r.tree_id, r.leaf_path)
+        for r in route_queries(
+            loaded, q, spill_margin=0.0375, max_spills=2,
+            route_strategy="join",
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # every tree contributes: chunk assembly must not drop trees
+    assert {t for (_, t, _) in got} == set(range(5))

@@ -559,3 +559,67 @@ def test_stream_source_cache_warm_skips_rewrite_and_purges(spark):
     # the cache refills transparently on the next call
     _events_stream(spark, SF_SMOKE, ordered=True)
     assert (SF_SMOKE, True) in _STREAM_SRC_CACHE
+
+
+def test_run_to_memory_restores_unset_shuffle_conf(spark, tmp_path):
+    """ADVICE r8 (medium): on a session that never set
+    spark.sql.shuffle.partitions explicitly, _run_to_memory's override
+    must be UNSET afterwards — a bare restore-if-previously-set left the
+    32-partition pin live for every later batch query in the session."""
+    from rust_vector_search_spark.plans.streamingops import _run_to_memory
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    src = str(tmp_path / "conf_src")
+    df = spark.createDataFrame([(1,), (2,)], "k long")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    try:
+        spark.conf.unset(key)
+        out = _run_to_memory(stream.groupBy("k").count(), "confprobe",
+                             output_mode="complete")
+        assert out.count() == 2
+        assert spark.conf.get(key, None) is None, (
+            "override leaked into the ambient session conf"
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+
+
+def test_run_to_memory_restores_conf_on_error(spark):
+    """The finally path: when the stream fails to start (here: a BATCH
+    frame, which raises before any micro-batch runs), the ambient
+    shuffle-partition conf must still come back."""
+    from rust_vector_search_spark.plans.streamingops import _run_to_memory
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "7")
+    try:
+        with pytest.raises(Exception):
+            _run_to_memory(spark.range(3), "errprobe")
+        assert spark.conf.get(key) == "7"
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+
+
+def test_run_to_memory_stream_parts_knob(spark, tmp_path, monkeypatch):
+    """VERDICT r8 #4: the partition pin is a knob, not a literal —
+    SPARK_GRAFT_STREAM_PARTS overrides the derived default, and the
+    result values are partition-count independent."""
+    from rust_vector_search_spark.plans.streamingops import _run_to_memory
+
+    src = str(tmp_path / "knob_src")
+    df = spark.createDataFrame([(i % 3,) for i in range(30)], "k long")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PARTS", "4")
+    out = _run_to_memory(stream.groupBy("k").count(), "knobprobe",
+                         output_mode="complete")
+    assert {(r.k, r["count"]) for r in out.collect()} == {
+        (0, 10), (1, 10), (2, 10)
+    }

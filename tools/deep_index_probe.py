@@ -1,0 +1,375 @@
+#!/usr/bin/env python3
+"""Per-round deep-index regression + scale probes over the persisted
+250k × 300-d RP-forest (VERDICT r8 #1/#2/#3/#6). One tool, four legs:
+
+  search    the regression leg: N queries (default 100), k = 10, via the
+            zero-shuffle persisted-layout route; recall vs exact BLAS
+            kNN. Appends one history line to BASELINE.md §"Deep-index
+            probe history" so the r8 11× win cannot silently regress.
+  allpairs  the reference's flagship workload (src/main.rs:100-123):
+            corpus-as-queries self-kNN through the leaves-reuse path
+            (search_rp_forest_self — the build already routed every
+            corpus vector, so candidates come from a leaf self-join,
+            no re-descent). Recall measured on a seeded 1000-query
+            sample against exact BLAS kNN.
+  recall    the honest-recall sweep: recall@10 + mean candidate
+            fraction vs number of trees used at search (subset_forest
+            — one build serves every smaller operating point), so the
+            clustered-corpus 1.000 rows can't be misread as general.
+  ingest    incremental-index scale validation: routes a holdout
+            through a FROZEN smaller index's hyperplanes via
+            incremental_index_ingest (availableNow stream), then
+            re-runs the search leg on the augmented index and compares
+            recall against this index's own pre-ingest floor and the
+            full-rebuild index.
+
+The index comes from tools/scale_probe.py --workdir DIR (layout:
+DIR/emb deduped corpus, DIR/idx/{nodes,leaves} partitionBy(tree_id)).
+If absent, `search` rebuilds it first (cost logged — ~1200 s at 250k).
+
+Usage:
+  python tools/deep_index_probe.py search   [--index /tmp/idx250k] [--queries 100]
+  python tools/deep_index_probe.py allpairs [--index /tmp/idx250k] [--sample 1000]
+  python tools/deep_index_probe.py recall   [--index /tmp/idx250k] [--queries 1000] [--trees 5,10,25,50]
+  python tools/deep_index_probe.py ingest   [--index /tmp/idx250k] [--holdout 25000]
+Common: --n 250000 --num-trees 50 --leaf 5 --k 10 --no-baseline-append
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import pyspark.sql.functions as F  # noqa: E402
+
+BASELINE = os.path.join(REPO, "BASELINE.md")
+HISTORY_HEADER = "## Deep-index probe history"
+
+
+def _append_history(line: str, enabled: bool) -> None:
+    """One probe = one appended history line (auditable per-round trail;
+    VERDICT r8 #6). Creates the section on first use."""
+    stamped = f"- {line}"
+    print(f"HISTORY {stamped}", flush=True)
+    if not enabled:
+        return
+    with open(BASELINE) as f:
+        text = f.read()
+    if HISTORY_HEADER not in text:
+        text = text.rstrip() + f"\n\n{HISTORY_HEADER}\n\n"
+    else:
+        text = text.rstrip() + "\n"
+    with open(BASELINE, "w") as f:
+        f.write(text + stamped + "\n")
+
+
+def _load(spark, index_dir: str, num_trees: int, leaf: int):
+    from rust_vector_search_spark.operators.index import load_index
+
+    # the deduped base the batched build persisted (column name `emb`;
+    # same source scale_probe --index uses)
+    emb = spark.read.parquet(f"{index_dir}/idx/emb").withColumnRenamed(
+        "emb", "embedding"
+    )
+    forest = load_index(
+        spark, f"{index_dir}/idx", num_trees=num_trees,
+        max_node_size=leaf, seed=42,
+    )
+    print(
+        f"index: nodes={forest.node_count} depth={forest.max_depth} "
+        f"max_tree={forest.max_tree_nodes} trees={forest.num_trees}",
+        flush=True,
+    )
+    return emb, forest
+
+
+def _queries_of(emb, n_queries: int):
+    return emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+
+def _recall_vs_exact(spark, emb, approx, queries, k: int) -> float:
+    """|approx ∩ exact| / |exact| over the given query set."""
+    from rust_vector_search_spark.operators.knn import knn_exact_fast
+
+    exact = knn_exact_fast(emb, queries, k=k).select("query_id", "vec_id")
+    exact = exact.localCheckpoint(eager=True)
+    total = exact.count()
+    hits = exact.join(
+        approx.select("query_id", "vec_id"), ["query_id", "vec_id"],
+        "left_semi",
+    ).count()
+    return hits / max(total, 1)
+
+
+def _ensure_index(index_dir: str, n: int, num_trees: int, leaf: int) -> None:
+    if os.path.isdir(f"{index_dir}/idx/nodes"):
+        return
+    print(f"index {index_dir} absent — rebuilding (logged)", flush=True)
+    t0 = time.time()
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="48g")
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "scale_probe.py"),
+            str(n), str(num_trees), str(leaf),
+            "--batch", "10", "--workdir", index_dir,
+        ],
+        check=True,
+        env=env,
+    )
+    print(f"rebuild took {time.time() - t0:.1f}s", flush=True)
+
+
+def cmd_search(args) -> None:
+    from rust_vector_search_spark.operators.search import search_rp_forest
+    from rust_vector_search_spark.session import get_spark
+
+    _ensure_index(args.index, args.n, args.num_trees, args.leaf)
+    spark = get_spark(app_name="deep_index_probe")
+    emb, forest = _load(spark, args.index, args.num_trees, args.leaf)
+    q = _queries_of(emb, args.queries)
+    t0 = time.time()
+    approx = (
+        search_rp_forest(forest, emb, q, k=args.k)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    n_rows = approx.count()
+    wall = time.time() - t0
+    recall = _recall_vs_exact(spark, emb, approx, q, args.k)
+    print(
+        f"RESULT search: {wall:.1f}s / {args.queries} q "
+        f"({wall / args.queries:.2f} s/q, {n_rows} rows) "
+        f"recall@{args.k}={recall:.3f}",
+        flush=True,
+    )
+    _append_history(
+        f"search leg ({os.path.basename(args.index)}, "
+        f"{args.num_trees} trees): {wall:.1f} s / {args.queries} q, "
+        f"recall@{args.k} = {recall:.3f}",
+        not args.no_baseline_append,
+    )
+
+
+def cmd_allpairs(args) -> None:
+    from rust_vector_search_spark.operators.search import search_rp_forest_self
+    from rust_vector_search_spark.session import get_spark
+
+    _ensure_index(args.index, args.n, args.num_trees, args.leaf)
+    spark = get_spark(app_name="deep_index_probe_allpairs")
+    emb, forest = _load(spark, args.index, args.num_trees, args.leaf)
+    n_corpus = emb.count()
+    t0 = time.time()
+    approx = (
+        search_rp_forest_self(
+            forest, emb, k=args.k, spill_margin=args.spill_margin,
+            engine=args.engine,
+        )
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    n_rows = approx.count()
+    wall = time.time() - t0
+    # recall on a seeded sample (exact all-pairs ground truth at 250k is
+    # the quarantined N² baseline — a 1000-query slice of it is enough
+    # to bound the quality honestly)
+    sample_q = (
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .orderBy(F.md5(F.concat(F.lit("aps"), F.col("query_id"))))
+        .limit(args.sample)
+        .localCheckpoint(eager=True)
+    )
+    sample_approx = approx.join(
+        sample_q.select("query_id"), "query_id", "left_semi"
+    )
+    recall = _recall_vs_exact(spark, emb, sample_approx, sample_q, args.k)
+    print(
+        f"RESULT allpairs: {wall:.1f}s / {n_corpus} corpus queries "
+        f"({1000.0 * wall / n_corpus:.2f} ms/q, {n_rows} rows) "
+        f"recall@{args.k}={recall:.3f} (on {args.sample}-query sample) "
+        f"engine={args.engine}",
+        flush=True,
+    )
+    _append_history(
+        f"all-pairs self-kNN ({os.path.basename(args.index)}, "
+        f"engine={args.engine}): {wall:.1f} s / {n_corpus} q "
+        f"({1000.0 * wall / n_corpus:.2f} ms/q), sampled recall@{args.k} "
+        f"= {recall:.3f}",
+        not args.no_baseline_append,
+    )
+
+
+def cmd_recall(args) -> None:
+    from rust_vector_search_spark.operators.index import subset_forest
+    from rust_vector_search_spark.operators.knn import knn_exact_fast
+    from rust_vector_search_spark.operators.search import (
+        route_queries,
+        search_rp_forest,
+    )
+    from rust_vector_search_spark.session import get_spark
+
+    _ensure_index(args.index, args.n, args.num_trees, args.leaf)
+    spark = get_spark(app_name="deep_index_probe_recall")
+    emb, forest = _load(spark, args.index, args.num_trees, args.leaf)
+    n_corpus = emb.count()
+    q = _queries_of(emb, args.queries).localCheckpoint(eager=True)
+    exact = (
+        knn_exact_fast(emb, q, k=args.k)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    total = exact.count()
+    for t_str in args.trees.split(","):
+        T = int(t_str)
+        sub = subset_forest(forest, T)
+        t0 = time.time()
+        approx = (
+            search_rp_forest(sub, emb, q, k=args.k)
+            .select("query_id", "vec_id")
+            .localCheckpoint(eager=True)
+        )
+        approx.count()
+        wall = time.time() - t0
+        hits = exact.join(
+            approx, ["query_id", "vec_id"], "left_semi"
+        ).count()
+        # candidate fraction: distinct (query, vec) candidates the
+        # routed leaves yield, before re-rank — the work metric
+        routed = route_queries(sub, q, spill_margin="auto",
+                               n_queries=args.queries)
+        cand = (
+            routed.join(sub.leaves, ["tree_id", "leaf_path"])
+            .select("query_id", "vec_id")
+            .distinct()
+            .count()
+        )
+        frac = cand / (args.queries * n_corpus)
+        line = (
+            f"recall sweep ({os.path.basename(args.index)}): trees={T} "
+            f"recall@{args.k}={hits / max(total, 1):.3f} "
+            f"cand_frac={frac:.4f} wall={wall:.1f}s/{args.queries}q"
+        )
+        print(f"RESULT {line}", flush=True)
+        _append_history(line, not args.no_baseline_append)
+
+
+def cmd_ingest(args) -> None:
+    import shutil
+
+    from rust_vector_search_spark.operators.index import (
+        build_rp_forest_batched,
+        load_index,
+    )
+    from rust_vector_search_spark.operators.search import search_rp_forest
+    from rust_vector_search_spark.session import get_spark
+    from rust_vector_search_spark.streaming import incremental_index_ingest
+
+    _ensure_index(args.index, args.n, args.num_trees, args.leaf)
+    spark = get_spark(app_name="deep_index_probe_ingest")
+    emb, full_forest = _load(spark, args.index, args.num_trees, args.leaf)
+
+    base_dir = args.index.rstrip("/") + "_base"
+    # 1. build the pre-ingest index over corpus minus holdout (the
+    #    "yesterday's index" in the incremental story)
+    rest = emb.filter(F.col("vec_id") >= args.holdout)
+    if not os.path.isdir(f"{base_dir}/idx/nodes"):
+        t0 = time.time()
+        build_rp_forest_batched(
+            rest, f"{base_dir}/idx", num_trees=args.num_trees,
+            max_node_size=args.leaf, seed=42, max_depth=32,
+            local_threshold=16384, tree_batch_size=10,
+        )
+        print(f"base build ({args.n - args.holdout}): "
+              f"{time.time() - t0:.1f}s", flush=True)
+    base = load_index(spark, f"{base_dir}/idx", num_trees=args.num_trees,
+                      max_node_size=args.leaf, seed=42)
+
+    # 2. stream the holdout in through the FROZEN hyperplanes
+    holdout = emb.filter(F.col("vec_id") < args.holdout)
+    src = f"{base_dir}/holdout_src"
+    holdout.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(holdout.schema).parquet(src)
+    t0 = time.time()
+    ing = incremental_index_ingest(
+        stream.select("vec_id", F.col("embedding")),
+        base,
+        leaves_path=f"{base_dir}/idx/leaves",
+        checkpoint_path=f"{base_dir}/ingest_ckpt",
+    )
+    ing.awaitTermination(1800)
+    t_ingest = time.time() - t0
+    print(f"RESULT ingest: {t_ingest:.1f}s for {args.holdout} vectors",
+          flush=True)
+
+    # 3. search the augmented index; recall vs exact, side by side with
+    #    the full-rebuild index on the SAME queries (holdout members
+    #    among them — they only have neighbors if ingest worked)
+    aug = load_index(spark, f"{base_dir}/idx", num_trees=args.num_trees,
+                     max_node_size=args.leaf, seed=42)
+    q = _queries_of(emb, args.queries)
+    results = {}
+    for name, forest in (("augmented", aug), ("full-rebuild", full_forest)):
+        t0 = time.time()
+        approx = (
+            search_rp_forest(forest, emb, q, k=args.k)
+            .select("query_id", "vec_id")
+            .localCheckpoint(eager=True)
+        )
+        approx.count()
+        wall = time.time() - t0
+        recall = _recall_vs_exact(spark, emb, approx, q, args.k)
+        results[name] = (wall, recall)
+        print(f"RESULT search[{name}]: {wall:.1f}s "
+              f"recall@{args.k}={recall:.3f}", flush=True)
+    _append_history(
+        f"incremental ingest ({os.path.basename(args.index)}): "
+        f"{args.holdout} vectors in {t_ingest:.1f} s; post-ingest "
+        f"recall@{args.k} = {results['augmented'][1]:.3f} vs "
+        f"full-rebuild {results['full-rebuild'][1]:.3f} "
+        f"(search {results['augmented'][0]:.1f} s vs "
+        f"{results['full-rebuild'][0]:.1f} s, {args.queries} q)",
+        not args.no_baseline_append,
+    )
+    if args.cleanup:
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+def main() -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("cmd", choices=["search", "allpairs", "recall", "ingest"])
+    p.add_argument("--index", default="/tmp/idx250k")
+    p.add_argument("--n", type=int, default=250_000)
+    p.add_argument("--num-trees", type=int, default=50)
+    p.add_argument("--leaf", type=int, default=5)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--queries", type=int, default=100)
+    p.add_argument("--sample", type=int, default=1000)
+    p.add_argument("--trees", default="5,10,25,50")
+    p.add_argument("--holdout", type=int, default=25_000)
+    p.add_argument("--spill-margin", default="auto")
+    p.add_argument("--engine", default="catalyst",
+                   choices=["catalyst", "numpy"])
+    p.add_argument("--no-baseline-append", action="store_true")
+    p.add_argument("--cleanup", action="store_true")
+    args = p.parse_args()
+    os.environ.setdefault("SPARK_GRAFT_MAX_RESULT", "8g")
+    if args.cmd == "recall" and args.queries == 100:
+        args.queries = 1000
+    globals()[f"cmd_{args.cmd}"](args)
+
+
+if __name__ == "__main__":
+    main()

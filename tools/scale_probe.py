@@ -62,6 +62,14 @@ def main() -> None:
         i = argv.index("--queries")
         n_queries = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
+    sigma = 0.25
+    if "--sigma" in argv:
+        # cluster spread of the mixture corpus: 0.25 = the easy
+        # clustered regime, ~1.0 = mid-hardness (cluster scale
+        # comparable to center scale), --gaussian = the i.i.d. floor
+        i = argv.index("--sigma")
+        sigma = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
     args = [a for a in argv if a != "--gaussian"]
     gaussian = "--gaussian" in argv
     n = int(args[0]) if len(args) > 0 else 100_000
@@ -129,7 +137,7 @@ def main() -> None:
         os.makedirs(workdir, exist_ok=True)
     work = workdir or tempfile.mkdtemp(prefix="scale_probe_")
     try:
-        kind = "gaussian" if gaussian else f"{n // 50}-cluster mixture"
+        kind = "gaussian" if gaussian else f"{n // 50}-cluster mixture (sigma {sigma})"
         print(f"generating {n} x {dim}-d vectors ({kind}, seed 42) ...", flush=True)
         rng = np.random.default_rng(42)
         import pandas as pd
@@ -143,7 +151,7 @@ def main() -> None:
             else:
                 which = rng.integers(0, len(centers), hi - lo)
                 X = (
-                    centers[which] + 0.25 * rng.standard_normal((hi - lo, dim))
+                    centers[which] + sigma * rng.standard_normal((hi - lo, dim))
                 ).astype(np.float32)
             chunks.append(
                 pd.DataFrame({"vec_id": np.arange(lo, hi), "embedding": list(X)})
