@@ -39,6 +39,7 @@ from .index import RPForest
 __all__ = [
     "search_rp_forest",
     "search_rp_forest_self",
+    "all_pairs_rp_forest",
     "route_queries",
     "resolve_spill_margin",
 ]
@@ -1500,5 +1501,146 @@ def search_rp_forest_budgeted(
         F.col("dist").asc(), F.col("vec_id").asc()
     )
     return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).filter(F.col("rnk") <= k)
+
+
+def all_pairs_rp_forest(
+    forest: RPForest,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_corpus: "bool | str" = "auto",
+) -> DataFrame:
+    """All-pairs approximate kNN — the reference's flagship quality pass
+    (``src/main.rs:100-123``: every corpus vector queries the index) in
+    its LEAF-LOCAL form, the only shape whose shuffle volume stays
+    linear in |corpus| × num_trees at 100 TB.
+
+    The key identity (shared with ``search_rp_forest_self``): the build
+    already routed every corpus vector, so a vector's candidates are
+    exactly its LEAF CO-MEMBERS across trees. But where the generic
+    tail ships candidate PAIRS through a re-rank join — each pair
+    dragging a dim-sized embedding through one exchange per join, which
+    at 250k × 50 trees is a ~10⁸-pair × ~2.5 KB shuffle (measured
+    disk-infeasible on a single node, and the pair volume scales with
+    candidates, not corpus) — this path never forms a wide pair:
+
+      1. ONE co-locating exchange: attach each member's embedding to
+         its (tree_id, leaf_path) group — |corpus| × num_trees rows,
+         the irreducible data movement of a forest all-pairs;
+      2. per-leaf pairwise distances INSIDE the group via nested
+         higher-order functions over the collected member array
+         (leaves are ≤ max_node_size by construction, so groups are
+         bounded and skew-free; all arithmetic in whole-stage codegen,
+         zero Python);
+      3. everything after is SLIM (query_id, vec_id, dist) triples:
+         cross-tree dedup by min, then the global top-k window.
+
+    Semantics ≡ ``search_rp_forest(forest, corpus, corpus-as-queries,
+    k, backfill=False, spill_margin=0.0, exclude_self=True)`` — no
+    multi-probe, no sibling backfill (each query already reaches
+    num_trees leaves; at the reference's 50 trees that is up to
+    50·(max_node_size−1) candidates before dedup). Duplicate-vector
+    corpora: the build's exact dedup leaves only representatives in the
+    index, so duplicate rows inherit their representative's pairs plus
+    the zero-distance edge to it — identical to what the generic path
+    reports for them.
+
+    ``broadcast_corpus``: "auto" broadcasts the slim (vec_id, emb)
+    corpus into the leaves join while it fits SPARK_GRAFT_BC_QUERIES_MB
+    (one exchange instead of two); past the gate both sides shuffle —
+    the honest billion-scale cost.
+    """
+    emb = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+
+    # duplicate handling (identical embeddings dedup'd at build,
+    # src/lib.rs:64-92): cheap count check, identity for dup-free corpora
+    reps = corpus.groupBy(vec_col).agg(F.min(id_col).alias("rep_id"))
+    n_corpus = corpus.count()
+    n_reps = reps.count()
+    has_dups = n_reps != n_corpus
+
+    if broadcast_corpus == "auto":
+        import os as _os
+
+        gate = (
+            int(_os.environ.get("SPARK_GRAFT_BC_QUERIES_MB", "256"))
+            * 1024 * 1024
+        )
+        per_vec = (forest.dim or 64) * 8 + 120
+        broadcast_corpus = n_corpus * per_vec < gate
+    e_hint = F.broadcast if broadcast_corpus else (lambda df: df)
+
+    members = forest.leaves.join(e_hint(emb), "vec_id").select(
+        "tree_id", "leaf_path", "vec_id", "v"
+    )
+    grouped = members.groupBy("tree_id", "leaf_path").agg(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("i"), F.col("v").alias("e"))
+        ).alias("ms")
+    )
+    # nested HOF pair generation: for each member a, distance to every
+    # co-member b ≠ a. The symmetric distance is computed once per
+    # ORDERED pair (2× the unordered work) — still far cheaper than one
+    # exchange of wide pairs, and it keeps every row self-contained for
+    # the slim explode.
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda a: F.transform(
+                F.filter(F.col("ms"), lambda b: b["i"] != a["i"]),
+                lambda b: F.struct(
+                    a["i"].alias("q"),
+                    b["i"].alias("c"),
+                    sq_euc_dist(a["e"], b["e"]).alias("d"),
+                ),
+            ),
+        )
+    )
+    pairs = grouped.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.q").alias("query_id"),
+        F.col("p.c").alias("vec_id"),
+        F.col("p.d").alias("dist"),
+    )
+    # cross-tree dedup (O10's DashSet): identical pair ⇒ identical
+    # fold ⇒ identical double, so min == the value
+    deduped = pairs.groupBy("query_id", "vec_id").agg(
+        F.min("dist").alias("dist")
+    )
+
+    if has_dups:
+        # expand representative-level pairs to every duplicate row:
+        # dup queries inherit their rep's candidate list plus the
+        # zero-distance edge to the rep itself (the rep is a leaf
+        # member; the dup is not — matching the generic path's view)
+        mapping = corpus.select(
+            F.col(id_col).alias("row_id"), F.col(vec_col).alias("_v")
+        ).join(
+            reps.select(F.col(vec_col).alias("_v"), "rep_id"), "_v"
+        ).select("row_id", "rep_id")
+        inherited = (
+            mapping.filter(F.col("row_id") != F.col("rep_id"))
+            .join(
+                deduped.withColumnRenamed("query_id", "rep_id"), "rep_id"
+            )
+            .select(
+                F.col("row_id").alias("query_id"), "vec_id", "dist"
+            )
+        )
+        self_edges = mapping.filter(
+            F.col("row_id") != F.col("rep_id")
+        ).select(
+            F.col("row_id").alias("query_id"),
+            F.col("rep_id").alias("vec_id"),
+            F.lit(0.0).alias("dist"),
+        )
+        deduped = deduped.unionByName(inherited).unionByName(self_edges)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return deduped.withColumn(
         "rnk", F.row_number().over(w).cast("long")
     ).filter(F.col("rnk") <= k)

@@ -163,6 +163,16 @@ _DEMOTED_STABLE = [
     # — r6 late demotion making room for pagerank_customer_supplier
     # (the first iterative weighted-graph row)
     "all_pairs_top3",
+    # r9: the exact crossJoin all-pairs row hands its slot to
+    # ann_all_pairs_leaflocal — the APPROXIMATE all-pairs in its
+    # scale-true leaf-local form (the reference's flagship workload,
+    # src/main.rs:100-123, measured at the 250k probe). Containment:
+    # the same sq-euclid sequential fold + (dist, vec_id) top-k window
+    # tail is hash-checked by the new row AND by
+    # ann_rp_forest_search_from_fixture / knn_with_doc_labels; the
+    # crossJoin exact form stays value-checked locally every round and
+    # remains quarantined as an oracle baseline, never a scale path
+    "all_pairs_top3_sets",
     # text→training-units family: doc_sequence_packing (zero-waste
     # concat-and-chunk layout) holds the window slot; the overlapping
     # RAG-chunker twin registers demoted from birth

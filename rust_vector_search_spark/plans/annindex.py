@@ -404,6 +404,65 @@ def ann_rp_forest_search_from_fixture(spark: SparkSession, sf_dir: str) -> DataF
     ).select("query_id", "vec_id", "dist", "rnk")
 
 
+@register(
+    "ann_all_pairs_leaflocal",
+    oracle=f"""
+WITH lvs AS (SELECT CAST(tree_id AS INTEGER) AS tree_id, leaf_path, vec_id
+             FROM read_parquet('{_FIXTURE_DIR}/leaves/*/*.parquet', hive_partitioning=1)),
+reps AS (SELECT embedding AS emb, min(vec_id) AS rep_id
+         FROM embeddings GROUP BY embedding),
+mapping AS (SELECT e.vec_id AS row_id, r.rep_id
+            FROM embeddings e JOIN reps r ON e.embedding = r.emb),
+pr AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+       FROM lvs a
+       JOIN lvs b ON a.tree_id = b.tree_id AND a.leaf_path = b.leaf_path
+       WHERE a.vec_id <> b.vec_id),
+scored AS (SELECT p.qid, p.cid,
+                  {dd_sq_euc('ea.embedding', 'eb.embedding')} AS dist
+           FROM pr p
+           JOIN embeddings ea ON ea.vec_id = p.qid
+           JOIN embeddings eb ON eb.vec_id = p.cid),
+expanded AS (
+  SELECT m.row_id AS query_id, s.cid AS vec_id, s.dist
+  FROM mapping m JOIN scored s ON s.qid = m.rep_id
+  UNION ALL
+  SELECT m.row_id, m.rep_id, 0.0 FROM mapping m WHERE m.row_id <> m.rep_id)
+SELECT query_id, vec_id, dist, rnk FROM (
+  SELECT query_id, vec_id, dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist, vec_id) AS BIGINT) AS rnk
+  FROM expanded) t
+WHERE rnk <= {K}
+""",
+)
+def ann_all_pairs_leaflocal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs self-kNN in its LEAF-LOCAL form (the reference's
+    flagship quality pass, ``src/main.rs:100-123``) over the committed
+    index fixture, fully oracle-checked: a vector's candidates are its
+    leaf co-members across trees (the build already routed the corpus),
+    pairwise distances are computed INSIDE each bounded leaf group via
+    nested higher-order functions, and only slim (query, vec, dist)
+    triples ever cross an exchange — the shape whose shuffle volume
+    stays linear in corpus × trees at 100 TB, vs the generic tail's
+    candidate-pair re-rank joins that drag dim-sized embeddings
+    through one exchange per join (measured disk-infeasible at the
+    250k × 300-d probe). The oracle replays the same pair set with a
+    leaves self-join; distances are the shared sequential fold, so the
+    comparison is bit-exact. Duplicate rows would inherit their
+    representative's pairs plus a zero-distance edge on BOTH sides
+    (identity at sf0.01 — no exact duplicates)."""
+    from ..operators.index import load_index
+    from ..operators.search import all_pairs_rp_forest
+
+    emb = _emb(spark, sf_dir)
+    forest = load_index(
+        spark, _FIXTURE_DIR, num_trees=50, max_node_size=5, seed=42
+    )
+    return all_pairs_rp_forest(forest, emb, k=K).select(
+        "query_id", "vec_id", "dist", "rnk"
+    )
+
+
 # --- FLAGSHIP: approximate all-pairs self-kNN through the forest --------------
 
 @register("all_pairs_approx_top3")

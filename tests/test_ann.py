@@ -358,3 +358,62 @@ def test_join_chain_route_with_explicit_broadcast_runs_no_count_job(
         rerank="hof",
     )
     assert out.count() > 0  # materializing the search is fine
+
+
+def test_all_pairs_leaflocal_matches_generic_search(forest, emb):
+    """all_pairs_rp_forest (the leaf-local form whose shuffle volume is
+    linear in corpus × trees — no wide candidate pairs ever cross an
+    exchange) must return EXACTLY what the generic search returns for
+    corpus-as-queries at the same semantics (no spills, no backfill,
+    self excluded): same ids, same ranks."""
+    from rust_vector_search_spark.operators.search import all_pairs_rp_forest
+
+    ap = all_pairs_rp_forest(forest, emb, k=5)
+    got = {(r.query_id, r.vec_id, r.rnk) for r in ap.collect()}
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ref = search_rp_forest(
+        forest, emb, q, k=5, backfill=False, spill_margin=0.0,
+        exclude_self=True,
+    )
+    want = {(r.query_id, r.vec_id, r.rnk) for r in ref.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_all_pairs_leaflocal_duplicate_rows_inherit_rep_pairs(spark):
+    """A corpus with byte-identical duplicate embeddings: the build
+    dedups them out of the index (src/lib.rs:64-92), so a duplicate row
+    must inherit its representative's neighbor list plus the
+    zero-distance edge to the representative — exactly the generic
+    path's view of the same index."""
+    import pandas as pd
+
+    from rust_vector_search_spark.operators.search import all_pairs_rp_forest
+
+    base = [[float(i), float(i % 3), 1.0, 0.0] for i in range(40)]
+    rows = [(i, base[i]) for i in range(40)]
+    rows += [(100 + i, base[i]) for i in range(6)]  # 6 duplicate rows
+    dup = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]})
+    )
+    forest = build_rp_forest(dup, num_trees=4, max_node_size=6, seed=9)
+    ap = all_pairs_rp_forest(forest, dup, k=4)
+    got = {(r.query_id, r.vec_id, r.rnk) for r in ap.collect()}
+    q = dup.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    want = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in search_rp_forest(
+            forest, dup, q, k=4, backfill=False, spill_margin=0.0,
+            exclude_self=True,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # every duplicate row ranks its representative first at distance 0
+    rep_first = {(100 + i, i, 1) for i in range(6)}
+    assert rep_first <= got

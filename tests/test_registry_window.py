@@ -111,6 +111,11 @@ MUST_BE_IN_WINDOW = [
     # r6b: applyInPandasWithState sessionization — the custom stateful
     # streaming operator, value-hash-checked against batch islands
     "streaming_stateful_sessions",
+    # r9: approximate all-pairs self-kNN in the leaf-local form (the
+    # reference's flagship workload at scale); took the slot of the
+    # exact crossJoin all-pairs row (same re-rank/top-k tail, exact
+    # form locally checked)
+    "ann_all_pairs_leaflocal",
 ]
 
 

@@ -160,7 +160,10 @@ def cmd_search(args) -> None:
 
 
 def cmd_allpairs(args) -> None:
-    from rust_vector_search_spark.operators.search import search_rp_forest_self
+    from rust_vector_search_spark.operators.search import (
+        all_pairs_rp_forest,
+        search_rp_forest_self,
+    )
     from rust_vector_search_spark.session import get_spark
 
     _ensure_index(args.index, args.n, args.num_trees, args.leaf)
@@ -168,11 +171,17 @@ def cmd_allpairs(args) -> None:
     emb, forest = _load(spark, args.index, args.num_trees, args.leaf)
     n_corpus = emb.count()
     t0 = time.time()
-    approx = (
-        search_rp_forest_self(
+    if args.engine == "leaflocal":
+        # the 100 TB shape: one co-locating exchange, per-leaf pairwise
+        # HOF distances, slim triples after — never a wide pair shuffle
+        searched = all_pairs_rp_forest(forest, emb, k=args.k)
+    else:
+        searched = search_rp_forest_self(
             forest, emb, k=args.k, spill_margin=args.spill_margin,
             engine=args.engine,
         )
+    approx = (
+        searched
         .select("query_id", "vec_id")
         .localCheckpoint(eager=True)
     )
@@ -360,8 +369,8 @@ def main() -> None:
     p.add_argument("--trees", default="5,10,25,50")
     p.add_argument("--holdout", type=int, default=25_000)
     p.add_argument("--spill-margin", default="auto")
-    p.add_argument("--engine", default="catalyst",
-                   choices=["catalyst", "numpy"])
+    p.add_argument("--engine", default="leaflocal",
+                   choices=["leaflocal", "catalyst", "numpy"])
     p.add_argument("--no-baseline-append", action="store_true")
     p.add_argument("--cleanup", action="store_true")
     args = p.parse_args()
