@@ -592,16 +592,32 @@ def subset_forest(forest: RPForest, num_trees: int) -> RPForest:
     )
 
 
-def save_index(forest: RPForest, path: str) -> None:
+def save_index(forest: RPForest, path: str, compact: bool = False) -> None:
     """Persist the forest as Parquet partitioned by tree_id — a NEW
     capability vs the reference (whose index dies with the process,
     ``src/lib.rs:15-19``); partition pruning makes single-tree reads
     cheap at scale. Nodes carry a materialized ``lvl`` column with
     lvl-clustered row groups so the per-level routing filter pushes
-    into the scan (same rationale as the batched write above)."""
-    forest.nodes.withColumn(
-        "lvl", F.length("node_path")
-    ).sortWithinPartitions("lvl").write.mode("overwrite").partitionBy(
+    into the scan (same rationale as the batched write above).
+
+    ``compact=True`` stores hyperplane coefficients as ``array<float>``
+    instead of ``array<double>`` — the coeffs column dominates the node
+    table (a 300-d node is ~2.4 KB of coeffs vs ~120 B of everything
+    else), and the deep-index search leg's cost is dominated by exactly
+    that read (measured at the 250k probe: the tree-local route is
+    node-table-scan-bound), so the cast roughly halves the dominant
+    search cost AND the index footprint. The trade: routing decisions
+    use f32-rounded normals — the same precision the reference computes
+    in end-to-end (``src/vector.rs:5``), so this is parity, not a
+    quality cut; but a compact index is NOT bit-replayable by the
+    full-precision DuckDB oracle descent, so oracle-replayed fixtures
+    keep the default double."""
+    nodes = forest.nodes.withColumn("lvl", F.length("node_path"))
+    if compact:
+        nodes = nodes.withColumn(
+            "coeffs", F.col("coeffs").cast("array<float>")
+        )
+    nodes.sortWithinPartitions("lvl").write.mode("overwrite").partitionBy(
         "tree_id"
     ).parquet(f"{path}/nodes")
     forest.leaves.write.mode("overwrite").partitionBy("tree_id").parquet(

@@ -300,3 +300,39 @@ def test_tree_local_chunked_branches_agree_with_join_chain(
     assert got == want and len(got) > 0
     # every tree contributes: chunk assembly must not drop trees
     assert {t for (_, t, _) in got} == set(range(5))
+
+
+def test_compact_index_halves_coeffs_and_preserves_search(spark, tmp_path):
+    """r9: save_index(compact=True) stores hyperplane coeffs as
+    array<float> — the node-table read dominates deep-index search
+    (250k probe), so the cast halves the dominant cost. f32-rounded
+    normals are the reference's own precision (src/vector.rs:5); on the
+    fixture corpus every side decision survives the rounding, so the
+    search result is identical to the full-precision index."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    forest = build_rp_forest(emb, num_trees=4, max_node_size=8, seed=21)
+    full_p = str(tmp_path / "full")
+    cmp_p = str(tmp_path / "cmp")
+    save_index(forest, full_p)
+    save_index(forest, cmp_p, compact=True)
+
+    loaded_full = load_index(spark, full_p, num_trees=4, max_node_size=8, seed=21)
+    loaded_cmp = load_index(spark, cmp_p, num_trees=4, max_node_size=8, seed=21)
+    ctype = dict(loaded_cmp.nodes.dtypes)["coeffs"]
+    assert ctype == "array<float>", ctype
+    assert loaded_cmp.dim == loaded_full.dim
+
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in search_rp_forest(loaded_full, emb, q, k=5).collect()
+    }
+    b = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in search_rp_forest(loaded_cmp, emb, q, k=5).collect()
+    }
+    assert a == b and len(a) > 0
