@@ -16,6 +16,11 @@
             fraction vs number of trees used at search (subset_forest
             — one build serves every smaller operating point), so the
             clustered-corpus 1.000 rows can't be misread as general.
+  compact   converts the index to the compact (float32-coeffs) on-disk
+            format via save_index(compact=True), then runs the search
+            leg on both formats interleaved (2 iterations; the warm
+            pair is the comparable one) — records what the halved
+            node-table actually buys.
   ingest    incremental-index scale validation: routes a holdout
             through a FROZEN smaller index's hyperplanes via
             incremental_index_ingest (availableNow stream), then
@@ -32,6 +37,7 @@ Usage:
   python tools/deep_index_probe.py allpairs [--index /tmp/idx250k] [--sample 1000]
   python tools/deep_index_probe.py recall   [--index /tmp/idx250k] [--queries 1000] [--trees 5,10,25,50]
   python tools/deep_index_probe.py ingest   [--index /tmp/idx250k] [--holdout 25000]
+  python tools/deep_index_probe.py compact  [--index /tmp/idx250k] [--cleanup]
 Common: --n 250000 --num-trees 50 --leaf 5 --k 10 --no-baseline-append
 """
 
@@ -273,6 +279,76 @@ def cmd_recall(args) -> None:
         _append_history(line, not args.no_baseline_append)
 
 
+def cmd_compact(args) -> None:
+    """Convert the index to the compact (float32-coeffs) on-disk format
+    and measure the search leg on both, interleaved twice so the second
+    (page-cache-warm) iteration of each is the comparable number — the
+    leg is node-table-scan-bound, so the f32 cast's halved coeffs column
+    is exactly the claimed win and this leg turns it into a recorded
+    one."""
+    import shutil
+
+    from rust_vector_search_spark.operators.index import (
+        load_index,
+        save_index,
+    )
+    from rust_vector_search_spark.operators.search import search_rp_forest
+    from rust_vector_search_spark.session import get_spark
+
+    _ensure_index(args.index, args.n, args.num_trees, args.leaf)
+    spark = get_spark(app_name="deep_index_probe_compact")
+    emb, forest = _load(spark, args.index, args.num_trees, args.leaf)
+
+    cdir = args.index.rstrip("/") + "_c"
+    if not os.path.isdir(f"{cdir}/idx/nodes"):
+        t0 = time.time()
+        save_index(forest, f"{cdir}/idx", compact=True)
+        print(f"compact re-save: {time.time() - t0:.1f}s", flush=True)
+    compact = load_index(spark, f"{cdir}/idx", num_trees=args.num_trees,
+                         max_node_size=args.leaf, seed=42)
+
+    def _du(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d) for f in fs
+        )
+
+    full_gb = _du(f"{args.index}/idx/nodes") / 1e9
+    comp_gb = _du(f"{cdir}/idx/nodes") / 1e9
+    print(f"node table: full {full_gb:.2f} GB, compact {comp_gb:.2f} GB",
+          flush=True)
+
+    q = _queries_of(emb, args.queries)
+    walls = {"full": [], "compact": []}
+    recalls = {}
+    for it in range(2):
+        for name, f_ in (("full", forest), ("compact", compact)):
+            t0 = time.time()
+            approx = (
+                search_rp_forest(f_, emb, q, k=args.k)
+                .select("query_id", "vec_id")
+                .localCheckpoint(eager=True)
+            )
+            approx.count()
+            walls[name].append(time.time() - t0)
+            if it == 1:
+                recalls[name] = _recall_vs_exact(spark, emb, approx, q,
+                                                 args.k)
+            print(f"RESULT search[{name}] iter{it}: "
+                  f"{walls[name][-1]:.1f}s / {args.queries} q", flush=True)
+    _append_history(
+        f"compact-index leg ({os.path.basename(args.index)}): node table "
+        f"{full_gb:.2f} → {comp_gb:.2f} GB; warm search "
+        f"{walls['full'][1]:.1f} → {walls['compact'][1]:.1f} s "
+        f"/ {args.queries} q (cold {walls['full'][0]:.1f} → "
+        f"{walls['compact'][0]:.1f} s); recall@{args.k} "
+        f"{recalls['full']:.3f} vs {recalls['compact']:.3f}",
+        not args.no_baseline_append,
+    )
+    if args.cleanup:
+        shutil.rmtree(cdir, ignore_errors=True)
+
+
 def cmd_ingest(args) -> None:
     import shutil
 
@@ -358,7 +434,9 @@ def main() -> None:
     import argparse
 
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("cmd", choices=["search", "allpairs", "recall", "ingest"])
+    p.add_argument(
+        "cmd", choices=["search", "allpairs", "recall", "ingest", "compact"]
+    )
     p.add_argument("--index", default="/tmp/idx250k")
     p.add_argument("--n", type=int, default=250_000)
     p.add_argument("--num-trees", type=int, default=50)
