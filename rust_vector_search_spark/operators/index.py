@@ -62,6 +62,7 @@ __all__ = [
     "save_index",
     "load_index",
     "subset_forest",
+    "resplit_overgrown_leaves",
 ]
 
 
@@ -589,6 +590,183 @@ def subset_forest(forest: RPForest, num_trees: int) -> RPForest:
         dim=forest.dim,
         max_tree_nodes=int(stats.mt or 0),
         path=forest.path,
+    )
+
+
+def resplit_overgrown_leaves(
+    forest: RPForest,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_depth: "int | None" = None,
+    extra_depth: int = 8,
+) -> RPForest:
+    """Index MAINTENANCE: re-split every leaf that grew past
+    ``max_node_size`` — the repair half of the "append now, rebuild
+    periodically" contract ``incremental_index_ingest`` documents.
+    Ingest routes new vectors through FROZEN hyperplanes and appends
+    them to existing leaves, so repeated ingests overgrow hot leaves:
+    per-leaf candidate cost (and the leaf-local all-pairs bound) grows
+    without limit while the reference's invariant — every leaf ≤
+    ``max_node_size`` deduped vectors (``src/lib.rs:50-62``) — silently
+    erodes. This restores it WITHOUT a full rebuild: untouched leaves
+    (the vast majority) are never read with their payload, and existing
+    hyperplanes — hence existing routing — are preserved verbatim; the
+    new subtrees only EXTEND paths below the overgrown leaves.
+
+    Shape, in order of data volume:
+      1. candidacy is a slim ``groupBy(tree_id, leaf_path).count()``
+         over id-only leaf rows — no payload, map-side combined;
+      2. only overgrown leaves' members join the embedding payload;
+      3. duplicate embeddings can never be separated by a hyperplane
+         (the reason build dedups first, ``src/lib.rs:87-88``): per
+         (leaf, emb) the min vec_id is the split REPRESENTATIVE, and a
+         leaf overgrown only by duplicates (≤ max_node_size distinct
+         embeddings) is LEFT AS-IS — by build semantics it is not
+         overgrown;
+      4. each splittable leaf finishes as one ``_subtree_builder``
+         group — the exact phase-2 kernel of the build, same seed, so
+         maintenance splits draw pivots from the same hash family and
+         a re-run is bit-identical;
+      5. duplicates rejoin their representative's NEW leaf by an
+         equi-join — precisely where routing their (identical)
+         embedding would land them.
+
+    ``max_depth`` is the ABSOLUTE path-length cap (build semantics);
+    default = deepest overgrown leaf + ``extra_depth``, so a pathological
+    leaf force-closes instead of recursing forever. The result carries
+    ``path=None``: the in-memory forest no longer matches any persisted
+    layout, so the tree-local persisted-layout route must not read the
+    stale one — ``save_index`` it and ``load_index`` back to re-enable.
+
+    Membership is CHECKED, not assumed: the rebuilt leaf table must
+    hold exactly the same (tree_id, vec_id) multiset as before (a
+    member whose payload is missing from ``emb`` would otherwise
+    silently vanish from the index)."""
+    spark = forest.nodes.sparkSession
+    sizes = forest.leaves.groupBy("tree_id", "leaf_path").agg(
+        F.count(F.lit(1)).alias("_n"), F.max(F.length("leaf_path")).alias("_d")
+    )
+    over_keys = sizes.filter(F.col("_n") > forest.max_node_size)
+    probe = over_keys.agg(
+        F.count(F.lit(1)).alias("k"), F.max("_d").alias("d")
+    ).collect()[0]
+    if not probe.k:
+        return forest
+    cap = max_depth if max_depth is not None else int(probe.d) + extra_depth
+
+    members = forest.leaves.join(
+        over_keys.select("tree_id", "leaf_path"), ["tree_id", "leaf_path"]
+    )
+    payload = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb")
+    )
+    # both intermediates feed two downstream branches (split input +
+    # duplicate reassignment) — materialize once so the payload join
+    # and the by-embedding dedup don't recompute per consumer; volume
+    # is bounded by the OVERGROWN members, not the corpus
+    with_emb = (
+        members.join(payload, "vec_id")
+        .select("tree_id", "leaf_path", "vec_id", "emb")
+        .localCheckpoint(eager=True)
+    )
+    reps = (
+        with_emb.groupBy("tree_id", "leaf_path", "emb")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .localCheckpoint(eager=True)
+    )
+    # splittable by BUILD semantics: > max_node_size DISTINCT embeddings
+    split_keys = (
+        reps.groupBy("tree_id", "leaf_path")
+        .count()
+        .filter(F.col("count") > forest.max_node_size)
+        .select("tree_id", "leaf_path")
+    )
+    split_reps = reps.join(split_keys, ["tree_id", "leaf_path"]).select(
+        "tree_id", F.col("leaf_path").alias("node_path"), "vec_id", "emb"
+    )
+    # fixed-N repartition on the group key — same AQE-coalesce exemption
+    # rationale as the build's phase 2 (cost is CPU per group, not bytes)
+    split_out = (
+        split_reps.repartition(
+            spark.sparkContext.defaultParallelism, "tree_id", "node_path"
+        )
+        .groupBy("tree_id", "node_path")
+        .applyInPandas(
+            _subtree_builder(forest.max_node_size, cap, forest.seed),
+            _SUBTREE_SCHEMA,
+        )
+        .localCheckpoint(eager=True)
+    )
+    new_nodes = split_out.filter(F.col("kind") == "node").select(
+        "tree_id", F.col("path").alias("node_path"), "coeffs", "constant",
+        "coeff_norm",
+    )
+    if "lvl" in forest.nodes.columns:  # persisted layout materializes it
+        new_nodes = new_nodes.withColumn("lvl", F.length("node_path"))
+    rep_leaves = split_out.filter(F.col("kind") == "leaf").select(
+        "tree_id", F.col("path").alias("leaf_path"), "vec_id"
+    )
+    # duplicates follow their representative into its new leaf
+    dup_map = (
+        with_emb.join(split_keys, ["tree_id", "leaf_path"])
+        .join(
+            reps.select(
+                "tree_id", "leaf_path", "emb", F.col("vec_id").alias("_rep")
+            ),
+            ["tree_id", "leaf_path", "emb"],
+        )
+        .filter(F.col("vec_id") != F.col("_rep"))
+        .select("tree_id", "vec_id", "_rep")
+    )
+    dup_leaves = dup_map.join(
+        rep_leaves.select(
+            "tree_id", "leaf_path", F.col("vec_id").alias("_rep")
+        ),
+        ["tree_id", "_rep"],
+    ).select("tree_id", "leaf_path", "vec_id")
+
+    untouched = forest.leaves.join(
+        split_keys, ["tree_id", "leaf_path"], "left_anti"
+    )
+    leaves = (
+        untouched.unionByName(rep_leaves)
+        .unionByName(dup_leaves)
+        .localCheckpoint(eager=True)
+    )
+    nodes = forest.nodes.unionByName(new_nodes).localCheckpoint(eager=True)
+
+    before, after = forest.leaves.count(), leaves.count()
+    if before != after:
+        raise RuntimeError(
+            f"resplit_overgrown_leaves changed membership: {before} leaf "
+            f"rows before, {after} after — an overgrown member's vec_id "
+            f"is missing from the supplied embeddings table"
+        )
+    stats = (
+        nodes.groupBy("tree_id")
+        .agg(
+            F.count(F.lit(1)).alias("tn"),
+            F.max(F.length("node_path")).alias("td"),
+        )
+        .agg(
+            F.sum("tn").alias("n"),
+            F.max("td").alias("d"),
+            F.max("tn").alias("mt"),
+        )
+        .collect()[0]
+    )
+    return RPForest(
+        nodes=nodes,
+        leaves=leaves,
+        num_trees=forest.num_trees,
+        max_node_size=forest.max_node_size,
+        seed=forest.seed,
+        max_depth=(stats.d if stats.d is not None else -1) + 1,
+        node_count=stats.n or 0,
+        dim=forest.dim,
+        max_tree_nodes=int(stats.mt or 0),
+        path=None,
     )
 
 

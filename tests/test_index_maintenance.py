@@ -1,0 +1,196 @@
+"""Index maintenance: resplit_overgrown_leaves — the repair half of the
+"append now, rebuild periodically" contract of incremental_index_ingest.
+
+The reference's invariant is leaf ≤ max_node_size DEDUPED vectors
+(/root/reference/src/lib.rs:50-62 recursion floor after the
+src/lib.rs:87-88 dedup); ingest through frozen hyperplanes erodes it.
+These tests pin that maintenance restores the invariant without touching
+routing for untouched leaves, preserves membership exactly, keeps the
+forest routable (every member still routes to its own leaf), follows
+build's dedup semantics (dup-only overgrowth is NOT overgrowth), and is
+deterministic/idempotent.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import pyspark.sql.functions as F
+import pytest
+
+from rust_vector_search_spark.operators.index import (
+    build_rp_forest,
+    resplit_overgrown_leaves,
+)
+from rust_vector_search_spark.operators.search import route_queries
+
+from conftest import SF_SMOKE
+
+
+def _ingest_batch(forest, new_vectors):
+    """The batch twin of incremental_index_ingest's foreachBatch body:
+    route through the FROZEN forest, append to leaves."""
+    routed = route_queries(
+        forest,
+        new_vectors.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        route_strategy="join",
+    ).select("tree_id", "leaf_path", F.col("query_id").alias("vec_id"))
+    return replace(forest, leaves=forest.leaves.unionByName(routed))
+
+
+@pytest.fixture(scope="module")
+def overgrown(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 300)
+    forest = build_rp_forest(base, num_trees=3, max_node_size=8, seed=42)
+    aug = _ingest_batch(forest, emb.filter(F.col("vec_id") >= 300))
+    return emb, forest, aug
+
+
+def _leaf_sizes(leaves):
+    return leaves.groupBy("tree_id", "leaf_path").count()
+
+
+def test_resplit_restores_leaf_bound(spark, overgrown):
+    emb, _, aug = overgrown
+    n_over = _leaf_sizes(aug.leaves).filter(F.col("count") > 8).count()
+    assert n_over > 0, "fixture must actually overgrow some leaves"
+
+    fixed = resplit_overgrown_leaves(aug, emb)
+    # invariant restored (smoke embeddings are distinct, so raw == rep)
+    assert _leaf_sizes(fixed.leaves).filter(F.col("count") > 8).count() == 0
+    # membership preserved exactly
+    assert (
+        fixed.leaves.select("tree_id", "vec_id")
+        .exceptAll(aug.leaves.select("tree_id", "vec_id"))
+        .count()
+        == 0
+    )
+    assert fixed.leaves.count() == aug.leaves.count()
+    # new paths only EXTEND old ones: every new leaf is a descendant of
+    # (or equal to) a pre-maintenance leaf of the same tree
+    old = aug.leaves.select(
+        "tree_id", F.col("leaf_path").alias("old_path")
+    ).distinct()
+    orphans = (
+        fixed.leaves.select("tree_id", "leaf_path")
+        .distinct()
+        .join(old, "tree_id")
+        .groupBy("tree_id", "leaf_path")
+        .agg(
+            F.max(
+                F.col("leaf_path").startswith(F.col("old_path"))
+            ).alias("anchored")
+        )
+        .filter(~F.col("anchored"))
+        .count()
+    )
+    assert orphans == 0
+    # stats refreshed, stale persisted layout disowned
+    assert fixed.node_count > aug.node_count
+    assert fixed.path is None
+
+
+def test_resplit_forest_stays_routable(spark, overgrown):
+    """Every indexed vector, routed as a query through the maintained
+    forest, must land exactly in the leaf that contains it — the
+    property that makes the extended trees a real index, not just a
+    relabeling."""
+    emb, _, aug = overgrown
+    fixed = resplit_overgrown_leaves(aug, emb)
+    sample = emb.filter(F.col("vec_id") % 7 == 0)
+    routed = route_queries(
+        fixed,
+        sample.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        route_strategy="join",
+    ).select("tree_id", "leaf_path", F.col("query_id").alias("vec_id"))
+    missing = routed.join(
+        fixed.leaves, ["tree_id", "leaf_path", "vec_id"], "left_anti"
+    ).count()
+    assert missing == 0
+    assert routed.count() == sample.count() * fixed.num_trees
+
+
+def test_resplit_deterministic(spark, overgrown):
+    emb, _, aug = overgrown
+    a = resplit_overgrown_leaves(aug, emb)
+    b = resplit_overgrown_leaves(aug, emb)
+    assert sorted(
+        a.nodes.select("tree_id", "node_path", "constant").collect()
+    ) == sorted(b.nodes.select("tree_id", "node_path", "constant").collect())
+    assert sorted(a.leaves.collect()) == sorted(b.leaves.collect())
+
+
+def test_resplit_idempotent_and_noop(spark, overgrown):
+    emb, forest, aug = overgrown
+    # no overgrown leaves → the SAME forest object back, zero rebuild
+    assert resplit_overgrown_leaves(forest, emb) is forest
+    # maintenance of maintained forest → no further change
+    fixed = resplit_overgrown_leaves(aug, emb)
+    again = resplit_overgrown_leaves(fixed, emb)
+    assert again is fixed
+
+
+def test_resplit_missing_payload_raises(spark, overgrown):
+    emb, _, aug = overgrown
+    with pytest.raises(RuntimeError, match="missing from the supplied"):
+        resplit_overgrown_leaves(aug, emb.filter(F.col("vec_id") != 450))
+
+
+def test_resplit_duplicate_semantics(spark):
+    """Build dedup semantics carried into maintenance: a leaf overgrown
+    only by duplicate embeddings is left alone; in a genuinely
+    splittable leaf the duplicates follow their representative into its
+    new leaf."""
+    dim_a = [1.0, 0.0]
+    rows = (
+        # representative + three duplicates of it
+        [(0, dim_a), (4, dim_a), (5, dim_a), (6, dim_a)]
+        # distinct fillers
+        + [(i, [float(i), float(-i)]) for i in (1, 2, 3, 7, 8, 9, 10)]
+    )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+    # dup-only overgrowth: 2 distinct embeddings, 5 members, max=4
+    small = emb.filter(F.col("vec_id").isin(0, 1))
+    f_small = build_rp_forest(small, num_trees=2, max_node_size=4, seed=7)
+    aug_small = _ingest_batch(
+        f_small, emb.filter(F.col("vec_id").isin(4, 5, 6))
+    )
+    kept = resplit_overgrown_leaves(aug_small, emb)
+    assert sorted(kept.leaves.collect()) == sorted(
+        aug_small.leaves.collect()
+    )
+    assert kept.node_count == aug_small.node_count
+
+    # splittable: 8 distinct embeddings (> max 4), dups ride along
+    f_base = build_rp_forest(
+        emb.filter(F.col("vec_id") < 4), num_trees=2, max_node_size=4, seed=7
+    )
+    aug = _ingest_batch(f_base, emb.filter(F.col("vec_id") >= 4))
+    fixed = resplit_overgrown_leaves(aug, emb)
+    sizes = (
+        fixed.leaves.join(
+            emb.select("vec_id", F.col("embedding").alias("_e")), "vec_id"
+        )
+        .groupBy("tree_id", "leaf_path")
+        .agg(F.count_distinct("_e").alias("n_distinct"))
+    )
+    assert sizes.filter(F.col("n_distinct") > 4).count() == 0
+    # duplicates share their representative's leaf, per tree
+    rep_leaf = fixed.leaves.filter(F.col("vec_id") == 0).select(
+        "tree_id", "leaf_path"
+    )
+    for dup in (4, 5, 6):
+        dup_leaf = fixed.leaves.filter(F.col("vec_id") == dup).select(
+            "tree_id", "leaf_path"
+        )
+        assert sorted(dup_leaf.collect()) == sorted(rep_leaf.collect())

@@ -27,6 +27,10 @@
             re-runs the search leg on the augmented index and compares
             recall against this index's own pre-ingest floor and the
             full-rebuild index.
+  maintain  runs resplit_overgrown_leaves over the ingest leg's
+            augmented index ({index}_base/idx): overgrown-leaf stats
+            before/after, maintenance wall vs the known full-rebuild
+            cost, and post-maintenance search recall.
 
 The index comes from tools/scale_probe.py --workdir DIR (layout:
 DIR/emb deduped corpus, DIR/idx/{nodes,leaves} partitionBy(tree_id)).
@@ -38,6 +42,7 @@ Usage:
   python tools/deep_index_probe.py recall   [--index /tmp/idx250k] [--queries 1000] [--trees 5,10,25,50]
   python tools/deep_index_probe.py ingest   [--index /tmp/idx250k] [--holdout 25000]
   python tools/deep_index_probe.py compact  [--index /tmp/idx250k] [--cleanup]
+  python tools/deep_index_probe.py maintain [--index /tmp/idx250k] [--cleanup]
 Common: --n 250000 --num-trees 50 --leaf 5 --k 10 --no-baseline-append
 """
 
@@ -430,12 +435,96 @@ def cmd_ingest(args) -> None:
         shutil.rmtree(base_dir, ignore_errors=True)
 
 
+def cmd_maintain(args) -> None:
+    """Maintenance-at-scale leg: after the ingest leg has appended the
+    holdout through frozen hyperplanes (leaving {index}_base/idx with
+    overgrown leaves), resplit_overgrown_leaves must restore the leaf
+    bound without a rebuild. Records overgrown-leaf stats before/after,
+    the maintenance wall, and the maintained index's search recall —
+    the number that shows maintenance is cheaper than the known full
+    rebuild (BASELINE: 1226 s at 250k) while keeping quality."""
+    import shutil
+
+    from rust_vector_search_spark.operators.index import (
+        load_index,
+        resplit_overgrown_leaves,
+        save_index,
+    )
+    from rust_vector_search_spark.operators.search import search_rp_forest
+    from rust_vector_search_spark.session import get_spark
+
+    base_dir = args.index.rstrip("/") + "_base"
+    if not os.path.isdir(f"{base_dir}/idx/leaves"):
+        raise SystemExit(
+            f"{base_dir}/idx/leaves absent — run the ingest leg first"
+        )
+    _ensure_index(args.index, args.n, args.num_trees, args.leaf)
+    spark = get_spark(app_name="deep_index_probe_maintain")
+    emb, _ = _load(spark, args.index, args.num_trees, args.leaf)
+    aug = load_index(spark, f"{base_dir}/idx", num_trees=args.num_trees,
+                     max_node_size=args.leaf, seed=42)
+
+    def _over_stats(forest):
+        row = (
+            forest.leaves.groupBy("tree_id", "leaf_path")
+            .count()
+            .filter(F.col("count") > args.leaf)
+            .agg(
+                F.count(F.lit(1)).alias("k"),
+                F.max("count").alias("mx"),
+                F.sum("count").alias("m"),
+            )
+            .collect()[0]
+        )
+        return int(row.k or 0), int(row.mx or 0), int(row.m or 0)
+
+    k0, mx0, m0 = _over_stats(aug)
+    print(f"before: {k0} overgrown leaves (max {mx0}, {m0} members)",
+          flush=True)
+    t0 = time.time()
+    fixed = resplit_overgrown_leaves(aug, emb)
+    t_fix = time.time() - t0
+    k1, mx1, _ = _over_stats(fixed)
+    print(f"RESULT maintain: {t_fix:.1f}s; overgrown {k0} -> {k1} "
+          f"(max size {mx0} -> {mx1}); nodes {aug.node_count} -> "
+          f"{fixed.node_count}", flush=True)
+
+    mdir = f"{base_dir}/idx_m"
+    t0 = time.time()
+    save_index(fixed, mdir)
+    t_save = time.time() - t0
+    maintained = load_index(spark, mdir, num_trees=args.num_trees,
+                            max_node_size=args.leaf, seed=42)
+    q = _queries_of(emb, args.queries)
+    t0 = time.time()
+    approx = (
+        search_rp_forest(maintained, emb, q, k=args.k)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    approx.count()
+    t_search = time.time() - t0
+    recall = _recall_vs_exact(spark, emb, approx, q, args.k)
+    print(f"RESULT search[maintained]: {t_search:.1f}s "
+          f"recall@{args.k}={recall:.3f}", flush=True)
+    _append_history(
+        f"leaf maintenance ({os.path.basename(args.index)}): resplit "
+        f"{k0} overgrown leaves ({m0} members, max {mx0}) in {t_fix:.1f} s "
+        f"(+{t_save:.1f} s re-save) -> {k1} overgrown (max {mx1}); "
+        f"post-maintenance search {t_search:.1f} s / {args.queries} q, "
+        f"recall@{args.k} = {recall:.3f}",
+        not args.no_baseline_append,
+    )
+    if args.cleanup:
+        shutil.rmtree(mdir, ignore_errors=True)
+
+
 def main() -> None:
     import argparse
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
-        "cmd", choices=["search", "allpairs", "recall", "ingest", "compact"]
+        "cmd", choices=["search", "allpairs", "recall", "ingest", "compact", "maintain"]
     )
     p.add_argument("--index", default="/tmp/idx250k")
     p.add_argument("--n", type=int, default=250_000)
