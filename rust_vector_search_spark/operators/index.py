@@ -63,6 +63,8 @@ __all__ = [
     "load_index",
     "subset_forest",
     "resplit_overgrown_leaves",
+    "delete_vectors",
+    "prune_underfull_subtrees",
 ]
 
 
@@ -729,12 +731,18 @@ def resplit_overgrown_leaves(
     untouched = forest.leaves.join(
         split_keys, ["tree_id", "leaf_path"], "left_anti"
     )
+    # leaf rows are SLIM (id + path) — checkpoint the union once for its
+    # several consumers. The node union stays LAZY: the old node table
+    # carries corpus-scale coeffs payload, and materializing it would
+    # turn a touch-the-overgrowth repair into a full-index copy (the new
+    # nodes are already materialized inside split_out; downstream scans
+    # of the old side column-prune to node_path where possible)
     leaves = (
         untouched.unionByName(rep_leaves)
         .unionByName(dup_leaves)
         .localCheckpoint(eager=True)
     )
-    nodes = forest.nodes.unionByName(new_nodes).localCheckpoint(eager=True)
+    nodes = forest.nodes.unionByName(new_nodes)
 
     before, after = forest.leaves.count(), leaves.count()
     if before != after:
@@ -743,6 +751,160 @@ def resplit_overgrown_leaves(
             f"rows before, {after} after — an overgrown member's vec_id "
             f"is missing from the supplied embeddings table"
         )
+    stats = (
+        nodes.groupBy("tree_id")
+        .agg(
+            F.count(F.lit(1)).alias("tn"),
+            F.max(F.length("node_path")).alias("td"),
+        )
+        .agg(
+            F.sum("tn").alias("n"),
+            F.max("td").alias("d"),
+            F.max("tn").alias("mt"),
+        )
+        .collect()[0]
+    )
+    return RPForest(
+        nodes=nodes,
+        leaves=leaves,
+        num_trees=forest.num_trees,
+        max_node_size=forest.max_node_size,
+        seed=forest.seed,
+        max_depth=(stats.d if stats.d is not None else -1) + 1,
+        node_count=stats.n or 0,
+        dim=forest.dim,
+        max_tree_nodes=int(stats.mt or 0),
+        path=None,
+    )
+
+
+def delete_vectors(
+    forest: RPForest, ids: DataFrame, id_col: str = "vec_id"
+) -> RPForest:
+    """Remove vectors from the index — the lifecycle operation the
+    reference cannot express (its index is immutable and dies with the
+    process, ``src/lib.rs:15-19``) but a training pipeline must:
+    takedowns, opt-outs, and retention windows all delete from the
+    corpus, and the index has to follow without a rebuild.
+
+    One anti-join on the leaf table. Hyperplanes are untouched — they
+    were built FROM the old corpus but remain valid split functions for
+    routing, exactly as with ingested vectors the build never saw — so
+    ``path`` is preserved: the persisted-layout route reads only the
+    NODES table from disk, which still matches. Deleted ids can never
+    re-enter results regardless of what corpus table the search is
+    handed: candidates come exclusively from leaf membership.
+
+    Mass deletion leaves subtrees underfull; follow with
+    ``prune_underfull_subtrees`` to reclaim the wasted depth."""
+    leaves = forest.leaves.join(
+        ids.select(F.col(id_col).alias("vec_id")).distinct(),
+        "vec_id",
+        "left_anti",
+    )
+    return RPForest(
+        nodes=forest.nodes,
+        leaves=leaves,
+        num_trees=forest.num_trees,
+        max_node_size=forest.max_node_size,
+        seed=forest.seed,
+        max_depth=forest.max_depth,
+        node_count=forest.node_count,
+        dim=forest.dim,
+        max_tree_nodes=forest.max_tree_nodes,
+        path=forest.path,
+    )
+
+
+def prune_underfull_subtrees(forest: RPForest) -> RPForest:
+    """The symmetric repair to ``resplit_overgrown_leaves``: collapse
+    every subtree whose TOTAL remaining membership fits one leaf
+    (≤ ``max_node_size``) back into a single leaf, dropping its split
+    nodes. After mass deletion (``delete_vectors``) whole subtrees go
+    underfull: queries still descend their full depth — paying node
+    reads level by level — to collect a handful of candidates, and
+    emptied subtrees keep dead hyperplanes in the node table forever.
+
+    Purely relational, no embedding payload:
+      1. subtree sizes = one explode of each leaf row into its proper
+         path prefixes + a map-side-combined count per (tree, prefix) —
+         every proper prefix of a leaf path is an inner node by
+         construction, and the shuffle is bounded by node count;
+      2. a node survives iff its subtree holds > max_node_size members
+         (zero-member subtrees vanish with everything else);
+      3. each leaf re-homes to its SHORTEST collapsible prefix — an
+         ancestor collapses before any descendant, so the result has no
+         nested collapses to iterate.
+
+    Raw membership (duplicates included) is intentionally the measure:
+    raw ≤ max ⟹ distinct ≤ max, so collapsing is always safe, merely
+    conservative for duplicate-heavy subtrees — and it keeps the whole
+    repair payload-free. Routing stays correct: prefixes of surviving
+    leaves are exactly the surviving nodes, and a root-collapsed tree
+    becomes a node-less single-leaf tree, which every route handles.
+    The node table changes, so the result carries ``path=None``
+    (re-``save_index`` to re-enable the persisted-layout route)."""
+    spark = forest.nodes.sparkSession
+    prefixes = F.when(
+        F.length("leaf_path") > 0,
+        F.expr(
+            "transform(sequence(0, length(leaf_path) - 1),"
+            " i -> left(leaf_path, i))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        forest.leaves.select("tree_id", F.explode(prefixes).alias("p"))
+        .groupBy("tree_id", "p")
+        .count()
+        .localCheckpoint(eager=True)
+    )
+    collapsible = counts.filter(F.col("count") <= forest.max_node_size)
+    if collapsible.rdd.isEmpty():
+        # nothing to collapse AND no emptied subtrees: a zero-member
+        # node has no leaf prefixes at all, so it shows up in neither
+        # `counts` nor `collapsible` — detect by node-count mismatch
+        kept_n = counts.count()
+        if kept_n == forest.node_count:
+            return forest
+
+    # LAZY: the node table carries corpus-scale coeffs payload — the
+    # semi-join's build side (checkpointed counts) is slim and re-runs
+    # cheaply per consumer, while materializing the filtered fat table
+    # would cost a full-index copy
+    nodes = forest.nodes.join(
+        counts.filter(F.col("count") > forest.max_node_size).select(
+            "tree_id", F.col("p").alias("node_path")
+        ),
+        ["tree_id", "node_path"],
+        "left_semi",
+    )
+
+    tgt = (
+        forest.leaves.select("tree_id", "leaf_path")
+        .distinct()
+        .select(
+            "tree_id", "leaf_path", F.explode(prefixes).alias("p")
+        )
+        .join(
+            collapsible.select("tree_id", "p"), ["tree_id", "p"]
+        )
+        .groupBy("tree_id", "leaf_path")
+        .agg(
+            F.min(
+                F.struct(F.length("p").alias("l"), F.col("p").alias("p"))
+            ).alias("t")
+        )
+        .select("tree_id", "leaf_path", F.col("t.p").alias("_new"))
+    )
+    leaves = (
+        forest.leaves.join(tgt, ["tree_id", "leaf_path"], "left")
+        .select(
+            "tree_id",
+            F.coalesce("_new", "leaf_path").alias("leaf_path"),
+            "vec_id",
+        )
+        .localCheckpoint(eager=True)
+    )
     stats = (
         nodes.groupBy("tree_id")
         .agg(

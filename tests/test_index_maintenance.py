@@ -20,6 +20,8 @@ import pytest
 
 from rust_vector_search_spark.operators.index import (
     build_rp_forest,
+    delete_vectors,
+    prune_underfull_subtrees,
     resplit_overgrown_leaves,
 )
 from rust_vector_search_spark.operators.search import route_queries
@@ -141,6 +143,89 @@ def test_resplit_missing_payload_raises(spark, overgrown):
     emb, _, aug = overgrown
     with pytest.raises(RuntimeError, match="missing from the supplied"):
         resplit_overgrown_leaves(aug, emb.filter(F.col("vec_id") != 450))
+
+
+def test_delete_vectors(spark, overgrown):
+    emb, forest, _ = overgrown
+    doomed = emb.filter(F.col("vec_id") < 50).select("vec_id")
+    after = delete_vectors(forest, doomed)
+    # gone from every tree's leaves; everything else untouched
+    assert after.leaves.filter(F.col("vec_id") < 50).count() == 0
+    assert (
+        after.leaves.count()
+        == forest.leaves.count() - 50 * forest.num_trees
+    )
+    assert after.nodes is forest.nodes  # hyperplanes untouched
+    assert after.path == forest.path  # persisted nodes still valid
+    # deleted ids can never surface: candidates come from leaves only
+    from rust_vector_search_spark.operators.search import search_rp_forest
+
+    res = search_rp_forest(
+        after,
+        emb,
+        emb.filter(F.col("vec_id").isin(100, 200)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        k=5,
+    )
+    assert res.filter(F.col("vec_id") < 50).count() == 0
+    assert res.count() == 10
+
+
+def test_prune_underfull_subtrees(spark, overgrown):
+    emb, forest, _ = overgrown
+    # fresh build: every inner node was split BECAUSE it held more than
+    # max_node_size members — prune is a no-op, same object back
+    assert prune_underfull_subtrees(forest) is forest
+
+    # mass deletion (80%) leaves subtrees underfull and some empty
+    survivors = emb.filter(F.col("vec_id") < 60)
+    thinned = delete_vectors(
+        forest, emb.filter(F.col("vec_id") >= 60).select("vec_id")
+    )
+    pruned = prune_underfull_subtrees(thinned)
+    assert pruned.node_count < forest.node_count
+    assert pruned.path is None
+    # membership preserved exactly
+    assert pruned.leaves.count() == thinned.leaves.count()
+    assert (
+        pruned.leaves.select("tree_id", "vec_id")
+        .exceptAll(thinned.leaves.select("tree_id", "vec_id"))
+        .count()
+        == 0
+    )
+    # structural invariants: every surviving node's subtree holds more
+    # than max_node_size members, and every proper prefix of every leaf
+    # is a surviving node (the tree is still a tree)
+    sizes = (
+        pruned.leaves.join(
+            pruned.nodes.select("tree_id", "node_path"), "tree_id"
+        )
+        .filter(F.col("leaf_path").startswith(F.col("node_path")))
+        .filter(F.length("leaf_path") > F.length("node_path"))
+        .groupBy("tree_id", "node_path")
+        .count()
+    )
+    assert sizes.filter(F.col("count") <= 8).count() == 0
+    assert sizes.count() == pruned.node_count  # no zero-member nodes
+    # still routable: every survivor routes to its own leaf
+    routed = route_queries(
+        pruned,
+        survivors.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        route_strategy="join",
+    ).select("tree_id", "leaf_path", F.col("query_id").alias("vec_id"))
+    assert (
+        routed.join(
+            pruned.leaves, ["tree_id", "leaf_path", "vec_id"], "left_anti"
+        ).count()
+        == 0
+    )
+    # idempotent: a pruned forest has nothing left to collapse
+    assert prune_underfull_subtrees(pruned) is pruned
 
 
 def test_resplit_duplicate_semantics(spark):
