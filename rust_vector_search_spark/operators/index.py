@@ -684,6 +684,12 @@ def resplit_overgrown_leaves(
         .filter(F.col("count") > forest.max_node_size)
         .select("tree_id", "leaf_path")
     )
+    split_keys = split_keys.localCheckpoint(eager=True)
+    if split_keys.rdd.isEmpty():
+        # every overgrown leaf is overgrown by duplicates alone — by
+        # build semantics nothing needs splitting; hand back the SAME
+        # forest so the persisted-layout route stays usable
+        return forest
     split_reps = reps.join(split_keys, ["tree_id", "leaf_path"]).select(
         "tree_id", F.col("leaf_path").alias("node_path"), "vec_id", "emb"
     )

@@ -251,10 +251,7 @@ def test_resplit_duplicate_semantics(spark):
         f_small, emb.filter(F.col("vec_id").isin(4, 5, 6))
     )
     kept = resplit_overgrown_leaves(aug_small, emb)
-    assert sorted(kept.leaves.collect()) == sorted(
-        aug_small.leaves.collect()
-    )
-    assert kept.node_count == aug_small.node_count
+    assert kept is aug_small  # dup-only overgrowth: untouched, no rebuild
 
     # splittable: 8 distinct embeddings (> max 4), dups ride along
     f_base = build_rp_forest(
