@@ -234,6 +234,7 @@ def cmd_recall(args) -> None:
     from rust_vector_search_spark.operators.index import subset_forest
     from rust_vector_search_spark.operators.knn import knn_exact_fast
     from rust_vector_search_spark.operators.search import (
+        resolve_spill_margin,
         route_queries,
         search_rp_forest,
     )
@@ -250,6 +251,52 @@ def cmd_recall(args) -> None:
         .localCheckpoint(eager=True)
     )
     total = exact.count()
+
+    if args.spills:
+        # multi-probe dial at FULL tree count: the recall dial for the
+        # hard (i.i.d.) regime where more trees saturate — spilling
+        # near-plane descents recovers the neighbors that sit just
+        # across a split. frac is in units of the projection spread
+        # r/√d (resolve_spill_margin's scale; 0.3 = the "auto" point).
+        unit = resolve_spill_margin(q, frac=1.0)
+        for cfg in args.spills.split(","):
+            frac_s, ms_s = cfg.split(":")
+            frac, ms = float(frac_s), int(ms_s)
+            t0 = time.time()
+            approx = (
+                search_rp_forest(
+                    forest, emb, q, k=args.k,
+                    spill_margin=frac * unit, max_spills=ms,
+                )
+                .select("query_id", "vec_id")
+                .localCheckpoint(eager=True)
+            )
+            approx.count()
+            wall = time.time() - t0
+            hits = exact.join(
+                approx, ["query_id", "vec_id"], "left_semi"
+            ).count()
+            routed = route_queries(
+                forest, q, spill_margin=frac * unit, max_spills=ms,
+                n_queries=args.queries,
+            )
+            cand = (
+                routed.join(forest.leaves, ["tree_id", "leaf_path"])
+                .select("query_id", "vec_id")
+                .distinct()
+                .count()
+            )
+            line = (
+                f"spill sweep ({os.path.basename(args.index)}, "
+                f"{forest.num_trees} trees): frac={frac} max_spills={ms} "
+                f"recall@{args.k}={hits / max(total, 1):.3f} "
+                f"cand_frac={cand / (args.queries * n_corpus):.4f} "
+                f"wall={wall:.1f}s/{args.queries}q"
+            )
+            print(f"RESULT {line}", flush=True)
+            _append_history(line, not args.no_baseline_append)
+        return
+
     for t_str in args.trees.split(","):
         T = int(t_str)
         sub = subset_forest(forest, T)
@@ -534,6 +581,13 @@ def main() -> None:
     p.add_argument("--queries", type=int, default=100)
     p.add_argument("--sample", type=int, default=1000)
     p.add_argument("--trees", default="5,10,25,50")
+    p.add_argument(
+        "--spills", default=None,
+        help="recall leg only: comma list of frac:max_spills multi-probe "
+        "configs (frac in r/sqrt(d) units; 0.3:2 = the auto point); "
+        "sweeps the spill dial at full tree count instead of the "
+        "trees dial",
+    )
     p.add_argument("--holdout", type=int, default=25_000)
     p.add_argument("--spill-margin", default="auto")
     p.add_argument("--engine", default="leaflocal",
