@@ -31,6 +31,10 @@
             augmented index ({index}_base/idx): overgrown-leaf stats
             before/after, maintenance wall vs the known full-rebuild
             cost, and post-maintenance search recall.
+  shrink    the takedown/retention lifecycle: delete_vectors removes a
+            seeded 80% of members, prune_underfull_subtrees collapses
+            the underfull subtrees, and the search leg runs over the
+            survivors (prune wall, node shrink, post-prune recall).
 
 The index comes from tools/scale_probe.py --workdir DIR (layout:
 DIR/emb deduped corpus, DIR/idx/{nodes,leaves} partitionBy(tree_id)).
@@ -566,12 +570,103 @@ def cmd_maintain(args) -> None:
         shutil.rmtree(mdir, ignore_errors=True)
 
 
+def cmd_shrink(args) -> None:
+    """Deletion-at-scale leg: delete_vectors removes a seeded 80% of
+    the corpus from the index, prune_underfull_subtrees collapses the
+    subtrees that left underfull, and the search leg runs over the
+    survivors — the takedown/retention lifecycle measured at the probe
+    point. Records the prune wall, node-table shrink, and post-prune
+    recall (vs exact kNN over the surviving corpus)."""
+    from rust_vector_search_spark.operators.index import (
+        delete_vectors,
+        prune_underfull_subtrees,
+    )
+    from rust_vector_search_spark.operators.search import search_rp_forest
+    from rust_vector_search_spark.session import get_spark
+
+    _ensure_index(args.index, args.n, args.num_trees, args.leaf)
+    spark = get_spark(app_name="deep_index_probe_shrink")
+    emb, forest = _load(spark, args.index, args.num_trees, args.leaf)
+
+    # seeded survivor set: every 5th vec_id stays (deterministic, and
+    # uniform across leaves so underfull subtrees appear everywhere)
+    doomed = emb.filter(F.col("vec_id") % 5 != 0).select("vec_id")
+    survivors = emb.filter(F.col("vec_id") % 5 == 0).localCheckpoint(
+        eager=True
+    )
+    t0 = time.time()
+    thinned = delete_vectors(forest, doomed)
+    pruned = prune_underfull_subtrees(thinned)
+    t_prune = time.time() - t0
+    print(
+        f"RESULT shrink: {t_prune:.1f}s; nodes {forest.node_count} -> "
+        f"{pruned.node_count}, max_depth {forest.max_depth} -> "
+        f"{pruned.max_depth}", flush=True,
+    )
+
+    # persist the pruned index (same discipline as the maintain leg) so
+    # the search runs the layout route and the disk shrink is recorded
+    import shutil
+
+    from rust_vector_search_spark.operators.index import (
+        load_index,
+        save_index,
+    )
+
+    pdir = args.index.rstrip("/") + "_pruned"
+    t0 = time.time()
+    save_index(pruned, f"{pdir}/idx")
+    t_save = time.time() - t0
+    reloaded = load_index(spark, f"{pdir}/idx", num_trees=args.num_trees,
+                          max_node_size=args.leaf, seed=42)
+
+    def _du(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d) for f in fs
+        )
+
+    gb0 = _du(f"{args.index}/idx/nodes") / 1e9
+    gb1 = _du(f"{pdir}/idx/nodes") / 1e9
+
+    q = survivors.filter(F.col("vec_id") < 5 * args.queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    t0 = time.time()
+    approx = (
+        search_rp_forest(reloaded, survivors, q, k=args.k)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    approx.count()
+    t_search = time.time() - t0
+    recall = _recall_vs_exact(spark, survivors, approx, q, args.k)
+    print(f"RESULT search[pruned]: {t_search:.1f}s "
+          f"recall@{args.k}={recall:.3f}", flush=True)
+    _append_history(
+        f"delete+prune ({os.path.basename(args.index)}): removed 80% of "
+        f"members, pruned in {t_prune:.1f} s (+{t_save:.1f} s re-save), "
+        f"nodes {forest.node_count} -> {pruned.node_count} (depth "
+        f"{forest.max_depth} -> {pruned.max_depth}, node table "
+        f"{gb0:.2f} -> {gb1:.2f} GB); post-prune search {t_search:.1f} s "
+        f"/ {args.queries} q over survivors, recall@{args.k} = "
+        f"{recall:.3f}",
+        not args.no_baseline_append,
+    )
+    if args.cleanup:
+        shutil.rmtree(pdir, ignore_errors=True)
+
+
 def main() -> None:
     import argparse
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
-        "cmd", choices=["search", "allpairs", "recall", "ingest", "compact", "maintain"]
+        "cmd", choices=[
+            "search", "allpairs", "recall", "ingest", "compact",
+            "maintain", "shrink",
+        ]
     )
     p.add_argument("--index", default="/tmp/idx250k")
     p.add_argument("--n", type=int, default=250_000)
