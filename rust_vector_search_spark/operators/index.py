@@ -97,6 +97,35 @@ class RPForest:
     path: "str | None" = None
 
 
+def _forest_stats(nodes: DataFrame) -> "tuple[int, int, int]":
+    """(node_count, max_depth, max_tree_nodes) in ONE scan with two agg
+    levels: the per-tree partial keeps map-side combine (≤ num_trees
+    rows cross the exchange) and the max single-tree size feeds the
+    tree-local route's task-memory gate (ADVICE r8). max_depth counts
+    LEVELS (deepest inner-node path length + 1); an empty node table is
+    depth 0. Shared by every RPForest constructor site so the stats
+    semantics cannot drift (they did once: load_index's inline copy
+    gave an empty table depth 1)."""
+    stats = (
+        nodes.groupBy("tree_id")
+        .agg(
+            F.count(F.lit(1)).alias("tn"),
+            F.max(F.length("node_path")).alias("td"),
+        )
+        .agg(
+            F.sum("tn").alias("n"),
+            F.max("td").alias("d"),
+            F.max("tn").alias("mt"),
+        )
+        .collect()[0]
+    )
+    return (
+        int(stats.n or 0),
+        (stats.d if stats.d is not None else -1) + 1,
+        int(stats.mt or 0),
+    )
+
+
 def _subtree_builder(max_node_size: int, max_depth: int, seed: int):
     """Phase-2 kernel: build one subtree locally. Returns an
     applyInPandas function emitting kind='node'/'leaf' rows."""
@@ -391,29 +420,17 @@ def build_rp_forest(
     # one scan, two agg levels: the per-tree partial keeps map-side
     # combine (≤ num_trees rows shuffle) and yields the max single-tree
     # size the tree-local route's task-memory gate needs (ADVICE r8)
-    stats = (
-        nodes.groupBy("tree_id")
-        .agg(
-            F.count(F.lit(1)).alias("tn"),
-            F.max(F.length("node_path")).alias("td"),
-        )
-        .agg(
-            F.sum("tn").alias("n"),
-            F.max("td").alias("d"),
-            F.max("tn").alias("mt"),
-        )
-        .collect()[0]
-    )
+    node_count, max_depth, max_tree_nodes = _forest_stats(nodes)
     return RPForest(
         nodes=nodes,
         leaves=leaves,
         num_trees=num_trees,
         max_node_size=max_node_size,
         seed=seed,
-        max_depth=(stats.d if stats.d is not None else -1) + 1,
-        node_count=stats.n or 0,
+        max_depth=max_depth,
+        node_count=node_count,
         dim=dim,
-        max_tree_nodes=int(stats.mt or 0),
+        max_tree_nodes=max_tree_nodes,
     )
 
 
@@ -568,29 +585,17 @@ def subset_forest(forest: RPForest, num_trees: int) -> RPForest:
         return forest
     nodes = forest.nodes.filter(F.col("tree_id") < num_trees)
     leaves = forest.leaves.filter(F.col("tree_id") < num_trees)
-    stats = (
-        nodes.groupBy("tree_id")
-        .agg(
-            F.count(F.lit(1)).alias("tn"),
-            F.max(F.length("node_path")).alias("td"),
-        )
-        .agg(
-            F.sum("tn").alias("n"),
-            F.max("td").alias("d"),
-            F.max("tn").alias("mt"),
-        )
-        .collect()[0]
-    )
+    node_count, max_depth, max_tree_nodes = _forest_stats(nodes)
     return RPForest(
         nodes=nodes,
         leaves=leaves,
         num_trees=num_trees,
         max_node_size=forest.max_node_size,
         seed=forest.seed,
-        max_depth=(stats.d if stats.d is not None else -1) + 1,
-        node_count=stats.n or 0,
+        max_depth=max_depth,
+        node_count=node_count,
         dim=forest.dim,
-        max_tree_nodes=int(stats.mt or 0),
+        max_tree_nodes=max_tree_nodes,
         path=forest.path,
     )
 
@@ -750,36 +755,33 @@ def resplit_overgrown_leaves(
     )
     nodes = forest.nodes.unionByName(new_nodes)
 
-    before, after = forest.leaves.count(), leaves.count()
-    if before != after:
+    # MULTISET membership check, not a row count: offsetting errors (a
+    # duplicated payload row masking a missing member) must not pass.
+    # exceptAll keeps duplicate multiplicity; both directions run on the
+    # slim (tree_id, vec_id) projection of the two leaf tables.
+    old_m = forest.leaves.select("tree_id", "vec_id")
+    new_m = leaves.select("tree_id", "vec_id")
+    lost = old_m.exceptAll(new_m).count()
+    gained = new_m.exceptAll(old_m).count()
+    if lost or gained:
         raise RuntimeError(
-            f"resplit_overgrown_leaves changed membership: {before} leaf "
-            f"rows before, {after} after — an overgrown member's vec_id "
-            f"is missing from the supplied embeddings table"
+            f"resplit_overgrown_leaves changed membership: {lost} leaf "
+            f"rows lost, {gained} gained — a lost row means an overgrown "
+            f"member's vec_id is missing from the supplied embeddings "
+            f"table; a gained row means the embeddings table holds "
+            f"duplicate rows for one vec_id"
         )
-    stats = (
-        nodes.groupBy("tree_id")
-        .agg(
-            F.count(F.lit(1)).alias("tn"),
-            F.max(F.length("node_path")).alias("td"),
-        )
-        .agg(
-            F.sum("tn").alias("n"),
-            F.max("td").alias("d"),
-            F.max("tn").alias("mt"),
-        )
-        .collect()[0]
-    )
+    node_count, max_depth, max_tree_nodes = _forest_stats(nodes)
     return RPForest(
         nodes=nodes,
         leaves=leaves,
         num_trees=forest.num_trees,
         max_node_size=forest.max_node_size,
         seed=forest.seed,
-        max_depth=(stats.d if stats.d is not None else -1) + 1,
-        node_count=stats.n or 0,
+        max_depth=max_depth,
+        node_count=node_count,
         dim=forest.dim,
-        max_tree_nodes=int(stats.mt or 0),
+        max_tree_nodes=max_tree_nodes,
         path=None,
     )
 
@@ -850,7 +852,6 @@ def prune_underfull_subtrees(forest: RPForest) -> RPForest:
     becomes a node-less single-leaf tree, which every route handles.
     The node table changes, so the result carries ``path=None``
     (re-``save_index`` to re-enable the persisted-layout route)."""
-    spark = forest.nodes.sparkSession
     prefixes = F.when(
         F.length("leaf_path") > 0,
         F.expr(
@@ -911,29 +912,17 @@ def prune_underfull_subtrees(forest: RPForest) -> RPForest:
         )
         .localCheckpoint(eager=True)
     )
-    stats = (
-        nodes.groupBy("tree_id")
-        .agg(
-            F.count(F.lit(1)).alias("tn"),
-            F.max(F.length("node_path")).alias("td"),
-        )
-        .agg(
-            F.sum("tn").alias("n"),
-            F.max("td").alias("d"),
-            F.max("tn").alias("mt"),
-        )
-        .collect()[0]
-    )
+    node_count, max_depth, max_tree_nodes = _forest_stats(nodes)
     return RPForest(
         nodes=nodes,
         leaves=leaves,
         num_trees=forest.num_trees,
         max_node_size=forest.max_node_size,
         seed=forest.seed,
-        max_depth=(stats.d if stats.d is not None else -1) + 1,
-        node_count=stats.n or 0,
+        max_depth=max_depth,
+        node_count=node_count,
         dim=forest.dim,
-        max_tree_nodes=int(stats.mt or 0),
+        max_tree_nodes=max_tree_nodes,
         path=None,
     )
 
@@ -975,6 +964,9 @@ def load_index(
     spark: SparkSession, path: str, num_trees: int, max_node_size: int, seed: int
 ) -> RPForest:
     nodes = spark.read.parquet(f"{path}/nodes")
+    # same stats semantics as _forest_stats, FUSED with the dim probe so
+    # load pays one scan, not two (dim reads size(coeffs), which the
+    # stats-only scan column-prunes away)
     stats = (
         nodes.groupBy("tree_id")
         .agg(
@@ -996,7 +988,7 @@ def load_index(
         num_trees=num_trees,
         max_node_size=max_node_size,
         seed=seed,
-        max_depth=(stats.d or 0) + 1,
+        max_depth=(stats.d if stats.d is not None else -1) + 1,
         node_count=stats.n or 0,
         dim=int(stats.dim or 0),
         max_tree_nodes=int(stats.mt or 0),

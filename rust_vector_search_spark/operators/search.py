@@ -189,10 +189,65 @@ def _materialize_and_release(routed: DataFrame, bc) -> DataFrame:
     try:
         bc.destroy(blocking=False)
     except TypeError:  # older signature without the kwarg
-        bc.destroy()
+        try:
+            bc.destroy()
+        except Exception:
+            pass  # best-effort: the triples are already checkpointed
     except Exception:
         pass  # Connect-style sessions: broadcast lifetime is managed remotely
     return routed
+
+
+def _per_node_bytes(forest: RPForest) -> int:
+    """Estimated bytes per node row — dominated by the coeffs array, so
+    size from the ACTUAL dimensionality (a 300-d node is ~2.5 KB, 4× a
+    64-d one; a hardcoded guess would push near-GB node tables through
+    broadcast). Shared by every routing gate so the estimates agree."""
+    return (forest.dim or 64) * 8 + 120
+
+
+def node_table_broadcastable(forest: RPForest) -> bool:
+    """True when ``route_queries``' auto strategy takes the
+    broadcast-map fast path (node table under SPARK_GRAFT_BC_NODES_MB).
+    Callers that supply a lazy ``n_queries`` thunk can consult this to
+    stay count-free on shallow indexes — the broadcast path evaluates
+    the thunk for partition right-sizing, which fires a count job per
+    call (ADVICE r8 follow-up: incremental ingest was paying one extra
+    job per micro-batch on exactly the path that never needed it)."""
+    import os as _os
+
+    gate = int(_os.environ.get("SPARK_GRAFT_BC_NODES_MB", "256")) * 1024 * 1024
+    return (
+        forest.node_count == 0
+        or forest.node_count * _per_node_bytes(forest) < gate
+    )
+
+
+def _self_rep_mapping(forest, corpus, id_col: str, vec_col: str):
+    """Self-search duplicate handling, shared by ``search_rp_forest_self``
+    and ``all_pairs_rp_forest``: the build dedups identical embeddings
+    (``src/lib.rs:64-92``), so corpus rows EXCLUDED from the index must
+    inherit their representative's results. Returns ``(n_corpus,
+    mapping)`` where mapping is the full (query_id → rep_id) table, or
+    ``None`` when every corpus row is already an index member and no
+    expansion is needed (including corpora with internal duplicates
+    whose twins were all indexed, e.g. raw-ingested leaves).
+
+    The membership test is two SLIM counts — corpus rows vs leaf rows
+    per tree (every indexed vector lands exactly once per tree) — so
+    dup-free corpora, the common case, never pay the corpus-wide
+    groupBy(embedding) exchange that building the mapping costs.
+    Assumes ``corpus`` is the table the index was built on / ingested
+    from (the self-search contract)."""
+    n_corpus = corpus.count()
+    n_indexed = forest.leaves.count() // max(forest.num_trees, 1)
+    if n_corpus == n_indexed:
+        return n_corpus, None
+    reps = corpus.groupBy(vec_col).agg(F.min(id_col).alias("rep_id"))
+    mapping = corpus.join(reps, vec_col).select(
+        F.col(id_col).alias("query_id"), "rep_id"
+    )
+    return n_corpus, mapping
 
 
 def _route_tree_local(
@@ -380,10 +435,33 @@ def _route_tree_local(
         import os as _os
 
         par = spark.sparkContext.defaultParallelism
-        max_branches = int(
-            _os.environ.get("SPARK_GRAFT_ROUTE_BRANCHES", "0")
-        ) or max(2 * par, 1)
-        n_branches = min(forest.num_trees, max_branches)
+        raw_branches = _os.environ.get("SPARK_GRAFT_ROUTE_BRANCHES", "0")
+        try:
+            max_branches = int(raw_branches)
+        except ValueError:
+            raise ValueError(
+                "SPARK_GRAFT_ROUTE_BRANCHES must be an integer, got "
+                f"{raw_branches!r}"
+            )
+        if max_branches <= 0:
+            max_branches = max(2 * par, 1)
+        # MEMORY FLOOR on branch count: _route_parts concatenates a
+        # branch's whole chunk of trees into one pandas frame, so the
+        # per-TREE task gate that admitted this route must also bound
+        # trees-per-chunk — a 400-tree forest chunked to 2×parallelism
+        # would otherwise hold dozens of trees resident in one task.
+        task_gate = (
+            int(_os.environ.get("SPARK_GRAFT_TREE_TASK_MB", "2048"))
+            * 1024 * 1024
+        )
+        biggest_tree = forest.max_tree_nodes or (
+            forest.node_count // max(forest.num_trees, 1)
+        )
+        max_chunk = max(
+            1, task_gate // max(biggest_tree * _per_node_bytes(forest), 1)
+        )
+        needed = -(-forest.num_trees // max_chunk)  # ceil
+        n_branches = min(forest.num_trees, max(max_branches, needed))
         tree_chunks = [
             tuple(range(forest.num_trees))[b::n_branches]
             for b in range(n_branches)
@@ -482,16 +560,14 @@ def route_queries(
     # per-node payload is dominated by the coeffs array — size it from the
     # ACTUAL dimensionality (a 300-d node is ~2.5 KB, 4× a 64-d one; a
     # hardcoded guess would push near-GB node tables through broadcast)
-    per_node = (forest.dim or 64) * 8 + 120  # coeffs + path/constant/overhead
-    est_bytes = forest.node_count * per_node
+    per_node = _per_node_bytes(forest)
     # default gate 256 MB; deployments with fat executors can raise it
     # (SPARK_GRAFT_BC_NODES_MB) — e.g. a 1M-node/300-d index is ~2.5 GB,
     # still far cheaper to ship once than to re-shuffle per level when
     # the query batch is small
     import os as _os
 
-    gate = int(_os.environ.get("SPARK_GRAFT_BC_NODES_MB", "256")) * 1024 * 1024
-    use_broadcast = forest.node_count == 0 or est_bytes < gate
+    use_broadcast = node_table_broadcastable(forest)
     use_local = (
         route_strategy == "broadcast"
         or (route_strategy == "auto" and use_broadcast)
@@ -1200,12 +1276,9 @@ def search_rp_forest_self(
         spill_margin = resolve_spill_margin(queries)
     margin = float(spill_margin)
 
-    # representative mapping (the build's dedup survivor: min id per
-    # identical embedding) — identity for dup-free corpora
-    reps = corpus.groupBy(vec_col).agg(F.min(id_col).alias("rep_id"))
-    n_corpus = corpus.count()
-    n_reps = reps.count()
-    has_dups = n_reps != n_corpus
+    # representative mapping (the build's dedup survivor) — None for
+    # corpora whose every row is an index member (slim count test)
+    n_corpus, dup_map = _self_rep_mapping(forest, corpus, id_col, vec_col)
 
     # 1. main-path routing = the leaves table itself
     rep_routed = forest.leaves.select(
@@ -1214,7 +1287,7 @@ def search_rp_forest_self(
 
     import os as _os
 
-    per_node = (forest.dim or 64) * 8 + 120
+    per_node = _per_node_bytes(forest)
     gate = int(_os.environ.get("SPARK_GRAFT_BC_NODES_MB", "256")) * 1024 * 1024
     hint = (
         F.broadcast
@@ -1232,7 +1305,9 @@ def search_rp_forest_self(
     )
     if use_numpy_spills:
         rep_emb = corpus.join(
-            reps.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
+            forest.leaves.select(F.col("vec_id").alias(id_col)),
+            id_col,
+            "left_semi",
         ).select(F.col(id_col).alias("rep_id"), F.col(vec_col).alias("emb"))
         # each rep's 50 main paths ride as two parallel arrays — the
         # embedding crosses the Arrow exchange once, not once per tree
@@ -1255,7 +1330,9 @@ def search_rp_forest_self(
         )
     elif margin > 0.0:
         rep_emb = corpus.join(
-            reps.select(F.col("rep_id").alias(id_col)), id_col, "left_semi"
+            forest.leaves.select(F.col("vec_id").alias(id_col)),
+            id_col,
+            "left_semi",
         ).select(F.col(id_col).alias("rep_id"), F.col(vec_col).alias("emb"))
 
         # 2. spill seeds: each (vector, ancestor-node) pair where the
@@ -1336,11 +1413,8 @@ def search_rp_forest_self(
     for df in routed_parts[1:]:
         rep_all = rep_all.unionByName(df)
 
-    if has_dups:
-        mapping = corpus.join(reps, vec_col).select(
-            F.col(id_col).alias("query_id"), "rep_id"
-        )
-        routed = mapping.join(rep_all, "rep_id").select(
+    if dup_map is not None:
+        routed = dup_map.join(rep_all, "rep_id").select(
             "query_id", "tree_id", "leaf_path"
         )
     else:
@@ -1556,11 +1630,9 @@ def all_pairs_rp_forest(
     emb = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
 
     # duplicate handling (identical embeddings dedup'd at build,
-    # src/lib.rs:64-92): cheap count check, identity for dup-free corpora
-    reps = corpus.groupBy(vec_col).agg(F.min(id_col).alias("rep_id"))
-    n_corpus = corpus.count()
-    n_reps = reps.count()
-    has_dups = n_reps != n_corpus
+    # src/lib.rs:64-92): slim membership-count test; the wide
+    # groupBy(embedding) mapping is built only when rows were excluded
+    n_corpus, dup_map = _self_rep_mapping(forest, corpus, id_col, vec_col)
 
     if broadcast_corpus == "auto":
         import os as _os
@@ -1610,28 +1682,23 @@ def all_pairs_rp_forest(
         F.min("dist").alias("dist")
     )
 
-    if has_dups:
+    if dup_map is not None:
         # expand representative-level pairs to every duplicate row:
         # dup queries inherit their rep's candidate list plus the
         # zero-distance edge to the rep itself (the rep is a leaf
         # member; the dup is not — matching the generic path's view)
-        mapping = corpus.select(
-            F.col(id_col).alias("row_id"), F.col(vec_col).alias("_v")
-        ).join(
-            reps.select(F.col(vec_col).alias("_v"), "rep_id"), "_v"
-        ).select("row_id", "rep_id")
+        dups_only = dup_map.filter(
+            F.col("query_id") != F.col("rep_id")
+        ).select(F.col("query_id").alias("row_id"), "rep_id")
         inherited = (
-            mapping.filter(F.col("row_id") != F.col("rep_id"))
-            .join(
+            dups_only.join(
                 deduped.withColumnRenamed("query_id", "rep_id"), "rep_id"
             )
             .select(
                 F.col("row_id").alias("query_id"), "vec_id", "dist"
             )
         )
-        self_edges = mapping.filter(
-            F.col("row_id") != F.col("rep_id")
-        ).select(
+        self_edges = dups_only.select(
             F.col("row_id").alias("query_id"),
             F.col("rep_id").alias("vec_id"),
             F.lit(0.0).alias("dist"),

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.index import RPForest
-from ..operators.search import route_queries
+from ..operators.search import node_table_broadcastable, route_queries
 
 __all__ = [
     "streaming_windowed_counts",
@@ -165,23 +165,27 @@ def incremental_index_ingest(
     driver-window parity row uses to stay inside a default driver
     heap late in a 50-query session."""
 
+    # the frozen forest's stats never change, so decide ONCE whether the
+    # index is deep (node table past the broadcast gate): only then does
+    # a lazy batch count help — it lets bounded micro-batches take the
+    # tree-local route instead of the per-level join-chain. On a shallow
+    # index the broadcast fast path would evaluate the thunk merely for
+    # partition right-sizing, costing one count job per micro-batch the
+    # r8 design was explicitly free of — so pass no count there.
+    deep_index = not node_table_broadcastable(forest)
+
     def _route_and_append(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         as_queries = batch.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
         )
-        # hand route_queries a lazy batch count so a DEEP frozen index
-        # (node table past the broadcast gate) can take the tree-local
-        # route for bounded micro-batches instead of the per-level
-        # join-chain — the count only fires when the node-size gates
-        # already accepted that route (r9)
         routed = route_queries(
             forest,
             as_queries,
             route_strategy=route_strategy,
             n_queries=(lambda: as_queries.count())
-            if route_strategy == "auto"
+            if (route_strategy == "auto" and deep_index)
             else None,
         ).select(
             "tree_id",

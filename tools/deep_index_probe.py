@@ -417,10 +417,21 @@ def cmd_ingest(args) -> None:
     from rust_vector_search_spark.streaming import incremental_index_ingest
 
     _ensure_index(args.index, args.n, args.num_trees, args.leaf)
+    base_dir = args.index.rstrip("/") + "_base"
+    # the leg MUTATES {base}/idx/leaves in place, and the file-stream
+    # checkpoint tracks source files by PATH — a re-run rewrites the
+    # holdout under fresh part-file names, the stream sees them as new,
+    # and the same 25k rows append AGAIN, silently corrupting every
+    # later leg's input. Refuse instead of double-ingesting.
+    if os.path.isdir(f"{base_dir}/ingest_ckpt"):
+        raise SystemExit(
+            f"{base_dir} already holds an ingested index (checkpoint "
+            f"present) — re-running would append the holdout a second "
+            f"time. Delete {base_dir} to redo the ingest leg, or run "
+            f"the maintain leg against the existing state."
+        )
     spark = get_spark(app_name="deep_index_probe_ingest")
     emb, full_forest = _load(spark, args.index, args.num_trees, args.leaf)
-
-    base_dir = args.index.rstrip("/") + "_base"
     # 1. build the pre-ingest index over corpus minus holdout (the
     #    "yesterday's index" in the incremental story)
     rest = emb.filter(F.col("vec_id") >= args.holdout)
