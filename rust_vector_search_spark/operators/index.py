@@ -757,10 +757,16 @@ def resplit_overgrown_leaves(
 
     # MULTISET membership check, not a row count: offsetting errors (a
     # duplicated payload row masking a missing member) must not pass.
-    # exceptAll keeps duplicate multiplicity; both directions run on the
-    # slim (tree_id, vec_id) projection of the two leaf tables.
-    old_m = forest.leaves.select("tree_id", "vec_id")
-    new_m = leaves.select("tree_id", "vec_id")
+    # exceptAll keeps duplicate multiplicity — and both sides are
+    # restricted to the SPLIT leaves' members (untouched rows are a
+    # row-identical subset of forest.leaves by construction), so the
+    # check is bounded by the overgrowth, not two full-index shuffles.
+    old_m = members.join(split_keys, ["tree_id", "leaf_path"]).select(
+        "tree_id", "vec_id"
+    )
+    new_m = rep_leaves.select("tree_id", "vec_id").unionByName(
+        dup_leaves.select("tree_id", "vec_id")
+    )
     lost = old_m.exceptAll(new_m).count()
     gained = new_m.exceptAll(old_m).count()
     if lost or gained:

@@ -233,19 +233,33 @@ def _self_rep_mapping(forest, corpus, id_col: str, vec_col: str):
     expansion is needed (including corpora with internal duplicates
     whose twins were all indexed, e.g. raw-ingested leaves).
 
-    The membership test is two SLIM counts — corpus rows vs leaf rows
-    per tree (every indexed vector lands exactly once per tree) — so
-    dup-free corpora, the common case, never pay the corpus-wide
-    groupBy(embedding) exchange that building the mapping costs.
-    Assumes ``corpus`` is the table the index was built on / ingested
-    from (the self-search contract)."""
+    The membership test is two SLIM counts — corpus rows vs DISTINCT
+    leaf member ids (distinct, not rows-per-tree, so a leaf table whose
+    one-row-per-(tree, member) invariant was broken — e.g. a
+    double-appended ingest — cannot offset against excluded corpus rows
+    and mis-report full membership) — so dup-free corpora, the common
+    case, never pay the corpus-wide groupBy(embedding) exchange that
+    building the mapping costs. Assumes ``corpus`` is the table the
+    index was built on / ingested from (the self-search contract), i.e.
+    member ids ⊆ corpus ids.
+
+    The mapping covers only corpus rows NOT in the index: a row whose
+    embedding duplicates a member but which IS itself a leaf member
+    gets its results natively from leaf co-membership — expanding it
+    too would hand it a self-match at distance 0 and duplicate rows."""
     n_corpus = corpus.count()
-    n_indexed = forest.leaves.count() // max(forest.num_trees, 1)
-    if n_corpus == n_indexed:
+    n_members = forest.leaves.select("vec_id").distinct().count()
+    if n_corpus == n_members:
         return n_corpus, None
     reps = corpus.groupBy(vec_col).agg(F.min(id_col).alias("rep_id"))
-    mapping = corpus.join(reps, vec_col).select(
-        F.col(id_col).alias("query_id"), "rep_id"
+    mapping = (
+        corpus.join(reps, vec_col)
+        .select(F.col(id_col).alias("query_id"), "rep_id")
+        .join(
+            forest.leaves.select(F.col("vec_id").alias("query_id")),
+            "query_id",
+            "left_anti",
+        )
     )
     return n_corpus, mapping
 
@@ -282,6 +296,19 @@ def _route_tree_local(
     import pandas as pd
 
     spark = queries.sparkSession
+    # validate config BEFORE collecting/broadcasting the query matrix:
+    # raising after sc.broadcast would leak the payload this function's
+    # own _materialize_and_release discipline exists to release
+    import os as _os
+
+    raw_branches = _os.environ.get("SPARK_GRAFT_ROUTE_BRANCHES", "0")
+    try:
+        max_branches_env = int(raw_branches)
+    except ValueError:
+        raise ValueError(
+            "SPARK_GRAFT_ROUTE_BRANCHES must be an integer, got "
+            f"{raw_branches!r}"
+        )
     qpdf = queries.select("query_id", "query_vec").toPandas()
     qids_g = qpdf["query_id"].to_numpy(np.int64)
     Q_g = np.array(
@@ -432,19 +459,10 @@ def _route_tree_local(
             StructType,
         )
 
-        import os as _os
-
         par = spark.sparkContext.defaultParallelism
-        raw_branches = _os.environ.get("SPARK_GRAFT_ROUTE_BRANCHES", "0")
-        try:
-            max_branches = int(raw_branches)
-        except ValueError:
-            raise ValueError(
-                "SPARK_GRAFT_ROUTE_BRANCHES must be an integer, got "
-                f"{raw_branches!r}"
-            )
-        if max_branches <= 0:
-            max_branches = max(2 * par, 1)
+        max_branches = (
+            max_branches_env if max_branches_env > 0 else max(2 * par, 1)
+        )
         # MEMORY FLOOR on branch count: _route_parts concatenates a
         # branch's whole chunk of trees into one pandas frame, so the
         # per-TREE task gate that admitted this route must also bound
@@ -946,7 +964,7 @@ def _finish_search(
         gate = (
             int(_os.environ.get("SPARK_GRAFT_BC_QUERIES_MB", "256")) * 1024 * 1024
         )
-        per_vec = (forest.dim or 64) * 8 + 120
+        per_vec = _per_node_bytes(forest)  # per-ROW: dim-sized array + overhead
         # memoized thunk when the caller already counted (the all-pairs
         # path's dup detection, search_rp_forest's shared thunk) — the
         # blas gate must not launch a second count job (VERDICT r7 #6)
@@ -963,7 +981,7 @@ def _finish_search(
         q_gate = (
             int(_os.environ.get("SPARK_GRAFT_BC_QUERIES_MB", "256")) * 1024 * 1024
         )
-        per_query = (forest.dim or 64) * 8 + 120
+        per_query = _per_node_bytes(forest)  # per-ROW: dim-sized array + overhead
         # ~bytes = count × (dim doubles + row overhead); memoized — free
         # if the routing coalesce already counted
         broadcast_queries = n_queries() * per_query < q_gate
@@ -1285,14 +1303,8 @@ def search_rp_forest_self(
         "tree_id", "leaf_path", F.col("vec_id").alias("rep_id")
     )
 
-    import os as _os
-
-    per_node = _per_node_bytes(forest)
-    gate = int(_os.environ.get("SPARK_GRAFT_BC_NODES_MB", "256")) * 1024 * 1024
     hint = (
-        F.broadcast
-        if forest.node_count * per_node < gate
-        else (lambda df: df)
+        F.broadcast if node_table_broadcastable(forest) else (lambda df: df)
     )
     nodes = forest.nodes
 
@@ -1301,7 +1313,7 @@ def search_rp_forest_self(
         engine == "numpy"
         and margin > 0.0
         and forest.node_count > 0
-        and forest.node_count * per_node < gate
+        and node_table_broadcastable(forest)
     )
     if use_numpy_spills:
         rep_emb = corpus.join(
@@ -1413,13 +1425,16 @@ def search_rp_forest_self(
     for df in routed_parts[1:]:
         rep_all = rep_all.unionByName(df)
 
+    # members route natively; dup_map (index-EXCLUDED rows only) rides
+    # its representative's triples on top
+    routed = rep_all.select(
+        F.col("rep_id").alias("query_id"), "tree_id", "leaf_path"
+    )
     if dup_map is not None:
-        routed = dup_map.join(rep_all, "rep_id").select(
-            "query_id", "tree_id", "leaf_path"
-        )
-    else:
-        routed = rep_all.select(
-            F.col("rep_id").alias("query_id"), "tree_id", "leaf_path"
+        routed = routed.unionByName(
+            dup_map.join(rep_all, "rep_id").select(
+                "query_id", "tree_id", "leaf_path"
+            )
         )
 
     return _finish_search(
@@ -1641,7 +1656,7 @@ def all_pairs_rp_forest(
             int(_os.environ.get("SPARK_GRAFT_BC_QUERIES_MB", "256"))
             * 1024 * 1024
         )
-        per_vec = (forest.dim or 64) * 8 + 120
+        per_vec = _per_node_bytes(forest)  # per-ROW: dim-sized array + overhead
         broadcast_corpus = n_corpus * per_vec < gate
     e_hint = F.broadcast if broadcast_corpus else (lambda df: df)
 
@@ -1685,8 +1700,11 @@ def all_pairs_rp_forest(
     if dup_map is not None:
         # expand representative-level pairs to every duplicate row:
         # dup queries inherit their rep's candidate list plus the
-        # zero-distance edge to the rep itself (the rep is a leaf
-        # member; the dup is not — matching the generic path's view)
+        # zero-distance edge to the rep itself. dup_map already holds
+        # ONLY index-excluded rows (a member twin gets its pairs
+        # natively from leaf co-membership — expanding it too would
+        # hand it a dist-0 self-match and duplicated top-k rows); the
+        # rep is always a member (build dedup keeps the min id)
         dups_only = dup_map.filter(
             F.col("query_id") != F.col("rep_id")
         ).select(F.col("query_id").alias("row_id"), "rep_id")

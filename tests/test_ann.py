@@ -417,3 +417,37 @@ def test_all_pairs_leaflocal_duplicate_rows_inherit_rep_pairs(spark):
     # every duplicate row ranks its representative first at distance 0
     rep_first = {(100 + i, i, 1) for i in range(6)}
     assert rep_first <= got
+
+
+def test_all_pairs_leaflocal_member_twins_no_self_match(spark):
+    """Duplicate embeddings that are BOTH index members (dedup=False
+    build — the shape a raw ingest produces): each twin must get its
+    pairs natively from leaf co-membership, never a dist-0 SELF match
+    or duplicated (query, vec) rows from the representative-expansion
+    path (which is only for index-EXCLUDED rows)."""
+    import pandas as pd
+
+    from rust_vector_search_spark.operators.search import all_pairs_rp_forest
+
+    base = [[float(i), float(i % 3), 1.0, 0.0] for i in range(40)]
+    rows = [(i, base[i]) for i in range(40)]
+    rows += [(100 + i, base[i]) for i in range(6)]  # member twins
+    dup = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]})
+    )
+    forest = build_rp_forest(
+        dup, num_trees=4, max_node_size=6, seed=9, dedup=False
+    )
+    ap = all_pairs_rp_forest(forest, dup, k=4).localCheckpoint(eager=True)
+    # no self matches
+    assert ap.filter(F.col("query_id") == F.col("vec_id")).count() == 0
+    # no duplicated (query, vec) pairs
+    n_rows = ap.count()
+    n_pairs = ap.select("query_id", "vec_id").distinct().count()
+    assert n_rows == n_pairs
+    # every query present, each twin ranks its twin first at distance 0
+    assert ap.select("query_id").distinct().count() == 46
+    got = {(r.query_id, r.vec_id, r.rnk) for r in ap.collect()}
+    twin_first = {(100 + i, i, 1) for i in range(6)}
+    assert twin_first <= got
