@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Per-round deep-index regression + scale probes over the persisted
-250k × 300-d RP-forest (VERDICT r8 #1/#2/#3/#6). One tool, four legs:
+250k × 300-d RP-forest (VERDICT r8 #1/#2/#3/#6). One tool, seven legs:
 
   search    the regression leg: N queries (default 100), k = 10, via the
             zero-shuffle persisted-layout route; recall vs exact BLAS
