@@ -47,6 +47,7 @@ Usage:
   python tools/deep_index_probe.py ingest   [--index /tmp/idx250k] [--holdout 25000]
   python tools/deep_index_probe.py compact  [--index /tmp/idx250k] [--cleanup]
   python tools/deep_index_probe.py maintain [--index /tmp/idx250k] [--cleanup]
+  python tools/deep_index_probe.py shrink   [--index /tmp/idx250k] [--cleanup]
 Common: --n 250000 --num-trees 50 --leaf 5 --k 10 --no-baseline-append
 """
 
