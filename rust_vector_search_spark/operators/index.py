@@ -343,7 +343,7 @@ def build_rp_forest(
         # termination probe runs on the checkpointed level — a narrow
         # filter scan, not a shuffle recompute
         if depth % checkpoint_interval == checkpoint_interval - 1:
-            if opened.rdd.isEmpty():
+            if opened.isEmpty():
                 break
 
     # depth cap reached: force-close whatever is still open
@@ -690,7 +690,7 @@ def resplit_overgrown_leaves(
         .select("tree_id", "leaf_path")
     )
     split_keys = split_keys.localCheckpoint(eager=True)
-    if split_keys.rdd.isEmpty():
+    if split_keys.isEmpty():
         # every overgrown leaf is overgrown by duplicates alone — by
         # build semantics nothing needs splitting; hand back the SAME
         # forest so the persisted-layout route stays usable
@@ -714,6 +714,16 @@ def resplit_overgrown_leaves(
     new_nodes = split_out.filter(F.col("kind") == "node").select(
         "tree_id", F.col("path").alias("node_path"), "coeffs", "constant",
         "coeff_norm",
+    )
+    # match the EXISTING nodes' coeffs element type (a compact-loaded
+    # forest stores array<float>): without the cast the union widens
+    # via Spark's set-op type promotion, silently un-compacting the
+    # forest relative to its on-disk layout and mixing rounded and
+    # unrounded normals in one tree (ADVICE r9). No-op on the default
+    # double format; constant/coeff_norm stay double either way, the
+    # compact save_index convention.
+    new_nodes = new_nodes.withColumn(
+        "coeffs", F.col("coeffs").cast(forest.nodes.schema["coeffs"].dataType)
     )
     if "lvl" in forest.nodes.columns:  # persisted layout materializes it
         new_nodes = new_nodes.withColumn("lvl", F.length("node_path"))
@@ -872,7 +882,7 @@ def prune_underfull_subtrees(forest: RPForest) -> RPForest:
         .localCheckpoint(eager=True)
     )
     collapsible = counts.filter(F.col("count") <= forest.max_node_size)
-    if collapsible.rdd.isEmpty():
+    if collapsible.isEmpty():
         # nothing to collapse AND no emptied subtrees: a zero-member
         # node has no leaf prefixes at all, so it shows up in neither
         # `counts` nor `collapsible` — detect by node-count mismatch

@@ -246,10 +246,28 @@ def _self_rep_mapping(forest, corpus, id_col: str, vec_col: str):
     The mapping covers only corpus rows NOT in the index: a row whose
     embedding duplicates a member but which IS itself a leaf member
     gets its results natively from leaf co-membership — expanding it
-    too would hand it a self-match at distance 0 and duplicate rows."""
+    too would hand it a self-match at distance 0 and duplicate rows.
+
+    The contract (member ids ⊆ corpus ids) is CHECKED on the
+    equal-count path, not assumed: offsetting violations — a member
+    missing from the corpus masked by one extra corpus row — would
+    otherwise pass the count test silently and produce wrong
+    self-search results. The check is a slim id-only anti-join probed
+    with isEmpty (a limit-1 job), so the common dup-free case stays
+    cheap (ADVICE r9)."""
     n_corpus = corpus.count()
     n_members = forest.leaves.select("vec_id").distinct().count()
     if n_corpus == n_members:
+        strays = forest.leaves.select("vec_id").distinct().join(
+            corpus.select(F.col(id_col).alias("vec_id")), "vec_id", "left_anti"
+        )
+        if not strays.isEmpty():
+            raise ValueError(
+                "self-search contract violated: the index holds member "
+                "ids absent from the supplied corpus (counts matched "
+                "only by offset). Pass the table the index was built "
+                "on / ingested from."
+            )
         return n_corpus, None
     reps = corpus.groupBy(vec_col).agg(F.min(id_col).alias("rep_id"))
     mapping = (
@@ -304,10 +322,12 @@ def _route_tree_local(
     raw_branches = _os.environ.get("SPARK_GRAFT_ROUTE_BRANCHES", "0")
     try:
         max_branches_env = int(raw_branches)
+        if max_branches_env < 0:
+            raise ValueError
     except ValueError:
         raise ValueError(
-            "SPARK_GRAFT_ROUTE_BRANCHES must be an integer, got "
-            f"{raw_branches!r}"
+            "SPARK_GRAFT_ROUTE_BRANCHES must be a non-negative integer "
+            f"(0 = auto: 2× cluster parallelism), got {raw_branches!r}"
         )
     qpdf = queries.select("query_id", "query_vec").toPandas()
     qids_g = qpdf["query_id"].to_numpy(np.int64)
@@ -468,6 +488,10 @@ def _route_tree_local(
         # per-TREE task gate that admitted this route must also bound
         # trees-per-chunk — a 400-tree forest chunked to 2×parallelism
         # would otherwise hold dozens of trees resident in one task.
+        # NB: SPARK_GRAFT_ROUTE_BRANCHES is therefore a floor-adjusted
+        # HINT, not an exact count — `needed` below can raise an
+        # explicitly-set value when honoring it would concentrate more
+        # tree bytes per task than SPARK_GRAFT_TREE_TASK_MB allows.
         task_gate = (
             int(_os.environ.get("SPARK_GRAFT_TREE_TASK_MB", "2048"))
             * 1024 * 1024
@@ -1225,6 +1249,166 @@ def _route_self_spills_local(
     )
 
 
+def _self_spill_routes(
+    forest: RPForest,
+    corpus: DataFrame,
+    margin: float,
+    id_col: str,
+    vec_col: str,
+    engine: str = "catalyst",
+) -> DataFrame:
+    """The multi-probe SPILL visits of a corpus self-search, shared by
+    ``search_rp_forest_self`` and ``all_pairs_rp_forest``: one row
+    (rep_id, tree_id, leaf_path) per extra leaf an index MEMBER probes
+    beyond its main path, under ``max_spills=1`` semantics (a spill
+    branch cannot re-spill). Main-path visits never pass through here —
+    they are ``forest.leaves`` itself, which callers union directly.
+
+    Spill seeds come from each member's OWN root-to-leaf ancestor chain
+    (no corpus-wide re-descent): at every ancestor where the member
+    sits within ``margin`` geometric distance of the split plane
+    (|n·x + c|/‖n‖ < margin), the sibling child is seeded and descended
+    to its leaf.
+
+    ``engine="numpy"`` runs the level-walk einsum + spilled-frontier
+    descent (``_route_self_spills_local``) when the node table fits the
+    broadcast gate — the fast path; past the gate, or with
+    ``engine="catalyst"``, the spill detection is a slim equi-join
+    against the node table and the descent a linear O(depth) join
+    chain, all in whole-stage codegen. The Catalyst engine's dot is the
+    sequential fold — the bit-exact twin of the DuckDB oracle's
+    ``list_reduce`` — so oracle-replayed spill queries must use it.
+
+    The Catalyst chain carries NO explicit broadcast hint: a forced
+    whole-node-table broadcast hash relation OOM'd the 1 GB vanilla
+    rehearsal heap at fixture scale (the per-level fixture-search chain
+    only ever broadcasts one level's slice), while Catalyst/AQE already
+    picks broadcast from real file stats when a side genuinely fits —
+    and past the gate the shuffle join is the honest shape anyway."""
+    nodes = forest.nodes
+    rep_emb = corpus.join(
+        forest.leaves.select(F.col("vec_id").alias(id_col)),
+        id_col,
+        "left_semi",
+    ).select(F.col(id_col).alias("rep_id"), F.col(vec_col).alias("emb"))
+
+    use_numpy = (
+        engine == "numpy"
+        and forest.node_count > 0
+        and node_table_broadcastable(forest)
+    )
+    if use_numpy:
+        # each rep's main paths ride as two parallel arrays — the
+        # embedding crosses the Arrow exchange once, not once per tree.
+        # ONE collect_list of structs, split after: two independent
+        # collect_lists would not guarantee positional correspondence
+        leafsets = (
+            forest.leaves.groupBy(F.col("vec_id").alias("rep_id"))
+            .agg(F.collect_list(F.struct("tree_id", "leaf_path")).alias("tl"))
+            .select(
+                "rep_id",
+                F.col("tl.tree_id").alias("tree_ids"),
+                F.col("tl.leaf_path").alias("leaf_paths"),
+            )
+        )
+        rep_leafsets = rep_emb.join(leafsets, "rep_id").select(
+            "rep_id", "emb", "tree_ids", "leaf_paths"
+        )
+        return _route_self_spills_local(forest, rep_leafsets, margin, 1)
+
+    # spill seeds: each (vector, ancestor-node) pair where the vector
+    # sits within the margin of the split plane. The ancestor chain
+    # comes from the vector's OWN leaf path (struct of prefix + the bit
+    # the main path took), so no descent is needed to find it.
+    anc = forest.leaves.filter(F.length("leaf_path") > 0).select(
+        "tree_id",
+        F.col("vec_id").alias("rep_id"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(leaf_path) - 1), i -> "
+                "named_struct('p', substring(leaf_path, 1, i), "
+                "'b', substring(leaf_path, i + 1, 1)))"
+            )
+        ).alias("a"),
+    ).select(
+        "tree_id",
+        "rep_id",
+        F.col("a.p").alias("node_path"),
+        F.col("a.b").alias("taken"),
+    )
+    from ..functions.vector import dot as _dot
+
+    seeds = (
+        anc.join(nodes, ["tree_id", "node_path"])
+        .join(rep_emb, "rep_id")
+        .withColumn(
+            "_pd",
+            F.abs((_dot("coeffs", "emb") + F.col("constant")) / F.col("coeff_norm")),
+        )
+        .filter(F.col("_pd") < margin)
+        .select(
+            "tree_id",
+            F.concat(
+                F.col("node_path"),
+                F.when(F.col("taken") == "1", F.lit("0")).otherwise(F.lit("1")),
+            ).alias("node_path"),
+            "rep_id",
+            "emb",
+        )
+    )
+
+    # descend the spilled branches only, ONE level per materialized
+    # step: rows whose path misses the node table are at leaves and
+    # leave the frontier; the rest extend their path by one side bit.
+    # Each level is localCheckpoint'ed — the leaf/descend split and the
+    # next join both read the materialized block, so the logical plan
+    # stays ONE join deep per consumer instead of an O(depth) chain
+    # (the un-checkpointed done-flag chain OOM'd the 1 GB vanilla
+    # rehearsal heap in Catalyst's own tree transforms — the same
+    # plan-explosion class route_queries' "join" strategy checkpoints
+    # against), and the frontier SHRINKS as spills reach their leaves.
+    active = seeds.localCheckpoint(eager=True)
+    out_parts: "list[DataFrame]" = []
+    for _ in range(forest.max_depth + 1):
+        stepped = (
+            active.join(nodes, ["tree_id", "node_path"], "left")
+            .select(
+                "tree_id",
+                "rep_id",
+                "emb",
+                F.col("constant").isNull().alias("_leaf"),
+                F.when(F.col("constant").isNull(), F.col("node_path"))
+                .otherwise(
+                    F.concat(
+                        F.col("node_path"),
+                        F.when(
+                            point_is_above(
+                                F.col("coeffs"), F.col("constant"), F.col("emb")
+                            ),
+                            F.lit("1"),
+                        ).otherwise(F.lit("0")),
+                    )
+                )
+                .alias("node_path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out_parts.append(
+            stepped.filter(F.col("_leaf")).select(
+                "rep_id", "tree_id", F.col("node_path").alias("leaf_path")
+            )
+        )
+        active = stepped.filter(~F.col("_leaf")).select(
+            "tree_id", "node_path", "rep_id", "emb"
+        )
+        if active.isEmpty():
+            break
+    out = out_parts[0]
+    for df in out_parts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
 def search_rp_forest_self(
     forest: RPForest,
     corpus: DataFrame,
@@ -1303,127 +1487,14 @@ def search_rp_forest_self(
         "tree_id", "leaf_path", F.col("vec_id").alias("rep_id")
     )
 
-    hint = (
-        F.broadcast if node_table_broadcastable(forest) else (lambda df: df)
-    )
-    nodes = forest.nodes
-
-    routed_parts = [rep_routed]
-    use_numpy_spills = (
-        engine == "numpy"
-        and margin > 0.0
-        and forest.node_count > 0
-        and node_table_broadcastable(forest)
-    )
-    if use_numpy_spills:
-        rep_emb = corpus.join(
-            forest.leaves.select(F.col("vec_id").alias(id_col)),
-            id_col,
-            "left_semi",
-        ).select(F.col(id_col).alias("rep_id"), F.col(vec_col).alias("emb"))
-        # each rep's 50 main paths ride as two parallel arrays — the
-        # embedding crosses the Arrow exchange once, not once per tree
-        # ONE collect_list of structs, split after: two independent
-        # collect_lists would not guarantee positional correspondence
-        leafsets = (
-            forest.leaves.groupBy(F.col("vec_id").alias("rep_id"))
-            .agg(F.collect_list(F.struct("tree_id", "leaf_path")).alias("tl"))
-            .select(
-                "rep_id",
-                F.col("tl.tree_id").alias("tree_ids"),
-                F.col("tl.leaf_path").alias("leaf_paths"),
-            )
+    rep_all = rep_routed
+    if margin > 0.0:
+        spills = _self_spill_routes(
+            forest, corpus, margin, id_col, vec_col, engine
         )
-        rep_leafsets = rep_emb.join(leafsets, "rep_id").select(
-            "rep_id", "emb", "tree_ids", "leaf_paths"
+        rep_all = rep_all.unionByName(
+            spills.select("tree_id", "leaf_path", "rep_id")
         )
-        routed_parts.append(
-            _route_self_spills_local(forest, rep_leafsets, margin, 1)
-        )
-    elif margin > 0.0:
-        rep_emb = corpus.join(
-            forest.leaves.select(F.col("vec_id").alias(id_col)),
-            id_col,
-            "left_semi",
-        ).select(F.col(id_col).alias("rep_id"), F.col(vec_col).alias("emb"))
-
-        # 2. spill seeds: each (vector, ancestor-node) pair where the
-        # vector sits within the margin of the split plane. The ancestor
-        # chain comes from the vector's OWN leaf path (struct of prefix +
-        # the bit the main path took), so no descent is needed to find it.
-        anc = forest.leaves.filter(F.length("leaf_path") > 0).select(
-            "tree_id",
-            F.col("vec_id").alias("rep_id"),
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, length(leaf_path) - 1), i -> "
-                    "named_struct('p', substring(leaf_path, 1, i), "
-                    "'b', substring(leaf_path, i + 1, 1)))"
-                )
-            ).alias("a"),
-        ).select(
-            "tree_id",
-            "rep_id",
-            F.col("a.p").alias("node_path"),
-            F.col("a.b").alias("taken"),
-        )
-        from ..functions.vector import dot as _dot
-
-        seeds = (
-            anc.join(hint(nodes), ["tree_id", "node_path"])
-            .join(rep_emb, "rep_id")
-            .withColumn(
-                "_pd",
-                F.abs((_dot("coeffs", "emb") + F.col("constant")) / F.col("coeff_norm")),
-            )
-            .filter(F.col("_pd") < margin)
-            .select(
-                "tree_id",
-                F.concat(
-                    F.col("node_path"),
-                    F.when(F.col("taken") == "1", F.lit("0")).otherwise(F.lit("1")),
-                ).alias("node_path"),
-                "rep_id",
-                "emb",
-            )
-        )
-
-        # 3. descend the spilled branches only: one LINEAR chain with a
-        # done flag (a row that reaches a leaf passes through later
-        # levels unchanged via the left-join miss), so the physical plan
-        # is O(depth) joins with no union fan-out.
-        active = seeds.withColumn("done", F.lit(False))
-        for _ in range(forest.max_depth + 1):
-            stepped = active.join(hint(nodes), ["tree_id", "node_path"], "left")
-            at_leaf = F.col("done") | F.col("constant").isNull()
-            active = stepped.select(
-                "tree_id",
-                F.when(at_leaf, F.col("node_path"))
-                .otherwise(
-                    F.concat(
-                        F.col("node_path"),
-                        F.when(
-                            point_is_above(
-                                F.col("coeffs"), F.col("constant"), F.col("emb")
-                            ),
-                            F.lit("1"),
-                        ).otherwise(F.lit("0")),
-                    )
-                )
-                .alias("node_path"),
-                "rep_id",
-                "emb",
-                at_leaf.alias("done"),
-            )
-        routed_parts.append(
-            active.select(
-                "tree_id", F.col("node_path").alias("leaf_path"), "rep_id"
-            )
-        )
-
-    rep_all = routed_parts[0]
-    for df in routed_parts[1:]:
-        rep_all = rep_all.unionByName(df)
 
     # members route natively; dup_map (index-EXCLUDED rows only) rides
     # its representative's triples on top
@@ -1601,6 +1672,9 @@ def all_pairs_rp_forest(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_corpus: "bool | str" = "auto",
+    spill_margin: "float | str" = 0.0,
+    engine: str = "auto",
+    overgrowth_warn_factor: float = 4.0,
 ) -> DataFrame:
     """All-pairs approximate kNN — the reference's flagship quality pass
     (``src/main.rs:100-123``: every corpus vector queries the index) in
@@ -1628,21 +1702,79 @@ def all_pairs_rp_forest(
          cross-tree dedup by min, then the global top-k window.
 
     Semantics ≡ ``search_rp_forest(forest, corpus, corpus-as-queries,
-    k, backfill=False, spill_margin=0.0, exclude_self=True)`` — no
-    multi-probe, no sibling backfill (each query already reaches
-    num_trees leaves; at the reference's 50 trees that is up to
+    k, backfill=False, spill_margin=spill_margin, max_spills=1,
+    exclude_self=True)`` — no sibling backfill (each query already
+    reaches num_trees leaves; at the reference's 50 trees that is up to
     50·(max_node_size−1) candidates before dedup). Duplicate-vector
     corpora: the build's exact dedup leaves only representatives in the
     index, so duplicate rows inherit their representative's pairs plus
     the zero-distance edge to it — identical to what the generic path
     reports for them.
 
+    ``spill_margin`` is the RECALL DIAL (VERDICT r9 #1): 0.0 (default)
+    is pure single-probe — each query visits exactly its num_trees main
+    leaves; on clustered corpora that already reads ~0.96 recall@10,
+    but in the structureless floor regime single-probe recall collapses
+    (measured 0.014 at 250k i.i.d. — BASELINE spill table). A margin
+    > 0 adds each member's multi-probe spill leaves
+    (``_self_spill_routes``: every ancestor plane within
+    |n·x + c|/‖n‖ < margin seeds the sibling branch, max_spills=1)
+    as extra VISITOR rows in the same leaf-local groups: the visitor
+    gains the spilled leaf's members as candidates, pair math stays
+    inside bounded groups, and the spill rows only add
+    (spilled fraction × corpus) slim visits to the one co-locating
+    exchange — recall becomes purchasable without leaving the
+    linear-shuffle shape. ``"auto"`` resolves the corpus-derived
+    default margin (``resolve_spill_margin``). ``engine``: "auto"
+    routes spills with the numpy level-walk under the node-broadcast
+    gate, else the Catalyst join chain; "catalyst" forces the
+    sequential-fold chain (the bit-exact twin of a DuckDB oracle
+    replay).
+
     ``broadcast_corpus``: "auto" broadcasts the slim (vec_id, emb)
     corpus into the leaves join while it fits SPARK_GRAFT_BC_QUERIES_MB
     (one exchange instead of two); past the gate both sides shuffle —
     the honest billion-scale cost.
+
+    PRECONDITION — the leaf-size invariant: per-leaf pair cost is
+    QUADRATIC in leaf size, so the bounded-group claim above holds only
+    while every leaf is ≤ max_node_size (true for a fresh build; heavy
+    ingest without maintenance overgrows hot leaves — a leaf of m
+    members contributes m² pair rows). The guard computes the max leaf
+    size from a slim map-side-combined count scan and warns past
+    ``overgrowth_warn_factor`` × max_node_size, suggesting
+    ``resplit_overgrown_leaves`` (set the factor ≤ 0 to skip the probe
+    job entirely, e.g. right after a fresh build).
     """
+    import warnings
+
+    if overgrowth_warn_factor and overgrowth_warn_factor > 0:
+        max_leaf = (
+            forest.leaves.groupBy("tree_id", "leaf_path")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("m"))
+            .collect()[0].m
+        )
+        if max_leaf and max_leaf > overgrowth_warn_factor * forest.max_node_size:
+            warnings.warn(
+                f"all_pairs_rp_forest: largest leaf holds {max_leaf} "
+                f"members — more than {overgrowth_warn_factor}× "
+                f"max_node_size ({forest.max_node_size}). Per-leaf pair "
+                "cost is quadratic in leaf size; run "
+                "resplit_overgrown_leaves first to restore the bounded-"
+                "group invariant.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     emb = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    if spill_margin == "auto":
+        spill_margin = resolve_spill_margin(
+            corpus.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("query_vec"),
+            )
+        )
+    margin = float(spill_margin)
 
     # duplicate handling (identical embeddings dedup'd at build,
     # src/lib.rs:64-92): slim membership-count test; the wide
@@ -1663,21 +1795,51 @@ def all_pairs_rp_forest(
     members = forest.leaves.join(e_hint(emb), "vec_id").select(
         "tree_id", "leaf_path", "vec_id", "v"
     )
-    grouped = members.groupBy("tree_id", "leaf_path").agg(
-        F.collect_list(
-            F.struct(F.col("vec_id").alias("i"), F.col("v").alias("e"))
-        ).alias("ms")
+    if margin > 0.0:
+        # RECALL DIAL: spill visits ride into the SAME leaf-local groups
+        # as query-only VISITOR rows (m=false). A visitor gains the
+        # spilled leaf's members as candidates — the directed relation
+        # of the generic search (visiting a leaf never makes the visitor
+        # a candidate of that leaf's members) — so pair generation below
+        # filters candidates to m=true rows.
+        eng = engine
+        if eng == "auto":
+            eng = (
+                "numpy" if node_table_broadcastable(forest) else "catalyst"
+            )
+        visitors = (
+            _self_spill_routes(forest, corpus, margin, id_col, vec_col, eng)
+            .withColumnRenamed("rep_id", "vec_id")
+            .join(e_hint(emb), "vec_id")
+            .select("tree_id", "leaf_path", "vec_id", "v")
+        )
+        rows = members.withColumn("m", F.lit(True)).unionByName(
+            visitors.withColumn("m", F.lit(False))
+        )
+        member_pred = lambda a, b: b["m"] & (b["i"] != a["i"])  # noqa: E731
+        struct_cols = lambda: F.struct(  # noqa: E731
+            F.col("vec_id").alias("i"), F.col("v").alias("e"),
+            F.col("m").alias("m"),
+        )
+    else:
+        rows = members
+        member_pred = lambda a, b: b["i"] != a["i"]  # noqa: E731
+        struct_cols = lambda: F.struct(  # noqa: E731
+            F.col("vec_id").alias("i"), F.col("v").alias("e")
+        )
+    grouped = rows.groupBy("tree_id", "leaf_path").agg(
+        F.collect_list(struct_cols()).alias("ms")
     )
-    # nested HOF pair generation: for each member a, distance to every
-    # co-member b ≠ a. The symmetric distance is computed once per
-    # ORDERED pair (2× the unordered work) — still far cheaper than one
-    # exchange of wide pairs, and it keeps every row self-contained for
-    # the slim explode.
+    # nested HOF pair generation: for each querying row a (member or
+    # spill visitor), distance to every co-located MEMBER b ≠ a. The
+    # symmetric distance is computed once per ORDERED pair (2× the
+    # unordered work) — still far cheaper than one exchange of wide
+    # pairs, and it keeps every row self-contained for the slim explode.
     pair_structs = F.flatten(
         F.transform(
             F.col("ms"),
             lambda a: F.transform(
-                F.filter(F.col("ms"), lambda b: b["i"] != a["i"]),
+                F.filter(F.col("ms"), lambda b: member_pred(a, b)),
                 lambda b: F.struct(
                     a["i"].alias("q"),
                     b["i"].alias("c"),

@@ -173,6 +173,16 @@ _DEMOTED_STABLE = [
     # crossJoin exact form stays value-checked locally every round and
     # remains quarantined as an oracle baseline, never a scale path
     "all_pairs_top3_sets",
+    # r10: the single-probe leaf-local all-pairs hands its slot to
+    # ann_all_pairs_spill_leaflocal — the SAME operator with the recall
+    # dial engaged (VERDICT r9 #1). Containment: the spill variant's
+    # oracle is a strict superset — its pair set UNIONs the identical
+    # lvs self-join main-path pairs with the spilled visits, through
+    # the same fold distance, dup expansion, and top-k tail, so a wrong
+    # main-path pair changes the new row's hash too. The margin=0 code
+    # branch (two-field structs, no member flag) stays value-checked
+    # locally every round
+    "ann_all_pairs_leaflocal",
     # text→training-units family: doc_sequence_packing (zero-waste
     # concat-and-chunk layout) holds the window slot; the overlapping
     # RAG-chunker twin registers demoted from birth

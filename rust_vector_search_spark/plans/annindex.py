@@ -463,6 +463,104 @@ def ann_all_pairs_leaflocal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_all_pairs_spill_leaflocal",
+    oracle=f"""
+WITH RECURSIVE
+nodes AS (SELECT CAST(tree_id AS INTEGER) AS tree_id, node_path, coeffs, constant, coeff_norm
+          FROM read_parquet('{_FIXTURE_DIR}/nodes/*/*.parquet', hive_partitioning=1)),
+lvs AS (SELECT CAST(tree_id AS INTEGER) AS tree_id, leaf_path, vec_id
+        FROM read_parquet('{_FIXTURE_DIR}/leaves/*/*.parquet', hive_partitioning=1)),
+reps AS (SELECT embedding AS emb, min(vec_id) AS rep_id
+         FROM embeddings GROUP BY embedding),
+mapping AS (SELECT e.vec_id AS row_id, r.rep_id
+            FROM embeddings e JOIN reps r ON e.embedding = r.emb),
+anc AS (
+  SELECT l.tree_id, l.vec_id, u.s AS s
+  FROM lvs l
+  CROSS JOIN UNNEST(list_transform(range(0, length(l.leaf_path)),
+       i -> {{'pfx': l.leaf_path[1:i], 'bit': substr(l.leaf_path, i + 1, 1)}})) AS u(s)),
+seeds AS (
+  SELECT a.tree_id, a.vec_id,
+         a.s.pfx || (CASE WHEN a.s.bit = '1' THEN '0' ELSE '1' END) AS path
+  FROM anc a
+  JOIN nodes n ON n.tree_id = a.tree_id AND n.node_path = a.s.pfx
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE abs({dd_dot('n.coeffs', 'e.embedding')} + n.constant) / n.coeff_norm
+        < {_FIXTURE_MARGIN}),
+walk(vec_id, tree_id, path) AS (
+  SELECT vec_id, tree_id, path FROM seeds
+  UNION ALL
+  SELECT w.vec_id, w.tree_id,
+         w.path || (CASE WHEN s.v >= 0 THEN '1' ELSE '0' END)
+  FROM walk w
+  JOIN nodes n ON n.tree_id = w.tree_id AND n.node_path = w.path
+  JOIN embeddings e ON e.vec_id = w.vec_id
+  CROSS JOIN LATERAL (SELECT {dd_dot('n.coeffs', 'e.embedding')} + n.constant AS v) s),
+spl AS (
+  SELECT w.vec_id AS qid, w.tree_id, w.path AS lp FROM walk w
+  WHERE NOT EXISTS (SELECT 1 FROM nodes n
+                    WHERE n.tree_id = w.tree_id AND n.node_path = w.path)),
+pr AS (
+  SELECT DISTINCT qid, cid FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS cid
+    FROM lvs a
+    JOIN lvs b ON a.tree_id = b.tree_id AND a.leaf_path = b.leaf_path
+    WHERE a.vec_id <> b.vec_id
+    UNION ALL
+    SELECT s.qid, l.vec_id AS cid
+    FROM spl s JOIN lvs l ON l.tree_id = s.tree_id AND l.leaf_path = s.lp
+    WHERE l.vec_id <> s.qid) u),
+scored AS (SELECT p.qid, p.cid,
+                  {dd_sq_euc('ea.embedding', 'eb.embedding')} AS dist
+           FROM pr p
+           JOIN embeddings ea ON ea.vec_id = p.qid
+           JOIN embeddings eb ON eb.vec_id = p.cid),
+expanded AS (
+  SELECT m.row_id AS query_id, s.cid AS vec_id, s.dist
+  FROM mapping m JOIN scored s ON s.qid = m.rep_id
+  UNION ALL
+  SELECT m.row_id, m.rep_id, 0.0 FROM mapping m WHERE m.row_id <> m.rep_id)
+SELECT query_id, vec_id, dist, rnk FROM (
+  SELECT query_id, vec_id, dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY dist, vec_id) AS BIGINT) AS rnk
+  FROM expanded) t
+WHERE rnk <= {K}
+""",
+)
+def ann_all_pairs_spill_leaflocal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leaf-local all-pairs WITH the multi-probe recall dial
+    engaged (VERDICT r9 #1), fully oracle-checked: on top of the leaf
+    co-member pairs, every index member whose ancestor split plane lies
+    within ``spill_margin`` geometric distance seeds the sibling branch
+    and descends it to a leaf (max_spills=1 — a spill cannot re-spill),
+    gaining that leaf's members as extra candidates while the pair math
+    stays inside bounded leaf-local groups. This is the reference's
+    flagship quality pass (``src/main.rs:100-123``) at TUNABLE recall
+    in the shape whose shuffle stays linear in corpus × trees.
+
+    The oracle replays the spill router exactly: seeds from each
+    member's own root-to-leaf ancestor chain (|n·x + c|/‖n‖ < margin,
+    the same abs/divide — bit-identical for positive norms), a
+    recursive-CTE descent of the seeded sibling branches (main bit
+    only — no re-spill), then the union of main + spilled pairs through
+    the shared sequential-fold distance and (dist, vec_id) top-k
+    window. ``engine="catalyst"`` forces the sequential-fold spill
+    chain, the bit-exact twin of the oracle's ``list_reduce``. Pinned
+    to sf0.01 (the fixture's corpus)."""
+    from ..operators.index import load_index
+    from ..operators.search import all_pairs_rp_forest
+
+    emb = _emb(spark, sf_dir)
+    forest = load_index(
+        spark, _FIXTURE_DIR, num_trees=50, max_node_size=5, seed=42
+    )
+    return all_pairs_rp_forest(
+        forest, emb, k=K, spill_margin=_FIXTURE_MARGIN, engine="catalyst"
+    ).select("query_id", "vec_id", "dist", "rnk")
+
+
 # --- FLAGSHIP: approximate all-pairs self-kNN through the forest --------------
 
 @register("all_pairs_approx_top3")

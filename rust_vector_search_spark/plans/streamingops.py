@@ -129,7 +129,7 @@ def _run_to_memory(out, name_prefix: str, output_mode: str = "append"):
 
     parts = os.environ.get("SPARK_GRAFT_STREAM_PARTS")
     if parts is None:
-        parts = str(min(spark.sparkContext.defaultParallelism, 32) or 32)
+        parts = str(min(spark.sparkContext.defaultParallelism, 32))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     try:

@@ -451,3 +451,66 @@ def test_all_pairs_leaflocal_member_twins_no_self_match(spark):
     got = {(r.query_id, r.vec_id, r.rnk) for r in ap.collect()}
     twin_first = {(100 + i, i, 1) for i in range(6)}
     assert twin_first <= got
+
+
+def test_all_pairs_leaflocal_spill_matches_generic_search(forest, emb):
+    """The RECALL DIAL (VERDICT r9 #1): with spill_margin > 0 the
+    leaf-local all-pairs must equal the generic full-descent search at
+    the same margin and max_spills=1 (no backfill, self excluded) —
+    the exact-equivalence contract extended past single-probe. Both
+    engines of the spill router must agree with it."""
+    from rust_vector_search_spark.operators.search import (
+        all_pairs_rp_forest,
+        resolve_spill_margin,
+    )
+
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    margin = resolve_spill_margin(q)
+    want = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in search_rp_forest(
+            forest, emb, q, k=5, backfill=False, spill_margin=margin,
+            max_spills=1, exclude_self=True,
+        ).collect()
+    }
+    for eng in ("numpy", "catalyst"):
+        got = {
+            (r.query_id, r.vec_id, r.rnk)
+            for r in all_pairs_rp_forest(
+                forest, emb, k=5, spill_margin=margin, engine=eng
+            ).collect()
+        }
+        assert got == want and len(got) > 0, eng
+    # the dial actually moves candidates: spilled result ⊋ single-probe
+    # is not guaranteed per-query, but the margin must add SOME visits —
+    # assert the spill router emits rows at this corpus-derived margin
+    from rust_vector_search_spark.operators.search import _self_spill_routes
+
+    assert (
+        _self_spill_routes(forest, emb, margin, "vec_id", "embedding").count()
+        > 0
+    )
+
+
+def test_all_pairs_leaflocal_overgrown_leaf_warns(forest, emb):
+    """The leaf-invariant PRECONDITION guard (VERDICT r9 #7): per-leaf
+    pair cost is quadratic in leaf size, so a forest whose leaves
+    outgrew max_node_size (heavy ingest without maintenance) must warn
+    and point at resplit_overgrown_leaves. Simulated by shrinking the
+    declared max_node_size under the real leaf sizes."""
+    import dataclasses
+    import warnings
+
+    from rust_vector_search_spark.operators.search import all_pairs_rp_forest
+
+    overgrown = dataclasses.replace(forest, max_node_size=1)
+    with pytest.warns(RuntimeWarning, match="resplit_overgrown_leaves"):
+        all_pairs_rp_forest(overgrown, emb, k=3)
+    # a healthy forest stays silent; factor <= 0 skips the probe job
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        all_pairs_rp_forest(forest, emb, k=3)
+        all_pairs_rp_forest(overgrown, emb, k=3, overgrowth_warn_factor=0)

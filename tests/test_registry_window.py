@@ -111,11 +111,13 @@ MUST_BE_IN_WINDOW = [
     # r6b: applyInPandasWithState sessionization — the custom stateful
     # streaming operator, value-hash-checked against batch islands
     "streaming_stateful_sessions",
-    # r9: approximate all-pairs self-kNN in the leaf-local form (the
-    # reference's flagship workload at scale); took the slot of the
-    # exact crossJoin all-pairs row (same re-rank/top-k tail, exact
-    # form locally checked)
-    "ann_all_pairs_leaflocal",
+    # r9: approximate all-pairs self-kNN in the leaf-local form took
+    # the slot of the exact crossJoin all-pairs row. r10: the
+    # single-probe row handed its slot to the spill-dial variant —
+    # whose oracle pair set strictly CONTAINS the single-probe main
+    # pairs (same lvs self-join UNIONed with the spilled visits), so
+    # the r9 machinery stays hash-checked through the new row
+    "ann_all_pairs_spill_leaflocal",
 ]
 
 
