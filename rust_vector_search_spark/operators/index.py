@@ -943,7 +943,71 @@ def prune_underfull_subtrees(forest: RPForest) -> RPForest:
     )
 
 
-def save_index(forest: RPForest, path: str, compact: bool = False) -> None:
+def forest_health_stats(forest: RPForest) -> DataFrame:
+    """Per-tree ROUTING-QUALITY signals for the rebuild-vs-maintain
+    decision (VERDICT r9 #4) — all payload-free (leaf table only, one
+    slim map-side-combined scan + one per-tree window):
+
+      n_leaves / n_vectors / min_depth / max_depth / max_leaf_size —
+        the occupancy surface ``ann_index_stats`` always had;
+      overgrown_leaves — leaves past ``max_node_size`` (ingest-side
+        decay; the quadratic-cost hazard for the leaf-local all-pairs);
+      fill_ratio — n_vectors / (n_leaves × max_node_size). A fresh
+        build sits near the packing its split policy yields; mass
+        deletion (even after ``prune_underfull_subtrees`` reclaims the
+        empty depth) leaves the survivors spread thin across leaves
+        positioned for the OLD corpus — the planes no longer bisect
+        the data, and recall decays with no way to see it from
+        occupancy counts alone;
+      occupancy_gini — dispersion of leaf sizes within the tree
+        (0 = uniform). Hyperplanes fit to a corpus that has since
+        drifted (deletes, skewed ingest) stop splitting evenly, so
+        the size distribution polarizes: some leaves drain, siblings
+        stay full.
+
+    Thresholds are deployment-specific, but the r10 lifecycle probe at
+    250k × 300-d (reference geometry, BASELINE "lifecycle" row) ties
+    the numbers to measured recall: the fresh/maintained index reads
+    fill_ratio ≈ 0.5 / Gini ≈ 0.4 at recall 1.000, while after an 80%
+    delete + prune the survivors read noticeably lower fill and higher
+    Gini at recall ≈ 0.90 — when maintenance stops recovering recall,
+    these are the columns that moved, and a REBUILD (re-fitting the
+    hyperplanes to the surviving corpus) is the remedy
+    ``resplit``/``prune`` cannot provide."""
+    per_leaf = forest.leaves.groupBy("tree_id", "leaf_path").agg(
+        F.count(F.lit(1)).alias("leaf_n")
+    )
+    w_rank = Window.partitionBy("tree_id").orderBy(
+        F.col("leaf_n").asc(), F.col("leaf_path").asc()
+    )
+    ranked = per_leaf.withColumn("rnk", F.row_number().over(w_rank))
+    return (
+        ranked.groupBy("tree_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_leaves"),
+            F.sum("leaf_n").alias("n_vectors"),
+            F.min(F.length("leaf_path")).alias("min_depth"),
+            F.max(F.length("leaf_path")).alias("max_depth"),
+            F.max("leaf_n").alias("max_leaf_size"),
+            F.sum(
+                F.when(F.col("leaf_n") > forest.max_node_size, 1).otherwise(0)
+            ).alias("overgrown_leaves"),
+            # Gini over sorted leaf sizes: G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n
+            (
+                F.lit(2.0) * F.sum(F.col("rnk") * F.col("leaf_n"))
+                / (F.count(F.lit(1)) * F.sum("leaf_n"))
+                - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1))
+            ).alias("occupancy_gini"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.col("n_vectors")
+            / (F.col("n_leaves") * F.lit(float(forest.max_node_size))),
+        )
+    )
+
+
+def save_index(forest: RPForest, path: str, compact: bool = True) -> None:
     """Persist the forest as Parquet partitioned by tree_id — a NEW
     capability vs the reference (whose index dies with the process,
     ``src/lib.rs:15-19``); partition pruning makes single-tree reads
@@ -951,18 +1015,21 @@ def save_index(forest: RPForest, path: str, compact: bool = False) -> None:
     lvl-clustered row groups so the per-level routing filter pushes
     into the scan (same rationale as the batched write above).
 
-    ``compact=True`` stores hyperplane coefficients as ``array<float>``
-    instead of ``array<double>`` — the coeffs column dominates the node
-    table (a 300-d node is ~2.4 KB of coeffs vs ~120 B of everything
-    else), and the deep-index search leg's cost is dominated by exactly
-    that read (measured at the 250k probe: the tree-local route is
-    node-table-scan-bound), so the cast roughly halves the dominant
-    search cost AND the index footprint. The trade: routing decisions
-    use f32-rounded normals — the same precision the reference computes
-    in end-to-end (``src/vector.rs:5``), so this is parity, not a
-    quality cut; but a compact index is NOT bit-replayable by the
-    full-precision DuckDB oracle descent, so oracle-replayed fixtures
-    keep the default double."""
+    ``compact=True`` (the DEFAULT since r10 — measured at both the 250k
+    and 1M probes: recall parity, ~35% footprint cut, equal-or-faster
+    search) stores hyperplane coefficients as ``array<float>`` instead
+    of ``array<double>`` — the coeffs column dominates the node table
+    (a 300-d node is ~2.4 KB of coeffs vs ~120 B of everything else),
+    and the deep-index search leg's cost is dominated by exactly that
+    read (the tree-local route is node-table-scan-bound), so the cast
+    roughly halves the dominant search cost AND the index footprint.
+    The trade: routing decisions use f32-rounded normals — the same
+    precision the reference computes in end-to-end
+    (``src/vector.rs:5``), so this is parity, not a quality cut; but a
+    compact index is NOT bit-replayable by the full-precision DuckDB
+    oracle descent, so oracle-replayed fixtures (and any other
+    bit-identity consumer) must pass ``compact=False`` explicitly
+    (tools/build_index_fixture.py does)."""
     nodes = forest.nodes.withColumn("lvl", F.length("node_path"))
     if compact:
         nodes = nodes.withColumn(

@@ -1675,6 +1675,7 @@ def all_pairs_rp_forest(
     spill_margin: "float | str" = 0.0,
     engine: str = "auto",
     overgrowth_warn_factor: float = 4.0,
+    tree_batches: int = 1,
 ) -> DataFrame:
     """All-pairs approximate kNN — the reference's flagship quality pass
     (``src/main.rs:100-123``: every corpus vector queries the index) in
@@ -1736,6 +1737,18 @@ def all_pairs_rp_forest(
     (one exchange instead of two); past the gate both sides shuffle —
     the honest billion-scale cost.
 
+    ``tree_batches`` bounds the PEAK SHUFFLE FOOTPRINT: the
+    co-locating exchange is |corpus| × num_trees embedding-sized rows,
+    which can exceed a node's scratch disk long before the slim output
+    does (~120 GB at 1M × 300-d × 50 trees). B > 1 runs the identical
+    plan over num_trees/B trees at a time, cutting each chunk to
+    per-query top-k slim triples before materializing it
+    (localCheckpoint — the call becomes EAGER) and releasing the
+    chunk's shuffle files before the next chunk runs; results are
+    bit-identical to B=1 because a pair's fold distance is the same in
+    every tree, so every global top-k pair survives its own chunk's
+    top-k cut and cross-chunk duplicates collapse to the same double.
+
     PRECONDITION — the leaf-size invariant: per-leaf pair cost is
     QUADRATIC in leaf size, so the bounded-group claim above holds only
     while every leaf is ≤ max_node_size (true for a fresh build; heavy
@@ -1792,9 +1805,7 @@ def all_pairs_rp_forest(
         broadcast_corpus = n_corpus * per_vec < gate
     e_hint = F.broadcast if broadcast_corpus else (lambda df: df)
 
-    members = forest.leaves.join(e_hint(emb), "vec_id").select(
-        "tree_id", "leaf_path", "vec_id", "v"
-    )
+    visitors_all = None
     if margin > 0.0:
         # RECALL DIAL: spill visits ride into the SAME leaf-local groups
         # as query-only VISITOR rows (m=false). A visitor gains the
@@ -1807,57 +1818,127 @@ def all_pairs_rp_forest(
             eng = (
                 "numpy" if node_table_broadcastable(forest) else "catalyst"
             )
-        visitors = (
-            _self_spill_routes(forest, corpus, margin, id_col, vec_col, eng)
-            .withColumnRenamed("rep_id", "vec_id")
-            .join(e_hint(emb), "vec_id")
-            .select("tree_id", "leaf_path", "vec_id", "v")
+        visitors_all = _self_spill_routes(
+            forest, corpus, margin, id_col, vec_col, eng
+        ).withColumnRenamed("rep_id", "vec_id")
+
+    def _leaf_pairs(leaves_slice, visitors_slice):
+        """Slim (query_id, vec_id, dist) pairs for one slice of the
+        forest's leaf rows: ONE co-locating exchange, then nested HOF
+        pair generation — for each querying row a (member or spill
+        visitor), distance to every co-located MEMBER b ≠ a. The
+        symmetric distance is computed once per ORDERED pair (2× the
+        unordered work) — still far cheaper than one exchange of wide
+        pairs, and it keeps every row self-contained for the slim
+        explode."""
+        members = leaves_slice.join(e_hint(emb), "vec_id").select(
+            "tree_id", "leaf_path", "vec_id", "v"
         )
-        rows = members.withColumn("m", F.lit(True)).unionByName(
-            visitors.withColumn("m", F.lit(False))
+        if visitors_slice is not None:
+            visitors = visitors_slice.join(e_hint(emb), "vec_id").select(
+                "tree_id", "leaf_path", "vec_id", "v"
+            )
+            rows = members.withColumn("m", F.lit(True)).unionByName(
+                visitors.withColumn("m", F.lit(False))
+            )
+            member_pred = lambda a, b: b["m"] & (b["i"] != a["i"])  # noqa: E731
+            struct_cols = F.struct(
+                F.col("vec_id").alias("i"), F.col("v").alias("e"),
+                F.col("m").alias("m"),
+            )
+        else:
+            rows = members
+            member_pred = lambda a, b: b["i"] != a["i"]  # noqa: E731
+            struct_cols = F.struct(
+                F.col("vec_id").alias("i"), F.col("v").alias("e")
+            )
+        grouped = rows.groupBy("tree_id", "leaf_path").agg(
+            F.collect_list(struct_cols).alias("ms")
         )
-        member_pred = lambda a, b: b["m"] & (b["i"] != a["i"])  # noqa: E731
-        struct_cols = lambda: F.struct(  # noqa: E731
-            F.col("vec_id").alias("i"), F.col("v").alias("e"),
-            F.col("m").alias("m"),
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda a: F.transform(
+                    F.filter(F.col("ms"), lambda b: member_pred(a, b)),
+                    lambda b: F.struct(
+                        a["i"].alias("q"),
+                        b["i"].alias("c"),
+                        sq_euc_dist(a["e"], b["e"]).alias("d"),
+                    ),
+                ),
+            )
+        )
+        return grouped.select(F.explode(pair_structs).alias("p")).select(
+            F.col("p.q").alias("query_id"),
+            F.col("p.c").alias("vec_id"),
+            F.col("p.d").alias("dist"),
+        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    if tree_batches <= 1:
+        pairs = _leaf_pairs(forest.leaves, visitors_all)
+        # cross-tree dedup (O10's DashSet): identical pair ⇒ identical
+        # fold ⇒ identical double, so min == the value
+        deduped = pairs.groupBy("query_id", "vec_id").agg(
+            F.min("dist").alias("dist")
         )
     else:
-        rows = members
-        member_pred = lambda a, b: b["i"] != a["i"]  # noqa: E731
-        struct_cols = lambda: F.struct(  # noqa: E731
-            F.col("vec_id").alias("i"), F.col("v").alias("e")
+        # PEAK-FOOTPRINT BOUND: the co-locating exchange moves
+        # |corpus| × num_trees embedding-sized rows — at 1M × 300-d ×
+        # 50 trees that is ~120 GB of shuffle, more than a single
+        # node's scratch disk (and on a cluster, still each node's
+        # bounded resource). Tree-batching runs the SAME plan over
+        # num_trees/B trees at a time: per chunk, dedup + per-query
+        # top-k cut the output to ≤ k slim triples per query before
+        # anything persists, so the high-water mark is ONE chunk's
+        # exchange plus k·B triples per query. Correct because a pair's
+        # distance is identical in every tree: any global top-k pair is
+        # within its own chunk's top-k (fewer competitors), and
+        # cross-chunk duplicates dedup to the same double. EAGER — each
+        # chunk materializes (localCheckpoint) so its shuffle files can
+        # be reclaimed before the next chunk runs; costs one corpus
+        # scan per chunk.
+        B = min(int(tree_batches), max(forest.num_trees, 1))
+        if visitors_all is not None:
+            visitors_all = visitors_all.localCheckpoint(eager=True)
+        spark = corpus.sparkSession
+        parts = []
+        for b in range(B):
+            chunk = [t for t in range(forest.num_trees) if t % B == b]
+            lv = forest.leaves.filter(F.col("tree_id").isin(chunk))
+            vs = (
+                visitors_all.filter(F.col("tree_id").isin(chunk))
+                if visitors_all is not None
+                else None
+            )
+            chunk_topk = (
+                _leaf_pairs(lv, vs)
+                .groupBy("query_id", "vec_id")
+                .agg(F.min("dist").alias("dist"))
+                .withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= k)
+                .select("query_id", "vec_id", "dist")
+            )
+            parts.append(chunk_topk.localCheckpoint(eager=True))
+            # drop the chunk's lineage references and nudge the async
+            # ContextCleaner so the finished exchange's shuffle files
+            # free the scratch disk before the next chunk writes its
+            # own (best-effort; Connect sessions skip the JVM poke)
+            import gc as _gc
+
+            _gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+        allp = parts[0]
+        for df in parts[1:]:
+            allp = allp.unionByName(df)
+        deduped = allp.groupBy("query_id", "vec_id").agg(
+            F.min("dist").alias("dist")
         )
-    grouped = rows.groupBy("tree_id", "leaf_path").agg(
-        F.collect_list(struct_cols()).alias("ms")
-    )
-    # nested HOF pair generation: for each querying row a (member or
-    # spill visitor), distance to every co-located MEMBER b ≠ a. The
-    # symmetric distance is computed once per ORDERED pair (2× the
-    # unordered work) — still far cheaper than one exchange of wide
-    # pairs, and it keeps every row self-contained for the slim explode.
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda a: F.transform(
-                F.filter(F.col("ms"), lambda b: member_pred(a, b)),
-                lambda b: F.struct(
-                    a["i"].alias("q"),
-                    b["i"].alias("c"),
-                    sq_euc_dist(a["e"], b["e"]).alias("d"),
-                ),
-            ),
-        )
-    )
-    pairs = grouped.select(F.explode(pair_structs).alias("p")).select(
-        F.col("p.q").alias("query_id"),
-        F.col("p.c").alias("vec_id"),
-        F.col("p.d").alias("dist"),
-    )
-    # cross-tree dedup (O10's DashSet): identical pair ⇒ identical
-    # fold ⇒ identical double, so min == the value
-    deduped = pairs.groupBy("query_id", "vec_id").agg(
-        F.min("dist").alias("dist")
-    )
 
     if dup_map is not None:
         # expand representative-level pairs to every duplicate row:
@@ -1885,9 +1966,6 @@ def all_pairs_rp_forest(
         )
         deduped = deduped.unionByName(inherited).unionByName(self_edges)
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("vec_id").asc()
-    )
     return deduped.withColumn(
         "rnk", F.row_number().over(w).cast("long")
     ).filter(F.col("rnk") <= k)

@@ -671,21 +671,17 @@ def ann_search_from_persisted_index(spark: SparkSession, sf_dir: str) -> DataFra
 @register("ann_index_stats")
 def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Queryability of the persisted index (SURVEY §1.1: 'the index is
-    itself a queryable table'): per-tree leaf count, depth range, and
-    occupancy — the operational health check a 100 TB deployment runs
-    after every build/append cycle."""
+    itself a queryable table'): per-tree leaf count, depth range,
+    occupancy — plus the r10 ROUTING-QUALITY columns (overgrown_leaves,
+    fill_ratio, occupancy_gini) that operationalize the
+    rebuild-vs-maintain decision (VERDICT r9 #4; thresholds tied to
+    measured recall in the 250k lifecycle probe, see
+    ``operators.index.forest_health_stats``)."""
+    from ..operators.index import forest_health_stats
+
     emb = _emb(spark, sf_dir)
     forest = build_rp_forest(emb, num_trees=8, max_node_size=32, seed=42)
-    per_leaf = forest.leaves.groupBy("tree_id", "leaf_path").agg(
-        F.count(F.lit(1)).alias("leaf_n")
-    )
-    return per_leaf.groupBy("tree_id").agg(
-        F.count(F.lit(1)).alias("n_leaves"),
-        F.sum("leaf_n").alias("n_vectors"),
-        F.min(F.length("leaf_path")).alias("min_depth"),
-        F.max(F.length("leaf_path")).alias("max_depth"),
-        F.max("leaf_n").alias("max_leaf_size"),
-    )
+    return forest_health_stats(forest)
 
 
 # --- IVF × PQ: the billion-scale memory composition (Jégou et al. 2011) -------

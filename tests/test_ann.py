@@ -514,3 +514,43 @@ def test_all_pairs_leaflocal_overgrown_leaf_warns(forest, emb):
         warnings.simplefilter("error", RuntimeWarning)
         all_pairs_rp_forest(forest, emb, k=3)
         all_pairs_rp_forest(overgrown, emb, k=3, overgrowth_warn_factor=0)
+
+
+def test_all_pairs_leaflocal_tree_batched_matches_single_dag(forest, emb):
+    """tree_batches bounds the peak shuffle footprint (one chunk's
+    co-locating exchange at a time) and must be result-identical to the
+    single-DAG form — with and without the spill dial, including a
+    batch count that doesn't divide num_trees."""
+    from rust_vector_search_spark.operators.search import (
+        all_pairs_rp_forest,
+        resolve_spill_margin,
+    )
+
+    single = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in all_pairs_rp_forest(forest, emb, k=5).collect()
+    }
+    batched = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in all_pairs_rp_forest(forest, emb, k=5, tree_batches=3).collect()
+    }
+    assert batched == single and len(single) > 0
+    margin = resolve_spill_margin(
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    single_sp = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in all_pairs_rp_forest(
+            forest, emb, k=5, spill_margin=margin
+        ).collect()
+    }
+    batched_sp = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in all_pairs_rp_forest(
+            forest, emb, k=5, spill_margin=margin, tree_batches=5
+        ).collect()
+    }
+    assert batched_sp == single_sp and len(single_sp) > 0

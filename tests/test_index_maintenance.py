@@ -276,3 +276,46 @@ def test_resplit_duplicate_semantics(spark):
             "tree_id", "leaf_path"
         )
         assert sorted(dup_leaf.collect()) == sorted(rep_leaf.collect())
+
+
+def test_forest_health_stats_track_lifecycle_decay(spark, overgrown):
+    """The rebuild-trigger signals (VERDICT r9 #4): overgrown_leaves
+    sees ingest-side decay, fill_ratio sees deletion-side decay, and
+    every column stays consistent with the leaf table it summarizes."""
+    from rust_vector_search_spark.operators.index import forest_health_stats
+
+    emb, fresh, aug = overgrown
+    fresh_stats = {r.tree_id: r for r in forest_health_stats(fresh).collect()}
+    assert len(fresh_stats) == 3
+    n_base = fresh.leaves.filter(F.col("tree_id") == 0).count()
+    for r in fresh_stats.values():
+        assert r.n_vectors == n_base
+        assert r.overgrown_leaves == 0  # fresh build holds the invariant
+        assert 0.0 <= r.occupancy_gini < 1.0
+        assert 0.0 < r.fill_ratio <= 1.0
+
+    # ingest-side decay: the augmented (never-resplit) forest has
+    # overgrown leaves, and fill can exceed 1 (members past capacity)
+    aug_stats = {r.tree_id: r for r in forest_health_stats(aug).collect()}
+    assert all(r.overgrown_leaves > 0 for r in aug_stats.values())
+    assert all(r.fill_ratio > fresh_stats[t].fill_ratio
+               for t, r in aug_stats.items())
+
+    # deletion-side decay: drop 80% of members — survivors spread thin
+    # across leaves positioned for the old corpus, so fill collapses
+    # and the size distribution polarizes (Gini rises)
+    kept = fresh.leaves.select("vec_id").distinct().filter(
+        F.col("vec_id") % 5 == 0
+    )
+    shrunk = delete_vectors(
+        fresh,
+        fresh.leaves.select("vec_id").distinct().join(
+            kept, "vec_id", "left_anti"
+        ),
+    )
+    shrunk_stats = {
+        r.tree_id: r for r in forest_health_stats(shrunk).collect()
+    }
+    for t, r in shrunk_stats.items():
+        assert r.fill_ratio < fresh_stats[t].fill_ratio
+        assert r.occupancy_gini > fresh_stats[t].occupancy_gini

@@ -315,13 +315,15 @@ def test_compact_index_halves_coeffs_and_preserves_search(spark, tmp_path):
     forest = build_rp_forest(emb, num_trees=4, max_node_size=8, seed=21)
     full_p = str(tmp_path / "full")
     cmp_p = str(tmp_path / "cmp")
-    save_index(forest, full_p)
-    save_index(forest, cmp_p, compact=True)
+    save_index(forest, full_p, compact=False)
+    save_index(forest, cmp_p)  # r10: compact is the DEFAULT
 
     loaded_full = load_index(spark, full_p, num_trees=4, max_node_size=8, seed=21)
     loaded_cmp = load_index(spark, cmp_p, num_trees=4, max_node_size=8, seed=21)
     ctype = dict(loaded_cmp.nodes.dtypes)["coeffs"]
     assert ctype == "array<float>", ctype
+    ftype = dict(loaded_full.nodes.dtypes)["coeffs"]
+    assert ftype == "array<double>", ftype  # the bit-replay escape hatch
     assert loaded_cmp.dim == loaded_full.dim
 
     q = emb.filter(F.col("vec_id") < 8).select(

@@ -44,7 +44,10 @@ def main() -> None:
     # stable, minimal file layout, not build parallelism
     forest.nodes = forest.nodes.coalesce(1)
     forest.leaves = forest.leaves.coalesce(1)
-    save_index(forest, OUT)
+    # compact=False: the committed fixture is replayed bit-for-bit by
+    # the DuckDB oracle's full-precision recursive descent — it must
+    # keep array<double> coeffs (the r10 compact default would round)
+    save_index(forest, OUT, compact=False)
     print(
         f"fixture written to {OUT}: "
         f"{forest.node_count} nodes, depth {forest.max_depth}, "

@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Per-round deep-index regression + scale probes over the persisted
-250k × 300-d RP-forest (VERDICT r8 #1/#2/#3/#6). One tool, seven legs:
+250k × 300-d RP-forest (VERDICT r8 #1/#2/#3/#6). One tool, eight legs:
 
   search    the regression leg: N queries (default 100), k = 10, via the
             zero-shuffle persisted-layout route; recall vs exact BLAS
@@ -35,6 +35,10 @@
             seeded 80% of members, prune_underfull_subtrees collapses
             the underfull subtrees, and the search leg runs over the
             survivors (prune wall, node shrink, post-prune recall).
+  lifecycle (r10) the five steps CHAINED over ONE index — build(90%) →
+            ingest(10%) → resplit → delete(30%) → prune — recall and
+            forest_health_stats recorded after every step, all persists
+            on the compact default.
 
 The index comes from tools/scale_probe.py --workdir DIR (layout:
 DIR/emb deduped corpus, DIR/idx/{nodes,leaves} partitionBy(tree_id)).
@@ -48,6 +52,7 @@ Usage:
   python tools/deep_index_probe.py compact  [--index /tmp/idx250k] [--cleanup]
   python tools/deep_index_probe.py maintain [--index /tmp/idx250k] [--cleanup]
   python tools/deep_index_probe.py shrink   [--index /tmp/idx250k] [--cleanup]
+  python tools/deep_index_probe.py lifecycle [--index /tmp/idx250k] [--cleanup]
 Common: --n 250000 --num-trees 50 --leaf 5 --k 10 --no-baseline-append
 """
 
@@ -189,8 +194,26 @@ def cmd_allpairs(args) -> None:
     t0 = time.time()
     if args.engine == "leaflocal":
         # the 100 TB shape: one co-locating exchange, per-leaf pairwise
-        # HOF distances, slim triples after — never a wide pair shuffle
-        searched = all_pairs_rp_forest(forest, emb, k=args.k)
+        # HOF distances, slim triples after — never a wide pair shuffle.
+        # --spill-frac engages the recall dial (r10); --tree-batches
+        # bounds the exchange's scratch-disk high-water mark
+        margin = 0.0
+        if args.spill_frac > 0.0:
+            from rust_vector_search_spark.operators.search import (
+                resolve_spill_margin,
+            )
+
+            margin = args.spill_frac * resolve_spill_margin(
+                emb.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec"),
+                ),
+                frac=1.0,
+            )
+        searched = all_pairs_rp_forest(
+            forest, emb, k=args.k, spill_margin=margin,
+            tree_batches=args.tree_batches,
+        )
     else:
         searched = search_rp_forest_self(
             forest, emb, k=args.k, spill_margin=args.spill_margin,
@@ -219,16 +242,19 @@ def cmd_allpairs(args) -> None:
         sample_q.select("query_id"), "query_id", "left_semi"
     )
     recall = _recall_vs_exact(spark, emb, sample_approx, sample_q, args.k)
+    tag = args.engine
+    if args.engine == "leaflocal":
+        tag += f" spill_frac={args.spill_frac} batches={args.tree_batches}"
     print(
         f"RESULT allpairs: {wall:.1f}s / {n_corpus} corpus queries "
         f"({1000.0 * wall / n_corpus:.2f} ms/q, {n_rows} rows) "
         f"recall@{args.k}={recall:.3f} (on {args.sample}-query sample) "
-        f"engine={args.engine}",
+        f"engine={tag}",
         flush=True,
     )
     _append_history(
         f"all-pairs self-kNN ({os.path.basename(args.index)}, "
-        f"engine={args.engine}): {wall:.1f} s / {n_corpus} q "
+        f"engine={tag}): {wall:.1f} s / {n_corpus} q "
         f"({1000.0 * wall / n_corpus:.2f} ms/q), sampled recall@{args.k} "
         f"= {recall:.3f}",
         not args.no_baseline_append,
@@ -670,6 +696,170 @@ def cmd_shrink(args) -> None:
         shutil.rmtree(pdir, ignore_errors=True)
 
 
+def cmd_lifecycle(args) -> None:
+    """The FULL lifecycle chained over ONE index (VERDICT r9 #3): base
+    build (90% of the corpus) → stream-ingest the 10% holdout through
+    the frozen hyperplanes → resplit the overgrown leaves → delete 30%
+    of members → prune the underfull subtrees — with the search leg's
+    recall AND the forest_health_stats routing-quality columns recorded
+    after EVERY step on the SAME index. One probe row = the five-step
+    recall trajectory; the health columns tie the rebuild-trigger
+    metric (VERDICT r9 #4) to measured recall. Queries are a fixed
+    seeded set of ids present in every step's corpus (non-holdout,
+    non-doomed), so the trajectory is comparable step to step. Every
+    persist uses the r10 compact default — the resplit-over-compact
+    cast path runs here at scale."""
+    import shutil
+
+    from rust_vector_search_spark.operators.index import (
+        build_rp_forest_batched,
+        delete_vectors,
+        forest_health_stats,
+        load_index,
+        prune_underfull_subtrees,
+        resplit_overgrown_leaves,
+        save_index,
+    )
+    from rust_vector_search_spark.operators.search import search_rp_forest
+    from rust_vector_search_spark.session import get_spark
+    from rust_vector_search_spark.streaming import incremental_index_ingest
+
+    _ensure_index(args.index, args.n, args.num_trees, args.leaf)
+    lc = args.index.rstrip("/") + "_lc"
+    if os.path.isdir(f"{lc}/ingest_ckpt"):
+        raise SystemExit(
+            f"{lc} already holds a lifecycle run (ingest checkpoint "
+            f"present) — a re-run would double-append the holdout. "
+            f"Delete {lc} to redo the leg."
+        )
+    spark = get_spark(app_name="deep_index_probe_lifecycle")
+    emb, _ = _load(spark, args.index, args.num_trees, args.leaf)
+    holdout_n = args.n // 10
+    holdout = emb.filter(F.col("vec_id") < holdout_n)
+    rest = emb.filter(F.col("vec_id") >= holdout_n)
+    doomed = emb.filter(F.col("vec_id") % 10 < 3).select("vec_id")
+    survivors = emb.filter(F.col("vec_id") % 10 >= 3).localCheckpoint(
+        eager=True
+    )
+    # query ids alive in EVERY step: not in the holdout, not doomed
+    q = (
+        emb.filter(
+            (F.col("vec_id") >= holdout_n) & (F.col("vec_id") % 10 >= 3)
+        )
+        .orderBy("vec_id")
+        .limit(args.queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    traj: list = []
+
+    def _eval(tag, forest, corpus):
+        t0 = time.time()
+        approx = (
+            search_rp_forest(forest, corpus, q, k=args.k)
+            .select("query_id", "vec_id")
+            .localCheckpoint(eager=True)
+        )
+        approx.count()
+        t_search = time.time() - t0
+        recall = _recall_vs_exact(spark, corpus, approx, q, args.k)
+        h = forest_health_stats(forest).agg(
+            F.avg("fill_ratio").alias("fill"),
+            F.avg("occupancy_gini").alias("gini"),
+            F.sum("overgrown_leaves").alias("over"),
+            F.max("max_leaf_size").alias("mx"),
+        ).collect()[0]
+        print(
+            f"RESULT lifecycle[{tag}]: search {t_search:.1f}s "
+            f"recall@{args.k}={recall:.3f} fill={h.fill:.3f} "
+            f"gini={h.gini:.3f} overgrown={int(h.over)} "
+            f"max_leaf={int(h.mx)}",
+            flush=True,
+        )
+        traj.append((tag, recall, float(h.fill), float(h.gini), int(h.over)))
+        return recall
+
+    # 1. base build (90%)
+    t0 = time.time()
+    build_rp_forest_batched(
+        rest, f"{lc}/idx", num_trees=args.num_trees,
+        max_node_size=args.leaf, seed=42, max_depth=32,
+        local_threshold=16384, tree_batch_size=10,
+    )
+    t_build = time.time() - t0
+    base = load_index(spark, f"{lc}/idx", num_trees=args.num_trees,
+                      max_node_size=args.leaf, seed=42)
+    print(f"lifecycle build(90%): {t_build:.1f}s", flush=True)
+    _eval("build", base, rest)
+
+    # 2. ingest the holdout through the frozen hyperplanes
+    src = f"{lc}/holdout_src"
+    holdout.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(holdout.schema).parquet(src)
+    t0 = time.time()
+    ing = incremental_index_ingest(
+        stream.select("vec_id", F.col("embedding")),
+        base,
+        leaves_path=f"{lc}/idx/leaves",
+        checkpoint_path=f"{lc}/ingest_ckpt",
+    )
+    ing.awaitTermination(1800)
+    t_ingest = time.time() - t0
+    aug = load_index(spark, f"{lc}/idx", num_trees=args.num_trees,
+                     max_node_size=args.leaf, seed=42)
+    print(f"lifecycle ingest(10%): {t_ingest:.1f}s", flush=True)
+    _eval("ingest", aug, emb)
+
+    # 3. maintenance: resplit the overgrown leaves, re-persist (compact)
+    t0 = time.time()
+    fixed = resplit_overgrown_leaves(aug, emb)
+    save_index(fixed, f"{lc}/idx_m")
+    t_fix = time.time() - t0
+    maintained = load_index(spark, f"{lc}/idx_m", num_trees=args.num_trees,
+                            max_node_size=args.leaf, seed=42)
+    print(f"lifecycle resplit+save: {t_fix:.1f}s", flush=True)
+    _eval("resplit", maintained, emb)
+
+    # 4. delete 30% of members (takedown/retention)
+    t0 = time.time()
+    thinned = delete_vectors(maintained, doomed)
+    t_del = time.time() - t0
+    print(f"lifecycle delete(30%): {t_del:.1f}s", flush=True)
+    _eval("delete", thinned, survivors)
+
+    # 5. prune the underfull subtrees, re-persist (compact)
+    t0 = time.time()
+    pruned = prune_underfull_subtrees(thinned)
+    save_index(pruned, f"{lc}/idx_p")
+    t_prune = time.time() - t0
+    reloaded = load_index(spark, f"{lc}/idx_p", num_trees=args.num_trees,
+                          max_node_size=args.leaf, seed=42)
+    print(
+        f"lifecycle prune+save: {t_prune:.1f}s; nodes "
+        f"{maintained.node_count} -> {reloaded.node_count}", flush=True,
+    )
+    _eval("prune", reloaded, survivors)
+
+    steps = " -> ".join(f"{t}:{r:.3f}" for t, r, *_ in traj)
+    health = "; ".join(
+        f"{t} fill={f:.2f} gini={g:.2f} over={o}" for t, _, f, g, o in traj
+    )
+    _append_history(
+        f"lifecycle chain ({os.path.basename(args.index)}, "
+        f"{args.num_trees} trees, compact): build(90%) {t_build:.0f} s, "
+        f"ingest(10%) {t_ingest:.0f} s, resplit+save {t_fix:.0f} s, "
+        f"delete(30%) {t_del:.0f} s, prune+save {t_prune:.0f} s; "
+        f"recall@{args.k} {steps} ({args.queries} q); health: {health}",
+        not args.no_baseline_append,
+    )
+    if args.cleanup:
+        shutil.rmtree(lc, ignore_errors=True)
+
+
 def main() -> None:
     import argparse
 
@@ -677,7 +867,7 @@ def main() -> None:
     p.add_argument(
         "cmd", choices=[
             "search", "allpairs", "recall", "ingest", "compact",
-            "maintain", "shrink",
+            "maintain", "shrink", "lifecycle",
         ]
     )
     p.add_argument("--index", default="/tmp/idx250k")
@@ -697,6 +887,18 @@ def main() -> None:
     )
     p.add_argument("--holdout", type=int, default=25_000)
     p.add_argument("--spill-margin", default="auto")
+    p.add_argument(
+        "--spill-frac", type=float, default=0.0,
+        help="allpairs leaflocal engine: spill-dial margin in "
+        "r/sqrt(d) units (resolve_spill_margin frac scale; 0.3 = the "
+        "auto point; 0 = single-probe)",
+    )
+    p.add_argument(
+        "--tree-batches", type=int, default=1,
+        help="allpairs leaflocal engine: bound the peak shuffle "
+        "footprint by processing num_trees/B trees per co-locating "
+        "exchange (results identical to B=1)",
+    )
     p.add_argument("--engine", default="leaflocal",
                    choices=["leaflocal", "catalyst", "numpy"])
     p.add_argument("--no-baseline-append", action="store_true")
