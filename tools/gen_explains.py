@@ -209,6 +209,17 @@ NOTES = {
         "aggregates out — any hash mismatch can only be the bridge "
         "itself, never numerics."
     ),
+    "ann_all_pairs_spill_leaflocal": (
+        "The r10 recall dial on the 100 TB dedup shape: spill visits "
+        "(computed once per member from its own ancestor chain — slim "
+        "equi-join seeds, per-level checkpointed sibling descent, no "
+        "corpus re-descent) union into the SAME leaf-local groups as "
+        "query-only visitor rows; all pair math stays nested-HOF "
+        "whole-stage codegen inside bounded groups, and only slim "
+        "(query, vec, dist) triples reach the dedup and top-k "
+        "exchanges — shuffle volume linear in corpus x trees plus the "
+        "margin-bounded spilled fraction."
+    ),
 }
 
 
