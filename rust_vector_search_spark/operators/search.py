@@ -1249,6 +1249,175 @@ def _route_self_spills_local(
     )
 
 
+def _route_self_spills_tree_local(
+    forest: RPForest,
+    corpus: DataFrame,
+    margin: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The BEYOND-BROADCAST-GATE twin of ``_route_self_spills_local``:
+    when the node table is too big to ship to every worker (a 250k ×
+    300-d reference-geometry forest is ~4M nodes / ~10 GB — the r10
+    probe point), shard the work BY TREE instead. Members shuffle once
+    on tree_id carrying their embedding and own leaf path — exactly the
+    |corpus| × num_trees volume the all-pairs co-locating exchange
+    already pays, the irreducible movement — and each task side-loads
+    only ITS trees' node slices from the persisted partition-pruned
+    parquet layout (``{path}/nodes/tree_id=T/``, the same
+    zero-exchange-node-bytes trick ``_route_tree_local`` uses), then
+    runs the identical level-walk einsum + spilled-frontier descent
+    per tree. Requires ``forest.path`` (an in-memory forest has no
+    pruned layout to side-load; callers fall back to the Catalyst
+    chain).
+
+    Why not the Catalyst chain here: its seed detection joins every
+    (member, ancestor) row — |corpus| × trees × depth of them — against
+    the node table AND the member embeddings, so past broadcast range
+    both joins are shuffles whose payload is the ~2.4 KB coeffs/emb
+    arrays per row (measured: the 250k mixed-corpus probe filled the
+    scratch disk mid-seed-join). This path moves each embedding exactly
+    once per tree and zero node bytes."""
+    import numpy as np
+    import pandas as pd
+
+    assert forest.path, "tree-local spill routing needs a persisted index"
+    nodes_root = f"{forest.path}/nodes"
+    members = forest.leaves.join(
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb")
+        ),
+        "vec_id",
+    ).select(
+        "tree_id", "leaf_path", F.col("vec_id").alias("rep_id"), "emb"
+    )
+    spark = corpus.sparkSession
+    n_parts = min(
+        forest.num_trees, spark.sparkContext.defaultParallelism
+    ) or 1
+
+    def _spills(batches):
+        import pyarrow.parquet as pq
+
+        tree_maps: dict = {}  # tree_id -> (key_to_idx, C, consts, norms)
+
+        def _tree(t: int):
+            got = tree_maps.get(t)
+            if got is None:
+                try:
+                    tb = pq.read_table(
+                        f"{nodes_root}/tree_id={t}",
+                        columns=[
+                            "node_path", "coeffs", "constant", "coeff_norm",
+                        ],
+                    )
+                except FileNotFoundError:
+                    # a zero-inner-node tree (whole corpus in its root
+                    # leaf) writes no nodes partition; it also has no
+                    # ancestors to spill from, so the empty map is only
+                    # ever consulted by the (empty) walk
+                    got = tree_maps[t] = (
+                        {},
+                        np.zeros((0, 0)),
+                        np.zeros(0),
+                        np.zeros(0),
+                    )
+                    return got
+                paths = tb.column("node_path").to_pylist()
+                k2i = {p: i for i, p in enumerate(paths)}
+                C = np.array(
+                    [
+                        np.asarray(c, dtype=np.float64)
+                        for c in tb.column("coeffs").to_pylist()
+                    ]
+                )
+                consts = np.asarray(
+                    tb.column("constant").to_pylist(), np.float64
+                )
+                norms = np.asarray(
+                    tb.column("coeff_norm").to_pylist(), np.float64
+                )
+                got = tree_maps[t] = (k2i, C, consts, norms)
+            return got
+
+        empty = pd.DataFrame({"rep_id": [], "tree_id": [], "leaf_path": []})
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield empty
+                continue
+            for t, tpdf in pdf.groupby("tree_id", sort=False):
+                k2i, C, consts, norms = _tree(int(t))
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in tpdf["emb"]]
+                )
+                rep = tpdf["rep_id"].to_numpy(np.int64)
+                path_s = pd.Series(
+                    tpdf["leaf_path"].to_numpy(), dtype="object"
+                )
+                plen = path_s.str.len().to_numpy()
+
+                from collections import defaultdict
+
+                seeds: dict = defaultdict(list)  # sibling path -> [row]
+                for d in range(int(plen.max()) if len(plen) else 0):
+                    act = np.nonzero(plen > d)[0]
+                    if len(act) == 0:
+                        break
+                    pfx = path_s.iloc[act].str.slice(0, d)
+                    idx = pfx.map(k2i).to_numpy(np.int64)
+                    v = np.einsum("ij,ij->i", C[idx], X[act]) + consts[idx]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        near = np.abs(v) / norms[idx] < margin
+                    near &= norms[idx] > 0.0
+                    if not near.any():
+                        continue
+                    taken = path_s.iloc[act].str.slice(d, d + 1).to_numpy()
+                    pfx_a = pfx.to_numpy()
+                    for j in np.nonzero(near)[0]:
+                        sib = pfx_a[j] + ("0" if taken[j] == "1" else "1")
+                        seeds[sib].append(int(act[j]))
+
+                # frontier descent of the spilled branches only (seeds
+                # enter at spill budget exhausted — max_spills=1)
+                out_q: list = []
+                out_p: list = []
+                frontier = {
+                    p: np.asarray(rows, np.int64)
+                    for p, rows in seeds.items()
+                }
+                while frontier:
+                    nxt: dict = {}
+                    for p, idx_a in frontier.items():
+                        ni = k2i.get(p)
+                        if ni is None:  # no inner node ⇒ leaf
+                            out_q.extend(rep[idx_a])
+                            out_p.extend([p] * len(idx_a))
+                            continue
+                        v = X[idx_a] @ C[ni] + consts[ni]
+                        above = v >= 0.0
+                        for bit, mask in (("1", above), ("0", ~above)):
+                            if mask.any():
+                                key = p + bit
+                                if key in nxt:
+                                    nxt[key] = np.concatenate(
+                                        [nxt[key], idx_a[mask]]
+                                    )
+                                else:
+                                    nxt[key] = idx_a[mask]
+                    frontier = nxt
+                yield pd.DataFrame(
+                    {
+                        "rep_id": out_q,
+                        "tree_id": np.full(len(out_q), int(t), np.int32),
+                        "leaf_path": out_p,
+                    }
+                )
+
+    return members.repartition(n_parts, "tree_id").mapInPandas(
+        _spills, "rep_id long, tree_id int, leaf_path string"
+    )
+
+
 def _self_spill_routes(
     forest: RPForest,
     corpus: DataFrame,
@@ -1279,12 +1448,24 @@ def _self_spill_routes(
     sequential fold — the bit-exact twin of the DuckDB oracle's
     ``list_reduce`` — so oracle-replayed spill queries must use it.
 
+    ``engine="treelocal"`` (r10) is the beyond-gate fast path for
+    PERSISTED indexes: members shuffle once by tree (the irreducible
+    |corpus| × trees volume) and each task side-loads its trees' node
+    slices from the partition-pruned parquet — zero node bytes cross an
+    exchange, all spill math vectorized numpy
+    (``_route_self_spills_tree_local``). Falls back to the Catalyst
+    chain for in-memory forests.
+
     The Catalyst chain carries NO explicit broadcast hint: a forced
     whole-node-table broadcast hash relation OOM'd the 1 GB vanilla
     rehearsal heap at fixture scale (the per-level fixture-search chain
     only ever broadcasts one level's slice), while Catalyst/AQE already
     picks broadcast from real file stats when a side genuinely fits —
     and past the gate the shuffle join is the honest shape anyway."""
+    if engine == "treelocal" and forest.path and forest.node_count > 0:
+        return _route_self_spills_tree_local(
+            forest, corpus, margin, id_col, vec_col
+        )
     nodes = forest.nodes
     rep_emb = corpus.join(
         forest.leaves.select(F.col("vec_id").alias(id_col)),
@@ -1805,19 +1986,26 @@ def all_pairs_rp_forest(
         broadcast_corpus = n_corpus * per_vec < gate
     e_hint = F.broadcast if broadcast_corpus else (lambda df: df)
 
+    eng = engine
+    if eng == "auto":
+        if node_table_broadcastable(forest):
+            eng = "numpy"
+        elif forest.path:
+            eng = "treelocal"  # beyond-gate persisted: side-loaded trees
+        else:
+            eng = "catalyst"
     visitors_all = None
-    if margin > 0.0:
+    if margin > 0.0 and tree_batches <= 1:
         # RECALL DIAL: spill visits ride into the SAME leaf-local groups
         # as query-only VISITOR rows (m=false). A visitor gains the
         # spilled leaf's members as candidates — the directed relation
         # of the generic search (visiting a leaf never makes the visitor
         # a candidate of that leaf's members) — so pair generation below
-        # filters candidates to m=true rows.
-        eng = engine
-        if eng == "auto":
-            eng = (
-                "numpy" if node_table_broadcastable(forest) else "catalyst"
-            )
+        # filters candidates to m=true rows. (In the tree-batched path
+        # the visitors are computed PER CHUNK instead — spill routing's
+        # member-by-tree exchange is the same |corpus| × trees volume
+        # the co-locating exchange pays, so it must be footprint-bounded
+        # by the same batching.)
         visitors_all = _self_spill_routes(
             forest, corpus, margin, id_col, vec_col, eng
         ).withColumnRenamed("rep_id", "vec_id")
@@ -1901,18 +2089,23 @@ def all_pairs_rp_forest(
         # be reclaimed before the next chunk runs; costs one corpus
         # scan per chunk.
         B = min(int(tree_batches), max(forest.num_trees, 1))
-        if visitors_all is not None:
-            visitors_all = visitors_all.localCheckpoint(eager=True)
         spark = corpus.sparkSession
         parts = []
         for b in range(B):
             chunk = [t for t in range(forest.num_trees) if t % B == b]
             lv = forest.leaves.filter(F.col("tree_id").isin(chunk))
-            vs = (
-                visitors_all.filter(F.col("tree_id").isin(chunk))
-                if visitors_all is not None
-                else None
-            )
+            vs = None
+            if margin > 0.0:
+                # chunk-scoped spill routing: spills are independent
+                # per (member, tree), so routing a leaves-subset view
+                # of the forest yields exactly this chunk's visitors
+                # while its exchange stays one chunk wide
+                from dataclasses import replace as _replace
+
+                vs = _self_spill_routes(
+                    _replace(forest, leaves=lv), corpus, margin,
+                    id_col, vec_col, eng,
+                ).withColumnRenamed("rep_id", "vec_id")
             chunk_topk = (
                 _leaf_pairs(lv, vs)
                 .groupBy("query_id", "vec_id")

@@ -554,3 +554,68 @@ def test_all_pairs_leaflocal_tree_batched_matches_single_dag(forest, emb):
         ).collect()
     }
     assert batched_sp == single_sp and len(single_sp) > 0
+
+
+def test_self_spill_routes_treelocal_matches_catalyst(spark, emb, tmp_path):
+    """The r10 beyond-broadcast-gate spill router (members shuffled by
+    tree, node slices side-loaded from the persisted partition-pruned
+    parquet, zero node bytes through an exchange) must emit the same
+    (rep_id, tree_id, leaf_path) spill set as the Catalyst join chain
+    and the broadcast numpy engine, over the same persisted index."""
+    from rust_vector_search_spark.operators.index import (
+        load_index,
+        save_index,
+    )
+    from rust_vector_search_spark.operators.search import (
+        _self_spill_routes,
+        resolve_spill_margin,
+    )
+
+    forest = build_rp_forest(emb, num_trees=6, max_node_size=5, seed=7)
+    path = str(tmp_path / "spill_idx")
+    # compact=False: the equivalence must hold bit-for-bit across three
+    # engines, so keep full-precision normals out of the comparison
+    save_index(forest, path, compact=False)
+    loaded = load_index(spark, path, num_trees=6, max_node_size=5, seed=7)
+    margin = resolve_spill_margin(
+        emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    sets = {}
+    for eng in ("catalyst", "numpy", "treelocal"):
+        sets[eng] = {
+            (r.rep_id, r.tree_id, r.leaf_path)
+            for r in _self_spill_routes(
+                loaded, emb, margin, "vec_id", "embedding", eng
+            ).collect()
+        }
+    assert sets["treelocal"] == sets["catalyst"] == sets["numpy"]
+    assert len(sets["treelocal"]) > 0
+    # and the all-pairs dial rides it end-to-end: auto on a persisted
+    # beyond-gate index resolves to treelocal (forced via the gate env)
+    from rust_vector_search_spark.operators.search import all_pairs_rp_forest
+
+    import os as _os
+    old = _os.environ.get("SPARK_GRAFT_BC_NODES_MB")
+    _os.environ["SPARK_GRAFT_BC_NODES_MB"] = "0"
+    try:
+        got = {
+            (r.query_id, r.vec_id, r.rnk)
+            for r in all_pairs_rp_forest(
+                loaded, emb, k=5, spill_margin=margin
+            ).collect()
+        }
+    finally:
+        if old is None:
+            del _os.environ["SPARK_GRAFT_BC_NODES_MB"]
+        else:
+            _os.environ["SPARK_GRAFT_BC_NODES_MB"] = old
+    want = {
+        (r.query_id, r.vec_id, r.rnk)
+        for r in all_pairs_rp_forest(
+            loaded, emb, k=5, spill_margin=margin, engine="catalyst"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
