@@ -485,9 +485,18 @@ def build_rp_forest_batched(
     dedup: bool = True,
     local_threshold: int = 8192,
     tree_batch_size: int = 8,
+    compact: bool = True,
 ) -> RPForest:
     """Build the forest ``tree_batch_size`` trees at a time, appending
     each batch to one tree_id-partitioned Parquet index at ``path``.
+
+    ``compact`` (default True, the r10 on-disk default — see
+    ``save_index``) stores each batch's coeffs as ``array<float>``;
+    this is the SCALE build path whose node-table footprint motivated
+    the compact format in the first place, so it must not silently
+    bypass it. Pass ``compact=False`` for bit-replayable doubles (the
+    bit-identity test does — geometry is computed in doubles either
+    way; compact only rounds the PERSISTED copy).
 
     Why: the phase-2 subtree exchange ships each vector once PER TREE
     (each subtree task needs its vectors' payloads) — at the reference's
@@ -549,9 +558,12 @@ def build_rp_forest_batched(
         # min/max pruning) — without it a depth-32 descent re-reads the
         # WHOLE node table 32 times (the dominant search cost measured
         # on parquet-backed indexes at the 250k/1M probes)
-        forest.nodes.withColumn(
-            "lvl", F.length("node_path")
-        ).sortWithinPartitions("lvl").write.mode("append").partitionBy(
+        batch_nodes = forest.nodes.withColumn("lvl", F.length("node_path"))
+        if compact:
+            batch_nodes = batch_nodes.withColumn(
+                "coeffs", F.col("coeffs").cast("array<float>")
+            )
+        batch_nodes.sortWithinPartitions("lvl").write.mode("append").partitionBy(
             "tree_id"
         ).parquet(f"{path}/nodes")
         forest.leaves.write.mode("append").partitionBy("tree_id").parquet(

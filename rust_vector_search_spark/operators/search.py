@@ -252,9 +252,11 @@ def _self_rep_mapping(forest, corpus, id_col: str, vec_col: str):
     equal-count path, not assumed: offsetting violations — a member
     missing from the corpus masked by one extra corpus row — would
     otherwise pass the count test silently and produce wrong
-    self-search results. The check is a slim id-only anti-join probed
-    with isEmpty (a limit-1 job), so the common dup-free case stays
-    cheap (ADVICE r9)."""
+    self-search results. The check is an id-only anti-join; proving it
+    EMPTY (the healthy case) does evaluate the full join, but both
+    sides are slim ids the surrounding counts already scanned — one
+    extra id-shuffle job per self-search call buys a loud contract
+    (ADVICE r9)."""
     n_corpus = corpus.count()
     n_members = forest.leaves.select("vec_id").distinct().count()
     if n_corpus == n_members:
@@ -1296,10 +1298,24 @@ def _route_self_spills_tree_local(
         forest.num_trees, spark.sparkContext.defaultParallelism
     ) or 1
 
+    import os as _os
+
+    cache_gate = (
+        int(_os.environ.get("SPARK_GRAFT_TREE_TASK_MB", "2048")) * 1024 * 1024
+    )
+
     def _spills(batches):
         import pyarrow.parquet as pq
 
-        tree_maps: dict = {}  # tree_id -> (key_to_idx, C, consts, norms)
+        # tree_id -> (key_to_idx, C, consts, norms); BYTE-GATED like
+        # _route_tree_local's trees-per-chunk bound: a task whose
+        # partition hashes several big trees together must not hold
+        # them all resident (at 1M x 300-d a tree's f64 node matrix is
+        # ~2 GB) — evict insertion-order once the coeff matrices exceed
+        # SPARK_GRAFT_TREE_TASK_MB (rows arrive grouped by tree, so an
+        # evicted tree is rarely re-read)
+        tree_maps: dict = {}
+        cache_bytes = [0]
 
         def _tree(t: int):
             got = tree_maps.get(t)
@@ -1337,7 +1353,16 @@ def _route_self_spills_tree_local(
                 norms = np.asarray(
                     tb.column("coeff_norm").to_pylist(), np.float64
                 )
-                got = tree_maps[t] = (k2i, C, consts, norms)
+                got = (k2i, C, consts, norms)
+                new_bytes = C.nbytes + consts.nbytes + norms.nbytes
+                while tree_maps and cache_bytes[0] + new_bytes > cache_gate:
+                    oldest = next(iter(tree_maps))
+                    _, ev_c, ev_k, ev_n = tree_maps.pop(oldest)
+                    cache_bytes[0] -= (
+                        ev_c.nbytes + ev_k.nbytes + ev_n.nbytes
+                    )
+                tree_maps[t] = got
+                cache_bytes[0] += new_bytes
             return got
 
         empty = pd.DataFrame({"rep_id": [], "tree_id": [], "leaf_path": []})
@@ -1650,6 +1675,13 @@ def search_rp_forest_self(
     (``_route_self_spills_local``), instead of the generic path's
     full corpus × trees × depth frontier. Falls back to the Catalyst
     spill chain when the node table exceeds the broadcast gate.
+
+    ``engine="treelocal"`` (r10) is the beyond-gate spill engine for
+    PERSISTED indexes: members shuffle once by tree and each task
+    side-loads its trees' node slices from the partition-pruned
+    parquet (``_route_self_spills_tree_local``) — prefer it over
+    "catalyst" when the node table exceeds the gate and
+    ``forest.path`` is set.
     """
     spark = corpus.sparkSession
     queries = corpus.select(
@@ -1995,20 +2027,24 @@ def all_pairs_rp_forest(
         else:
             eng = "catalyst"
     visitors_all = None
-    if margin > 0.0 and tree_batches <= 1:
+    if margin > 0.0 and not (tree_batches > 1 and eng == "treelocal"):
         # RECALL DIAL: spill visits ride into the SAME leaf-local groups
         # as query-only VISITOR rows (m=false). A visitor gains the
         # spilled leaf's members as candidates — the directed relation
         # of the generic search (visiting a leaf never makes the visitor
         # a candidate of that leaf's members) — so pair generation below
-        # filters candidates to m=true rows. (In the tree-batched path
-        # the visitors are computed PER CHUNK instead — spill routing's
-        # member-by-tree exchange is the same |corpus| × trees volume
-        # the co-locating exchange pays, so it must be footprint-bounded
-        # by the same batching.)
+        # filters candidates to m=true rows. (Under tree-batching the
+        # TREELOCAL engine instead routes per chunk — its member-by-tree
+        # exchange is the same |corpus| × trees volume the co-locating
+        # exchange pays, so it must be footprint-bounded by the same
+        # batching; the numpy/catalyst engines' cost is the node-map
+        # collect / seed join, which per-chunk runs would multiply by B,
+        # so those compute once here and filter by tree below.)
         visitors_all = _self_spill_routes(
             forest, corpus, margin, id_col, vec_col, eng
         ).withColumnRenamed("rep_id", "vec_id")
+        if tree_batches > 1:
+            visitors_all = visitors_all.localCheckpoint(eager=True)
 
     def _leaf_pairs(leaves_slice, visitors_slice):
         """Slim (query_id, vec_id, dist) pairs for one slice of the
@@ -2095,11 +2131,14 @@ def all_pairs_rp_forest(
             chunk = [t for t in range(forest.num_trees) if t % B == b]
             lv = forest.leaves.filter(F.col("tree_id").isin(chunk))
             vs = None
-            if margin > 0.0:
-                # chunk-scoped spill routing: spills are independent
-                # per (member, tree), so routing a leaves-subset view
-                # of the forest yields exactly this chunk's visitors
-                # while its exchange stays one chunk wide
+            if visitors_all is not None:
+                vs = visitors_all.filter(F.col("tree_id").isin(chunk))
+            elif margin > 0.0:
+                # chunk-scoped spill routing (treelocal): spills are
+                # independent per (member, tree), so routing a
+                # leaves-subset view of the forest yields exactly this
+                # chunk's visitors while its exchange stays one chunk
+                # wide
                 from dataclasses import replace as _replace
 
                 vs = _self_spill_routes(

@@ -155,6 +155,7 @@ def test_batched_build_bit_identical_to_monolithic(spark, tmp_path):
         seed=42,
         local_threshold=64,
         tree_batch_size=3,  # 3 + 3 + 1: exercises a ragged final batch
+        compact=False,  # bit-identity needs doubles; encoding tested apart
     )
 
     def node_set(f):

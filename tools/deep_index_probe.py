@@ -486,7 +486,12 @@ def cmd_ingest(args) -> None:
         leaves_path=f"{base_dir}/idx/leaves",
         checkpoint_path=f"{base_dir}/ingest_ckpt",
     )
-    ing.awaitTermination(1800)
+    if not ing.awaitTermination(1800):
+        ing.stop()
+        raise SystemExit(
+            "ingest did not finish within 1800 s - aborting before a "
+            "partially-ingested index is recorded as the result"
+        )
     t_ingest = time.time() - t0
     print(f"RESULT ingest: {t_ingest:.1f}s for {args.holdout} vectors",
           flush=True)
@@ -807,7 +812,12 @@ def cmd_lifecycle(args) -> None:
         leaves_path=f"{lc}/idx/leaves",
         checkpoint_path=f"{lc}/ingest_ckpt",
     )
-    ing.awaitTermination(1800)
+    if not ing.awaitTermination(1800):
+        ing.stop()
+        raise SystemExit(
+            "lifecycle ingest did not finish within 1800 s - aborting "
+            "before a partially-ingested index contaminates the chain"
+        )
     t_ingest = time.time() - t0
     aug = load_index(spark, f"{lc}/idx", num_trees=args.num_trees,
                      max_node_size=args.leaf, seed=42)
@@ -900,7 +910,7 @@ def main() -> None:
         "exchange (results identical to B=1)",
     )
     p.add_argument("--engine", default="leaflocal",
-                   choices=["leaflocal", "catalyst", "numpy"])
+                   choices=["leaflocal", "catalyst", "numpy", "treelocal"])
     p.add_argument("--no-baseline-append", action="store_true")
     p.add_argument("--cleanup", action="store_true")
     args = p.parse_args()
