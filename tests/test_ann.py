@@ -601,10 +601,12 @@ def test_self_spill_routes_treelocal_matches_catalyst(spark, emb, tmp_path):
     old = _os.environ.get("SPARK_GRAFT_BC_NODES_MB")
     _os.environ["SPARK_GRAFT_BC_NODES_MB"] = "0"
     try:
+        # tree_batches=3 exercises the chunk-scoped treelocal routing
+        # (each chunk routes spills from a leaves-subset forest view)
         got = {
             (r.query_id, r.vec_id, r.rnk)
             for r in all_pairs_rp_forest(
-                loaded, emb, k=5, spill_margin=margin
+                loaded, emb, k=5, spill_margin=margin, tree_batches=3
             ).collect()
         }
     finally:
