@@ -977,15 +977,25 @@ def forest_health_stats(forest: RPForest) -> DataFrame:
         the size distribution polarizes: some leaves drain, siblings
         stay full.
 
-    Thresholds are deployment-specific, but the r10 lifecycle probe at
-    250k × 300-d (reference geometry, BASELINE "lifecycle" row) ties
-    the numbers to measured recall: the fresh/maintained index reads
-    fill_ratio ≈ 0.5 / Gini ≈ 0.4 at recall 1.000, while after an 80%
-    delete + prune the survivors read noticeably lower fill and higher
-    Gini at recall ≈ 0.90 — when maintenance stops recovering recall,
-    these are the columns that moved, and a REBUILD (re-fitting the
-    hyperplanes to the surviving corpus) is the remedy
-    ``resplit``/``prune`` cannot provide."""
+    READ THE SIGNALS BEFORE MAINTENANCE, not after: pruning collapses
+    the emptied depth, so post-prune occupancy looks healthy even when
+    the hyperplanes are stale. Measured at 250k × 300-d reference
+    geometry (r10 lifecycle + shrink probes, BASELINE history rows):
+
+      fresh build          fill 0.618  gini 0.253   recall 1.000
+      after 10% ingest     fill 0.69   367k overgrown → resplit
+      after 30% delete     fill 0.47   → prune → recall 1.000
+      after 80% delete     fill 0.261  → prune → recall 0.896
+      post-prune (both)    fill ≈ 0.62 gini ≈ 0.25  ← indistinguishable
+
+    So: ``overgrown_leaves`` > 0 sizes the ``resplit_overgrown_leaves``
+    debt; a PRE-prune ``fill_ratio`` still above ~0.75× the fresh
+    baseline pruned back to full recall, while ~0.4× of fresh left
+    recall at 0.896 after pruning — once pre-maintenance fill has
+    fallen to roughly half its fresh value, prune reclaims the space
+    but not the quality, and a REBUILD (re-fitting hyperplanes to the
+    surviving corpus) is the remedy ``resplit``/``prune`` cannot
+    provide."""
     per_leaf = forest.leaves.groupBy("tree_id", "leaf_path").agg(
         F.count(F.lit(1)).alias("leaf_n")
     )

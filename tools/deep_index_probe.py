@@ -646,6 +646,24 @@ def cmd_shrink(args) -> None:
         f"{pruned.node_count}, max_depth {forest.max_depth} -> "
         f"{pruned.max_depth}", flush=True,
     )
+    # health columns at the EXTREME-deletion point (r10): this is the
+    # regime where post-prune recall decays (hyperplanes fit to the 5x
+    # denser pre-delete corpus) — record what the rebuild-trigger
+    # metric reads here vs the fresh/30%-delete lifecycle points
+    from rust_vector_search_spark.operators.index import forest_health_stats
+
+    for tag, f_ in (("fresh", forest), ("deleted80", thinned),
+                    ("pruned", pruned)):
+        h = forest_health_stats(f_).agg(
+            F.avg("fill_ratio").alias("fill"),
+            F.avg("occupancy_gini").alias("gini"),
+            F.avg(F.col("max_depth") - F.col("min_depth")).alias("dspread"),
+        ).collect()[0]
+        print(
+            f"RESULT shrink-health[{tag}]: fill={h.fill:.3f} "
+            f"gini={h.gini:.3f} depth_spread={h.dspread:.1f}",
+            flush=True,
+        )
 
     # persist the pruned index (same discipline as the maintain leg) so
     # the search runs the layout route and the disk shrink is recorded
