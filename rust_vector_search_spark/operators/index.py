@@ -95,6 +95,15 @@ class RPForest:
     # routing exploits that layout to read each tree as one pruned
     # single-partition scan instead of shuffling the whole node table
     path: "str | None" = None
+    # the FRESH build's per-tree health summary (list of plain dicts:
+    # tree_id, n_leaves, n_vectors, fill_ratio, occupancy_gini),
+    # captured the first time the index is saved and carried forward
+    # verbatim through maintenance (resplit/delete/prune re-saves keep
+    # the ORIGINAL baseline — it is the rebuild trigger's denominator,
+    # VERDICT r10 #2: an operator inheriting a months-old index needs
+    # the fresh fill to read "current fill vs fresh"). None ⇒ unsaved
+    # in-memory forest or a pre-r11 index with no health/ table.
+    fresh_health: "list[dict] | None" = None
 
 
 def _forest_stats(nodes: DataFrame) -> "tuple[int, int, int]":
@@ -536,7 +545,11 @@ def build_rp_forest_batched(
     # nodes/leaves: duplicate (tree_id, node_path) rows and silently
     # wrong search results (ADVICE r6, medium). Fails loudly if the
     # stale dirs cannot be removed.
-    _hadoop_delete_or_raise(spark, [f"{path}/nodes", f"{path}/leaves"])
+    # health/ too: a leftover baseline from a previous index at this
+    # path would make the FRESH build inherit a stale denominator
+    _hadoop_delete_or_raise(
+        spark, [f"{path}/nodes", f"{path}/leaves", f"{path}/health"]
+    )
 
     for offset in range(0, num_trees, tree_batch_size):
         batch = min(tree_batch_size, num_trees - offset)
@@ -580,7 +593,12 @@ def build_rp_forest_batched(
         except Exception:
             pass  # Spark Connect: no JVM handle; cleaner runs on its own
 
-    return load_index(spark, path, num_trees, max_node_size, seed)
+    built = load_index(spark, path, num_trees, max_node_size, seed)
+    # fresh batched build ⇒ no baseline on disk yet; record this
+    # build's health as the rebuild trigger's denominator
+    if built.fresh_health is None:
+        built.fresh_health = _write_health_baseline(built, path)
+    return built
 
 
 def subset_forest(forest: RPForest, num_trees: int) -> RPForest:
@@ -609,6 +627,12 @@ def subset_forest(forest: RPForest, num_trees: int) -> RPForest:
         dim=forest.dim,
         max_tree_nodes=max_tree_nodes,
         path=forest.path,
+        # per-tree baseline: keep only the surviving trees' rows
+        fresh_health=(
+            [r for r in forest.fresh_health if r["tree_id"] < num_trees]
+            if forest.fresh_health is not None
+            else None
+        ),
     )
 
 
@@ -811,6 +835,7 @@ def resplit_overgrown_leaves(
         dim=forest.dim,
         max_tree_nodes=max_tree_nodes,
         path=None,
+        fresh_health=forest.fresh_health,
     )
 
 
@@ -849,6 +874,7 @@ def delete_vectors(
         dim=forest.dim,
         max_tree_nodes=forest.max_tree_nodes,
         path=forest.path,
+        fresh_health=forest.fresh_health,
     )
 
 
@@ -952,6 +978,7 @@ def prune_underfull_subtrees(forest: RPForest) -> RPForest:
         dim=forest.dim,
         max_tree_nodes=max_tree_nodes,
         path=None,
+        fresh_health=forest.fresh_health,
     )
 
 
@@ -1029,6 +1056,99 @@ def forest_health_stats(forest: RPForest) -> DataFrame:
     )
 
 
+def forest_health_vs_fresh(
+    forest: RPForest, rebuild_fill_ratio: float = 0.5
+) -> DataFrame:
+    """``forest_health_stats`` plus the rebuild trigger's two columns
+    (VERDICT r10 #2): per-tree ``fill_vs_fresh`` — current fill_ratio
+    over the FRESH build's fill_ratio for the same tree, read from the
+    baseline ``save_index`` persisted at ``{path}/health`` — and
+    ``needs_rebuild`` (fill_vs_fresh < ``rebuild_fill_ratio``, default
+    the measured 0.5 knee: pre-maintenance fill at ~0.76× of fresh
+    pruned back to recall 1.000, ~0.42× left 0.896 — see
+    ``forest_health_stats``'s measured table). A forest with no stored
+    baseline (unsaved in-memory build, pre-r11 index) compares against
+    itself: fill_vs_fresh ≡ 1.0, needs_rebuild ≡ false — honest for a
+    fresh build, and explicitly "no baseline" via ``needs_rebuild()``'s
+    dict for the operational caller. READ BEFORE MAINTENANCE: pruning
+    collapses the emptied depth, so post-prune fill cannot see
+    hyperplane staleness."""
+    stats = forest_health_stats(forest)
+    if forest.fresh_health:
+        spark = forest.leaves.sparkSession
+        base = spark.createDataFrame(
+            [(int(r["tree_id"]), float(r["fill_ratio"]))
+             for r in forest.fresh_health],
+            schema="tree_id int, fresh_fill double",
+        )
+        stats = stats.join(F.broadcast(base), "tree_id", "left").withColumn(
+            "fill_vs_fresh",
+            F.when(
+                F.col("fresh_fill") > 0.0,
+                F.col("fill_ratio") / F.col("fresh_fill"),
+            ).otherwise(F.lit(1.0)),
+        ).drop("fresh_fill")
+    else:
+        stats = stats.withColumn("fill_vs_fresh", F.lit(1.0))
+    return stats.withColumn(
+        "needs_rebuild",
+        F.col("fill_vs_fresh") < F.lit(float(rebuild_fill_ratio)),
+    )
+
+
+def needs_rebuild(
+    forest: RPForest, rebuild_fill_ratio: float = 0.5
+) -> dict:
+    """The operational rebuild-vs-maintain verdict (VERDICT r10 #2),
+    one slim driver-side dict from one payload-free leaf scan:
+
+      current_fill   — forest-wide n_vectors / (n_leaves × leaf cap)
+      fresh_fill     — same, from the baseline stored at save time
+                       (None ⇒ no baseline: unsaved forest / pre-r11
+                       index — the ratio cannot be computed)
+      fill_vs_fresh  — current_fill / fresh_fill (None without baseline)
+      overgrown_leaves — resplit debt (ingest-side decay)
+      needs_rebuild  — fill_vs_fresh < ``rebuild_fill_ratio`` (False
+                       when no baseline exists: absence of evidence is
+                       surfaced, not guessed)
+
+    Call it BEFORE resplit/prune (see ``forest_health_stats``: post-
+    prune occupancy cannot see hyperplane staleness). The 0.5 default
+    is the measured knee — ~0.76× of fresh pruned back to recall
+    1.000 while ~0.42× left 0.896 (250k × 300-d lifecycle/shrink
+    probes, BASELINE.md r10)."""
+    agg = (
+        forest_health_stats(forest)
+        .agg(
+            F.sum("n_vectors").alias("nv"),
+            F.sum("n_leaves").alias("nl"),
+            F.sum("overgrown_leaves").alias("og"),
+        )
+        .collect()[0]
+    )
+    current = (
+        float(agg.nv) / (float(agg.nl) * float(forest.max_node_size))
+        if agg.nl
+        else 0.0
+    )
+    fresh = None
+    if forest.fresh_health:
+        f_nv = sum(int(r["n_vectors"]) for r in forest.fresh_health)
+        f_nl = sum(int(r["n_leaves"]) for r in forest.fresh_health)
+        if f_nl:
+            fresh = f_nv / (f_nl * float(forest.max_node_size))
+    ratio = current / fresh if fresh else None
+    return {
+        "current_fill": current,
+        "fresh_fill": fresh,
+        "fill_vs_fresh": ratio,
+        "overgrown_leaves": int(agg.og or 0),
+        "needs_rebuild": bool(
+            ratio is not None and ratio < rebuild_fill_ratio
+        ),
+    }
+
+
 def save_index(forest: RPForest, path: str, compact: bool = True) -> None:
     """Persist the forest as Parquet partitioned by tree_id — a NEW
     capability vs the reference (whose index dies with the process,
@@ -1063,6 +1183,40 @@ def save_index(forest: RPForest, path: str, compact: bool = True) -> None:
     forest.leaves.write.mode("overwrite").partitionBy("tree_id").parquet(
         f"{path}/leaves"
     )
+    _write_health_baseline(forest, path)
+
+
+_HEALTH_COLS = [
+    "tree_id", "n_leaves", "n_vectors", "fill_ratio", "occupancy_gini",
+]
+
+
+def _write_health_baseline(forest: RPForest, path: str) -> "list[dict]":
+    """Persist the FRESH-build health baseline at ``{path}/health`` —
+    the rebuild trigger's denominator (VERDICT r10 #2). If the forest
+    already carries a baseline (loaded from a prior index), that one is
+    carried forward VERBATIM: a maintenance re-save must not overwrite
+    the fresh fill with the post-maintenance fill, or the trigger's
+    ratio silently resets to 1.0 and a degraded index reads healthy.
+    Only a baseline-less forest (a fresh build) records its own current
+    health as the baseline. num_trees rows — negligible next to the
+    node table."""
+    if forest.fresh_health is not None:
+        rows = forest.fresh_health
+    else:
+        rows = [
+            {c: (int(r[c]) if c in ("tree_id", "n_leaves", "n_vectors")
+                 else float(r[c])) for c in _HEALTH_COLS}
+            for r in forest_health_stats(forest)
+            .select(*_HEALTH_COLS).collect()
+        ]
+    spark = forest.leaves.sparkSession
+    spark.createDataFrame(
+        [tuple(r[c] for c in _HEALTH_COLS) for r in rows],
+        schema="tree_id int, n_leaves long, n_vectors long, "
+               "fill_ratio double, occupancy_gini double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/health")
+    return rows
 
 
 def load_index(
@@ -1087,6 +1241,19 @@ def load_index(
         )
         .collect()[0]
     )
+    try:
+        # the fresh-build health baseline (save_index writes it since
+        # r11); missing on pre-r11 indexes ⇒ needs_rebuild reports
+        # "no baseline" instead of guessing
+        from pyspark.errors import AnalysisException
+
+        health = [
+            {c: (int(r[c]) if c in ("tree_id", "n_leaves", "n_vectors")
+                 else float(r[c])) for c in _HEALTH_COLS}
+            for r in spark.read.parquet(f"{path}/health").collect()
+        ]
+    except AnalysisException:
+        health = None
     return RPForest(
         nodes=nodes,
         leaves=spark.read.parquet(f"{path}/leaves"),
@@ -1098,4 +1265,5 @@ def load_index(
         dim=int(stats.dim or 0),
         max_tree_nodes=int(stats.mt or 0),
         path=path,
+        fresh_health=health,
     )

@@ -206,6 +206,62 @@ def _per_node_bytes(forest: RPForest) -> int:
     return (forest.dim or 64) * 8 + 120
 
 
+def auto_tree_batches(
+    forest: RPForest, n_corpus: int, spill_margin: float = 0.0
+) -> "tuple[int, int, int]":
+    """Size ``all_pairs_rp_forest``'s ``tree_batches`` from a disk
+    budget (VERDICT r10 #3 — moves the measured "≥ 10 at 250k, ≥ 20
+    with spill-frac ≥ 0.45 on a ~33 GB scratch disk" operating points
+    out of round-notes folklore and into the operator). Returns
+    ``(B, est_bytes, budget_bytes)``.
+
+    The co-locating exchange ships |corpus| × num_trees embedding-sized
+    rows (``_per_node_bytes`` — the same estimator every routing gate
+    uses, so the numbers agree); a spill margin adds visitor rows, up
+    to ~1× the member volume at the measured frac-0.45 point, so
+    ``spill_margin > 0`` doubles the estimate (the conservative end of
+    the measured range). The budget is ``SPARK_GRAFT_SHUFFLE_BUDGET_MB``
+    when set — on a real cluster, set it to a fraction of ONE
+    executor's scratch volume — else one tenth of the free space on the
+    driver-visible Spark local dir (honest in local mode where driver
+    and executors share the disk). The 10× headroom over the naive
+    estimate covers what the estimate cannot see: map- AND reduce-side
+    shuffle copies, the slim top-k window exchange, accumulated
+    per-chunk localCheckpoint blocks, and the ASYNC shuffle-file
+    release lagging up to a full chunk — calibrated so the measured
+    r10 points reproduce (250k plain → B≈10, 250k spill → B≈20 on the
+    33 GB-free container; both completed, while unbatched runs filled
+    the disk twice)."""
+    import math
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    per_row = _per_node_bytes(forest)
+    est = int(
+        n_corpus * max(forest.num_trees, 1) * per_row
+        * (2.0 if spill_margin and float(spill_margin) > 0.0 else 1.0)
+    )
+    mb = _os.environ.get("SPARK_GRAFT_SHUFFLE_BUDGET_MB")
+    if mb is not None:
+        budget = int(mb) * 1024 * 1024
+    else:
+        try:
+            local_dir = (
+                forest.leaves.sparkSession.conf.get(
+                    "spark.local.dir", _tempfile.gettempdir()
+                )
+                or _tempfile.gettempdir()
+            ).split(",")[0]
+            budget = _shutil.disk_usage(local_dir).free // 10
+        except Exception:
+            budget = 8 * 1024 * 1024 * 1024  # no disk probe: assume 8 GB
+    if budget <= 0:
+        return 1, est, budget
+    B = min(max(1, math.ceil(est / budget)), max(forest.num_trees, 1))
+    return B, est, budget
+
+
 def node_table_broadcastable(forest: RPForest) -> bool:
     """True when ``route_queries``' auto strategy takes the
     broadcast-map fast path (node table under SPARK_GRAFT_BC_NODES_MB).
@@ -1389,7 +1445,25 @@ def _route_self_spills_tree_local(
                     if len(act) == 0:
                         break
                     pfx = path_s.iloc[act].str.slice(0, d)
-                    idx = pfx.map(k2i).to_numpy(np.int64)
+                    mapped = pfx.map(k2i)
+                    if mapped.isna().any():
+                        # an ancestor on a member's leaf path that the
+                        # side-loaded node slice doesn't contain means
+                        # the persisted layout no longer matches the
+                        # in-memory leaves (stale or partially-written
+                        # save) — fail with the condition named instead
+                        # of numpy's opaque NaN-to-int cast error
+                        bad = str(pfx[mapped.isna()].iloc[0])
+                        raise ValueError(
+                            f"tree-local spill routing: ancestor path "
+                            f"{bad!r} of tree {int(t)} has no node in "
+                            f"the persisted layout at {nodes_root} — "
+                            "the on-disk index does not match the "
+                            "in-memory leaves (stale or partially-"
+                            "written save_index). Re-save the index or "
+                            "reload it before routing."
+                        )
+                    idx = mapped.to_numpy(np.int64)
                     v = np.einsum("ij,ij->i", C[idx], X[act]) + consts[idx]
                     with np.errstate(divide="ignore", invalid="ignore"):
                         near = np.abs(v) / norms[idx] < margin
@@ -1888,7 +1962,7 @@ def all_pairs_rp_forest(
     spill_margin: "float | str" = 0.0,
     engine: str = "auto",
     overgrowth_warn_factor: float = 4.0,
-    tree_batches: int = 1,
+    tree_batches: "int | str" = "auto",
 ) -> DataFrame:
     """All-pairs approximate kNN — the reference's flagship quality pass
     (``src/main.rs:100-123``: every corpus vector queries the index) in
@@ -1945,6 +2019,23 @@ def all_pairs_rp_forest(
     sequential-fold chain (the bit-exact twin of a DuckDB oracle
     replay).
 
+    Cross-engine ``dist`` reproducibility: the spill-routing engines
+    agree on the RESULT SET — same (query_id, vec_id, rnk) rows —
+    but only ``engine="catalyst"`` guarantees bit-equal ``dist``
+    doubles across runs and against the DuckDB oracle, because the
+    numpy/treelocal routers project with einsum/BLAS whose summation
+    order differs from Catalyst's sequential fold (pair distances
+    themselves are always the Catalyst fold — only which leaves a
+    member SPILLS into is engine-routed, and a near-margin ULP
+    straddle could in principle admit a different candidate). Pinned
+    by ``tests/test_ann.py::
+    test_self_spill_routes_treelocal_matches_catalyst``: exact spill-
+    set equality across all three engines on the seeded fixture, plus
+    rank-set equality of this function's output between the treelocal
+    and catalyst engines. Comparing persisted runs across engines or
+    hardware: compare (query_id, vec_id, rnk), not raw ``dist`` bits,
+    unless both runs forced ``engine="catalyst"``.
+
     ``broadcast_corpus``: "auto" broadcasts the slim (vec_id, emb)
     corpus into the leaves join while it fits SPARK_GRAFT_BC_QUERIES_MB
     (one exchange instead of two); past the gate both sides shuffle —
@@ -1953,14 +2044,25 @@ def all_pairs_rp_forest(
     ``tree_batches`` bounds the PEAK SHUFFLE FOOTPRINT: the
     co-locating exchange is |corpus| × num_trees embedding-sized rows,
     which can exceed a node's scratch disk long before the slim output
-    does (~120 GB at 1M × 300-d × 50 trees). B > 1 runs the identical
-    plan over num_trees/B trees at a time, cutting each chunk to
+    does (~120 GB at 1M × 300-d × 50 trees). ``"auto"`` (the default
+    since r11) sizes B from a disk budget — ``auto_tree_batches``:
+    SPARK_GRAFT_SHUFFLE_BUDGET_MB when set, else a tenth of free local
+    scratch, calibrated to reproduce the measured r10 operating points
+    (250k plain → B≈10, 250k spill → B≈20 on a 33 GB-free container) —
+    and resolves to 1 on small corpora, keeping the call lazy. B > 1
+    runs the identical plan over num_trees/B trees at a time, cutting each chunk to
     per-query top-k slim triples before materializing it
     (localCheckpoint — the call becomes EAGER) and releasing the
     chunk's shuffle files before the next chunk runs; results are
     bit-identical to B=1 because a pair's fold distance is the same in
     every tree, so every global top-k pair survives its own chunk's
     top-k cut and cross-chunk duplicates collapse to the same double.
+    Fault-tolerance trade (ADVICE r10): localCheckpoint drops lineage,
+    so an executor loss mid-run fails the whole multi-chunk job
+    instead of recomputing the lost chunk — acceptable on a single
+    node; for long cluster runs prefer reliable ``checkpoint()`` of
+    chunk results (checkpoint dir on durable storage) at the cost of
+    one extra write per chunk.
 
     PRECONDITION — the leaf-size invariant: per-leaf pair cost is
     QUADRATIC in leaf size, so the bounded-group claim above holds only
@@ -2006,6 +2108,24 @@ def all_pairs_rp_forest(
     # src/lib.rs:64-92): slim membership-count test; the wide
     # groupBy(embedding) mapping is built only when rows were excluded
     n_corpus, dup_map = _self_rep_mapping(forest, corpus, id_col, vec_col)
+
+    if tree_batches == "auto":
+        # size B from the disk budget (SPARK_GRAFT_SHUFFLE_BUDGET_MB or
+        # a tenth of free scratch) so the co-locating exchange fits —
+        # see auto_tree_batches for the calibration. Resolves to 1 on
+        # small corpora (the call stays LAZY); B > 1 makes it eager.
+        tree_batches, _ap_est, _ap_budget = auto_tree_batches(
+            forest, n_corpus, margin
+        )
+        if tree_batches > 1:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "all_pairs_rp_forest: tree_batches=auto -> %d "
+                "(exchange estimate %.1f GB, chunk budget %.1f GB)",
+                tree_batches, _ap_est / 2**30, _ap_budget / 2**30,
+            )
+    tree_batches = int(tree_batches)
 
     if broadcast_corpus == "auto":
         import os as _os

@@ -458,9 +458,13 @@ def ann_all_pairs_leaflocal(spark: SparkSession, sf_dir: str) -> DataFrame:
     forest = load_index(
         spark, _FIXTURE_DIR, num_trees=50, max_node_size=5, seed=42
     )
-    return all_pairs_rp_forest(forest, emb, k=K).select(
-        "query_id", "vec_id", "dist", "rnk"
-    )
+    # warn_factor=0: the committed fixture index is a fresh build (only
+    # tools/build_index_fixture.py writes it), so the leaf-size
+    # invariant provably holds — skip the eager max-leaf probe job
+    # (ADVICE r10)
+    return all_pairs_rp_forest(
+        forest, emb, k=K, overgrowth_warn_factor=0
+    ).select("query_id", "vec_id", "dist", "rnk")
 
 
 @register(
@@ -556,8 +560,11 @@ def ann_all_pairs_spill_leaflocal(spark: SparkSession, sf_dir: str) -> DataFrame
     forest = load_index(
         spark, _FIXTURE_DIR, num_trees=50, max_node_size=5, seed=42
     )
+    # warn_factor=0: fresh-build fixture index, invariant provably
+    # holds — skip the eager max-leaf probe job (ADVICE r10)
     return all_pairs_rp_forest(
-        forest, emb, k=K, spill_margin=_FIXTURE_MARGIN, engine="catalyst"
+        forest, emb, k=K, spill_margin=_FIXTURE_MARGIN, engine="catalyst",
+        overgrowth_warn_factor=0,
     ).select("query_id", "vec_id", "dist", "rnk")
 
 
@@ -676,12 +683,16 @@ def ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fill_ratio, occupancy_gini) that operationalize the
     rebuild-vs-maintain decision (VERDICT r9 #4; thresholds tied to
     measured recall in the 250k lifecycle probe, see
-    ``operators.index.forest_health_stats``)."""
-    from ..operators.index import forest_health_stats
+    ``operators.index.forest_health_stats``) — and, since r11, the
+    trigger's own columns (``fill_vs_fresh``, ``needs_rebuild``)
+    computed against the persisted fresh-build baseline
+    (``forest_health_vs_fresh``; a just-built forest compares to
+    itself: ratio 1.0, trigger quiet)."""
+    from ..operators.index import forest_health_vs_fresh
 
     emb = _emb(spark, sf_dir)
     forest = build_rp_forest(emb, num_trees=8, max_node_size=32, seed=42)
-    return forest_health_stats(forest)
+    return forest_health_vs_fresh(forest)
 
 
 # --- IVF × PQ: the billion-scale memory composition (Jégou et al. 2011) -------

@@ -516,6 +516,52 @@ def test_all_pairs_leaflocal_overgrown_leaf_warns(forest, emb):
         all_pairs_rp_forest(overgrown, emb, k=3, overgrowth_warn_factor=0)
 
 
+def test_auto_tree_batches_sizing_arithmetic():
+    """tree_batches="auto" (VERDICT r10 #3): B = ceil(estimated
+    co-locating exchange / budget), where the estimate is |corpus| ×
+    num_trees × per-row bytes (the shared _per_node_bytes estimator),
+    doubled under a spill margin, capped at num_trees, floored at 1.
+    Pinned at the measured r10 operating points: on the 33 GB-free
+    container (budget ≈ 3.3 GB at the free/10 default) the 250k plain
+    run needs B≈10 and the spill run B≈20 — reproduced here with the
+    budget env set to that value."""
+    import math
+    from types import SimpleNamespace
+
+    from rust_vector_search_spark.operators.search import (
+        _per_node_bytes,
+        auto_tree_batches,
+    )
+
+    f = SimpleNamespace(dim=300, num_trees=50, leaves=None)
+    old = os.environ.get("SPARK_GRAFT_SHUFFLE_BUDGET_MB")
+    os.environ["SPARK_GRAFT_SHUFFLE_BUDGET_MB"] = "3300"
+    try:
+        budget = 3300 * 1024 * 1024
+        per_row = _per_node_bytes(f)
+        # the r10 250k plain point: folklore said ">= 10"
+        B, est, got_budget = auto_tree_batches(f, 250_000, 0.0)
+        assert got_budget == budget
+        assert est == 250_000 * 50 * per_row
+        assert B == math.ceil(est / budget) == 10
+        # spill margin doubles the estimate (visitor rows): ">= 20"
+        B_sp, est_sp, _ = auto_tree_batches(f, 250_000, 0.35)
+        assert est_sp == 2 * est
+        assert B_sp == math.ceil(est_sp / budget) == 19
+        # small corpus resolves to 1 (call stays lazy)
+        assert auto_tree_batches(f, 600, 0.0)[0] == 1
+        # cap at num_trees, never beyond
+        assert auto_tree_batches(f, 10**9, 0.5)[0] == 50
+        # a zero/negative budget disables batching explicitly
+        os.environ["SPARK_GRAFT_SHUFFLE_BUDGET_MB"] = "0"
+        assert auto_tree_batches(f, 250_000, 0.0)[0] == 1
+    finally:
+        if old is None:
+            del os.environ["SPARK_GRAFT_SHUFFLE_BUDGET_MB"]
+        else:
+            os.environ["SPARK_GRAFT_SHUFFLE_BUDGET_MB"] = old
+
+
 def test_all_pairs_leaflocal_tree_batched_matches_single_dag(forest, emb):
     """tree_batches bounds the peak shuffle footprint (one chunk's
     co-locating exchange at a time) and must be result-identical to the
@@ -561,7 +607,18 @@ def test_self_spill_routes_treelocal_matches_catalyst(spark, emb, tmp_path):
     tree, node slices side-loaded from the persisted partition-pruned
     parquet, zero node bytes through an exchange) must emit the same
     (rep_id, tree_id, leaf_path) spill set as the Catalyst join chain
-    and the broadcast numpy engine, over the same persisted index."""
+    and the broadcast numpy engine, over the same persisted index.
+
+    FP-order caveat (ADVICE r10): the three engines sum the dot product
+    in different orders (numpy einsum / BLAS matmul vs Catalyst's
+    sequential fold), so a member whose |n·x+c|/‖n‖ lands within a few
+    ULPs of the margin — or whose descent projection lands at ~0 —
+    could legitimately differ between engines. The exact set-equality
+    assert is therefore pinned to THIS seed/corpus/margin (verified to
+    have no near-threshold rows); treat a failure after regenerating
+    the fixture as a possible ULP straddle at the margin before
+    suspecting the routers, and check |n·x+c|/‖n‖ − margin for the
+    differing rows first."""
     from rust_vector_search_spark.operators.index import (
         load_index,
         save_index,

@@ -190,6 +190,16 @@ def cmd_allpairs(args) -> None:
     _ensure_index(args.index, args.n, args.num_trees, args.leaf)
     spark = get_spark(app_name="deep_index_probe_allpairs")
     emb, forest = _load(spark, args.index, args.num_trees, args.leaf)
+    if args.subset and args.subset < forest.num_trees:
+        # the TREES dial (src/main.rs:141 fixes it at build time; here
+        # one persisted index serves any smaller operating point via
+        # tree_id partition pruning) — lets the r11 trees-vs-margin
+        # frontier run 50/100/150-tree points off ONE 150-tree build
+        from rust_vector_search_spark.operators.index import subset_forest
+
+        forest = subset_forest(forest, args.subset)
+        print(f"subset to first {args.subset} trees "
+              f"({forest.node_count} nodes)", flush=True)
     n_corpus = emb.count()
     t0 = time.time()
     if args.engine == "leaflocal":
@@ -210,9 +220,24 @@ def cmd_allpairs(args) -> None:
                 ),
                 frac=1.0,
             )
+        tb = args.tree_batches
+        if tb != "auto":
+            tb = int(tb)
+        else:
+            from rust_vector_search_spark.operators.search import (
+                auto_tree_batches,
+            )
+
+            tb, est, budget = auto_tree_batches(forest, n_corpus, margin)
+            print(
+                f"tree_batches=auto -> {tb} (exchange est "
+                f"{est / 2**30:.1f} GB, chunk budget "
+                f"{budget / 2**30:.1f} GB)",
+                flush=True,
+            )
         searched = all_pairs_rp_forest(
             forest, emb, k=args.k, spill_margin=margin,
-            tree_batches=args.tree_batches,
+            tree_batches=tb,
         )
     else:
         searched = search_rp_forest_self(
@@ -243,8 +268,14 @@ def cmd_allpairs(args) -> None:
     )
     recall = _recall_vs_exact(spark, emb, sample_approx, sample_q, args.k)
     tag = args.engine
+    if args.subset:
+        tag += f" trees={forest.num_trees}"
     if args.engine == "leaflocal":
-        tag += f" spill_frac={args.spill_frac} batches={args.tree_batches}"
+        resolved = tb if args.tree_batches == "auto" else args.tree_batches
+        tag += (
+            f" spill_frac={args.spill_frac} batches={resolved}"
+            + (" (auto)" if args.tree_batches == "auto" else "")
+        )
     print(
         f"RESULT allpairs: {wall:.1f}s / {n_corpus} corpus queries "
         f"({1000.0 * wall / n_corpus:.2f} ms/q, {n_rows} rows) "
@@ -796,13 +827,31 @@ def cmd_lifecycle(args) -> None:
             F.sum("overgrown_leaves").alias("over"),
             F.max("max_leaf_size").alias("mx"),
         ).collect()[0]
+        # the r11 rebuild trigger, read at every step against the
+        # persisted fresh baseline: this chain is HEALTHY by design
+        # (30% delete leaves pre-prune fill at ~0.76x of fresh, above
+        # the 0.5 knee), so the trigger must stay quiet throughout —
+        # a firing here means the baseline carry-forward or the ratio
+        # broke (VERDICT r10 #2 "Done" condition)
+        from rust_vector_search_spark.operators.index import needs_rebuild
+
+        v = needs_rebuild(forest)
+        ratio = v["fill_vs_fresh"]
         print(
             f"RESULT lifecycle[{tag}]: search {t_search:.1f}s "
             f"recall@{args.k}={recall:.3f} fill={h.fill:.3f} "
             f"gini={h.gini:.3f} overgrown={int(h.over)} "
-            f"max_leaf={int(h.mx)}",
+            f"max_leaf={int(h.mx)} "
+            f"fill_vs_fresh={'n/a' if ratio is None else f'{ratio:.3f}'} "
+            f"needs_rebuild={v['needs_rebuild']}",
             flush=True,
         )
+        if v["needs_rebuild"]:
+            raise SystemExit(
+                f"lifecycle[{tag}]: rebuild trigger fired on a healthy "
+                f"chain (fill_vs_fresh={ratio}) — baseline carry-forward "
+                "or ratio arithmetic is broken"
+            )
         traj.append((tag, recall, float(h.fill), float(h.gini), int(h.over)))
         return recall
 
@@ -922,13 +971,20 @@ def main() -> None:
         "auto point; 0 = single-probe)",
     )
     p.add_argument(
-        "--tree-batches", type=int, default=1,
+        "--tree-batches", default="auto",
         help="allpairs leaflocal engine: bound the peak shuffle "
         "footprint by processing num_trees/B trees per co-locating "
-        "exchange (results identical to B=1)",
+        "exchange (results identical to B=1); 'auto' (default) sizes "
+        "B from SPARK_GRAFT_SHUFFLE_BUDGET_MB or free scratch/10",
     )
     p.add_argument("--engine", default="leaflocal",
                    choices=["leaflocal", "catalyst", "numpy", "treelocal"])
+    p.add_argument(
+        "--subset", type=int, default=0,
+        help="allpairs: restrict to the first N trees of the loaded "
+        "index (subset_forest; partition-pruned) — the trees dial for "
+        "the trees-vs-margin frontier",
+    )
     p.add_argument("--no-baseline-append", action="store_true")
     p.add_argument("--cleanup", action="store_true")
     args = p.parse_args()
