@@ -2019,6 +2019,24 @@ def all_pairs_rp_forest(
     sequential-fold chain (the bit-exact twin of a DuckDB oracle
     replay).
 
+    WHICH DIAL TO TURN (measured, r11 frontier — BASELINE.md): on hard
+    (weakly-clustered) corpora the recall dial you should reach for
+    FIRST is the forest size, not the margin. At the mixed-σ=1.0 250k
+    point, 150 trees at single-probe reads recall 0.382 @ 1.16 ms/q
+    while 50 trees + frac-0.3 margin reads 0.408 @ 7.3–8.8 ms/q —
+    trees are 6–7.5× cheaper per query at matched recall, because each
+    tree adds ONE bounded leaf group per member (linear), while spill
+    visitors pay pairwise work in every group along every near-plane
+    ancestor (superlinear as the margin widens). Trees cost build time
+    and footprint instead (150 trees: 1123 s build, 23 GB vs 480 s /
+    8 GB at 50) — amortized over a single whole-corpus pass they still
+    win. Use ``spill_margin`` when the index is FIXED (inherited, or
+    num_trees at the footprint ceiling) or the recall target is past
+    affordable tree counts (the measured 0.490 point needed frac 0.45;
+    the trees curve extrapolates that to ~250 trees ≈ 38 GB). On
+    clustered corpora single-probe at the reference's 50 trees already
+    reads ~0.95 and neither dial is needed.
+
     Cross-engine ``dist`` reproducibility: the spill-routing engines
     agree on the RESULT SET — same (query_id, vec_id, rnk) rows —
     but only ``engine="catalyst"`` guarantees bit-equal ``dist``
