@@ -1097,10 +1097,16 @@ def forest_health_vs_fresh(
 
 
 def needs_rebuild(
-    forest: RPForest, rebuild_fill_ratio: float = 0.5
+    forest: RPForest,
+    rebuild_fill_ratio: float = 0.5,
+    stats: "DataFrame | None" = None,
 ) -> dict:
     """The operational rebuild-vs-maintain verdict (VERDICT r10 #2),
-    one slim driver-side dict from one payload-free leaf scan:
+    one slim driver-side dict from one payload-free leaf scan plus the
+    per-tree ranking window ``forest_health_stats`` builds (pass a
+    precomputed/checkpointed ``stats`` DataFrame — the output of
+    ``forest_health_stats`` — to share that scan with other consumers,
+    as the lifecycle probe does):
 
       current_fill   — forest-wide n_vectors / (n_leaves × leaf cap)
       fresh_fill     — same, from the baseline stored at save time
@@ -1118,7 +1124,7 @@ def needs_rebuild(
     1.000 while ~0.42× left 0.896 (250k × 300-d lifecycle/shrink
     probes, BASELINE.md r10)."""
     agg = (
-        forest_health_stats(forest)
+        (stats if stats is not None else forest_health_stats(forest))
         .agg(
             F.sum("n_vectors").alias("nv"),
             F.sum("n_leaves").alias("nl"),
@@ -1171,7 +1177,19 @@ def save_index(forest: RPForest, path: str, compact: bool = True) -> None:
     compact index is NOT bit-replayable by the full-precision DuckDB
     oracle descent, so oracle-replayed fixtures (and any other
     bit-identity consumer) must pass ``compact=False`` explicitly
-    (tools/build_index_fixture.py does)."""
+    (tools/build_index_fixture.py does).
+
+    Health baseline: the save also records the rebuild trigger's
+    denominator at ``{path}/health`` (see ``_write_health_baseline``)
+    and assigns it back onto ``forest.fresh_health``, so the in-memory
+    object and the persisted index agree — a later maintenance re-save
+    of the SAME object carries the baseline forward instead of
+    re-recording post-maintenance health as "fresh". For a
+    baseline-less forest that was itself LOADED from a pre-r11 index
+    (``path`` set, no ``health/`` table), the recorded baseline is the
+    index's CURRENT health — a RE-ANCHOR, not a fresh measurement: the
+    trigger will read degradation relative to this save. That case
+    warns, so inheriting operators know the denominator's provenance."""
     nodes = forest.nodes.withColumn("lvl", F.length("node_path"))
     if compact:
         nodes = nodes.withColumn(
@@ -1183,12 +1201,39 @@ def save_index(forest: RPForest, path: str, compact: bool = True) -> None:
     forest.leaves.write.mode("overwrite").partitionBy("tree_id").parquet(
         f"{path}/leaves"
     )
-    _write_health_baseline(forest, path)
+    if forest.fresh_health is None and forest.path is not None:
+        import warnings
+
+        warnings.warn(
+            f"save_index: forest was loaded from {forest.path!r} which "
+            "carries no health baseline (pre-r11 index) — recording its "
+            "CURRENT health as the baseline. needs_rebuild will measure "
+            "degradation relative to this save, not to the original "
+            "fresh build.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # assign back: the in-memory forest must agree with what was
+    # persisted, or a later re-save of this same object would hit the
+    # baseline-less branch and stamp post-maintenance health as fresh
+    forest.fresh_health = _write_health_baseline(forest, path)
 
 
 _HEALTH_COLS = [
     "tree_id", "n_leaves", "n_vectors", "fill_ratio", "occupancy_gini",
 ]
+
+
+def _health_rows(rows) -> "list[dict]":
+    """Coerce collected health Rows to plain dicts (ints for counts,
+    floats for ratios) — ONE coercion shared by the persist and load
+    sites so the baseline round-trips through parquet without the two
+    ends drifting apart."""
+    return [
+        {c: (int(r[c]) if c in ("tree_id", "n_leaves", "n_vectors")
+             else float(r[c])) for c in _HEALTH_COLS}
+        for r in rows
+    ]
 
 
 def _write_health_baseline(forest: RPForest, path: str) -> "list[dict]":
@@ -1204,12 +1249,9 @@ def _write_health_baseline(forest: RPForest, path: str) -> "list[dict]":
     if forest.fresh_health is not None:
         rows = forest.fresh_health
     else:
-        rows = [
-            {c: (int(r[c]) if c in ("tree_id", "n_leaves", "n_vectors")
-                 else float(r[c])) for c in _HEALTH_COLS}
-            for r in forest_health_stats(forest)
-            .select(*_HEALTH_COLS).collect()
-        ]
+        rows = _health_rows(
+            forest_health_stats(forest).select(*_HEALTH_COLS).collect()
+        )
     spark = forest.leaves.sparkSession
     spark.createDataFrame(
         [tuple(r[c] for c in _HEALTH_COLS) for r in rows],
@@ -1247,11 +1289,9 @@ def load_index(
         # "no baseline" instead of guessing
         from pyspark.errors import AnalysisException
 
-        health = [
-            {c: (int(r[c]) if c in ("tree_id", "n_leaves", "n_vectors")
-                 else float(r[c])) for c in _HEALTH_COLS}
-            for r in spark.read.parquet(f"{path}/health").collect()
-        ]
+        health = _health_rows(
+            spark.read.parquet(f"{path}/health").collect()
+        )
     except AnalysisException:
         health = None
     return RPForest(

@@ -256,6 +256,13 @@ def auto_tree_batches(
             budget = _shutil.disk_usage(local_dir).free // 10
         except Exception:
             budget = 8 * 1024 * 1024 * 1024  # no disk probe: assume 8 GB
+        # floor the DERIVED budget (not an explicit env value) at
+        # 256 MB: a nearly-full disk must not flip small-corpus plans
+        # (whose whole exchange is a few MB) into eager multi-chunk
+        # runs — laziness of small plans should not depend on how full
+        # the host's scratch happens to be. Explicit env settings are
+        # taken at face value, including 0 to disable batching.
+        budget = max(budget, 256 * 1024 * 1024)
     if budget <= 0:
         return 1, est, budget
     B = min(max(1, math.ceil(est / budget)), max(forest.num_trees, 1))

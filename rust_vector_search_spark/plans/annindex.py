@@ -461,9 +461,11 @@ def ann_all_pairs_leaflocal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # warn_factor=0: the committed fixture index is a fresh build (only
     # tools/build_index_fixture.py writes it), so the leaf-size
     # invariant provably holds — skip the eager max-leaf probe job
-    # (ADVICE r10)
+    # (ADVICE r10). tree_batches=1: the oracle query's plan must stay
+    # LAZY and host-independent (auto batching keys off free scratch
+    # disk; the fixture's whole exchange is a few MB)
     return all_pairs_rp_forest(
-        forest, emb, k=K, overgrowth_warn_factor=0
+        forest, emb, k=K, overgrowth_warn_factor=0, tree_batches=1
     ).select("query_id", "vec_id", "dist", "rnk")
 
 
@@ -561,10 +563,11 @@ def ann_all_pairs_spill_leaflocal(spark: SparkSession, sf_dir: str) -> DataFrame
         spark, _FIXTURE_DIR, num_trees=50, max_node_size=5, seed=42
     )
     # warn_factor=0: fresh-build fixture index, invariant provably
-    # holds — skip the eager max-leaf probe job (ADVICE r10)
+    # holds — skip the eager max-leaf probe job (ADVICE r10).
+    # tree_batches=1: lazy, host-independent plan (see above)
     return all_pairs_rp_forest(
         forest, emb, k=K, spill_margin=_FIXTURE_MARGIN, engine="catalyst",
-        overgrowth_warn_factor=0,
+        overgrowth_warn_factor=0, tree_batches=1,
     ).select("query_id", "vec_id", "dist", "rnk")
 
 

@@ -361,6 +361,10 @@ def test_health_baseline_saved_and_loaded(spark, tmp_path):
     path = str(tmp_path / "idx_h")
     save_index(forest, path)
     assert os.path.isdir(f"{path}/health")
+    # save_index assigns the recorded baseline back onto the object: a
+    # later maintenance re-save of THIS forest must hit the
+    # carry-forward branch, not re-record post-maintenance health
+    assert forest.fresh_health is not None
     loaded = load_index(spark, path, num_trees=4, max_node_size=8, seed=42)
     assert loaded.fresh_health is not None
     assert {r["tree_id"] for r in loaded.fresh_health} == {0, 1, 2, 3}
@@ -394,20 +398,22 @@ def test_health_baseline_carries_through_maintenance(spark, tmp_path):
     loaded = load_index(spark, path, num_trees=3, max_node_size=8, seed=7)
     base = loaded.fresh_health
 
-    # the 0.76x analog: delete 24% -> trigger stays quiet
+    # the 0.76x analog: delete 25% -> fill_vs_fresh ~0.75, quiet
     light = delete_vectors(
         loaded, emb.filter(F.col("vec_id") % 4 == 0).select("vec_id")
     )
     v_light = needs_rebuild(light)
-    assert 0.7 < v_light["fill_vs_fresh"] < 0.82
+    assert 0.7 < v_light["fill_vs_fresh"] < 0.8
     assert v_light["needs_rebuild"] is False
 
-    # the 0.42x analog: delete ~58% -> trigger fires
+    # the 0.42x analog: delete 60% -> fill_vs_fresh ~0.40, JUST past
+    # the 0.5 knee — pins the near-threshold firing, not a far-past-it
+    # point a drifted threshold would still pass
     heavy = delete_vectors(
-        loaded, emb.filter(F.col("vec_id") % 5 != 0).select("vec_id")
+        loaded, emb.filter(F.col("vec_id") % 5 < 3).select("vec_id")
     )
     v_heavy = needs_rebuild(heavy)
-    assert v_heavy["fill_vs_fresh"] < 0.5
+    assert 0.35 < v_heavy["fill_vs_fresh"] < 0.45
     assert v_heavy["needs_rebuild"] is True
 
     # re-save the maintained forest: baseline carried forward verbatim
@@ -418,3 +424,20 @@ def test_health_baseline_carries_through_maintenance(spark, tmp_path):
     v_re = needs_rebuild(reloaded)
     assert v_re["needs_rebuild"] is True
     assert abs(v_re["fill_vs_fresh"] - v_heavy["fill_vs_fresh"]) < 1e-9
+
+    # re-saving a baseline-less LOADED index (pre-r11 layout) warns
+    # that the recorded baseline is a re-anchor, not a fresh build
+    import warnings
+
+    import dataclasses
+
+    pre_r11 = dataclasses.replace(reloaded, fresh_health=None)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        save_index(pre_r11, str(tmp_path / "idx_m3"))
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "no health baseline" in str(w.message)
+        for w in caught
+    )
+    assert pre_r11.fresh_health is not None  # re-anchored to current

@@ -821,7 +821,11 @@ def cmd_lifecycle(args) -> None:
         approx.count()
         t_search = time.time() - t0
         recall = _recall_vs_exact(spark, corpus, approx, q, args.k)
-        h = forest_health_stats(forest).agg(
+        # per-tree stats materialized ONCE (tiny: num_trees rows) so the
+        # printed health row and the trigger verdict below share one
+        # leaf scan instead of paying it twice per step
+        stats = forest_health_stats(forest).localCheckpoint(eager=True)
+        h = stats.agg(
             F.avg("fill_ratio").alias("fill"),
             F.avg("occupancy_gini").alias("gini"),
             F.sum("overgrown_leaves").alias("over"),
@@ -835,7 +839,7 @@ def cmd_lifecycle(args) -> None:
         # broke (VERDICT r10 #2 "Done" condition)
         from rust_vector_search_spark.operators.index import needs_rebuild
 
-        v = needs_rebuild(forest)
+        v = needs_rebuild(forest, stats=stats)
         ratio = v["fill_vs_fresh"]
         print(
             f"RESULT lifecycle[{tag}]: search {t_search:.1f}s "
