@@ -2040,9 +2040,13 @@ def all_pairs_rp_forest(
     win. Use ``spill_margin`` when the index is FIXED (inherited, or
     num_trees at the footprint ceiling) or the recall target is past
     affordable tree counts (the measured 0.490 point needed frac 0.45;
-    the trees curve extrapolates that to ~250 trees ≈ 38 GB). On
-    clustered corpora single-probe at the reference's 50 trees already
-    reads ~0.95 and neither dial is needed.
+    the trees curve extrapolates that to ~250 trees ≈ 38 GB). The
+    dials COMPOSE when both are affordable: 150 trees + frac 0.15
+    measured recall 0.643 on the same regime — past anything either
+    dial reached alone — at 28.8 ms/q (see BASELINE r11 for the two
+    cost caveats on that wall). On clustered corpora single-probe at
+    the reference's 50 trees already reads ~0.95 and neither dial is
+    needed.
 
     Cross-engine ``dist`` reproducibility: the spill-routing engines
     agree on the RESULT SET — same (query_id, vec_id, rnk) rows —
