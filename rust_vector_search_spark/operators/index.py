@@ -104,6 +104,15 @@ class RPForest:
     # the fresh fill to read "current fill vs fresh"). None ⇒ unsaved
     # in-memory forest or a pre-r11 index with no health/ table.
     fresh_health: "list[dict] | None" = None
+    # provenance bit for the re-anchor warning (ADVICE r11): True iff
+    # this forest descends from a LOADED index that carried no health
+    # baseline (pre-r11 layout). ``path`` alone cannot carry it —
+    # resplit/prune return path=None — so without this bit the
+    # load→resplit→save migration path would silently stamp
+    # POST-maintenance health as the fresh baseline, the exact reset
+    # ``_write_health_baseline`` exists to prevent. Maintenance ops
+    # carry it forward; ``save_index`` consults it to warn.
+    loaded_without_baseline: bool = False
 
 
 def _forest_stats(nodes: DataFrame) -> "tuple[int, int, int]":
@@ -633,6 +642,7 @@ def subset_forest(forest: RPForest, num_trees: int) -> RPForest:
             if forest.fresh_health is not None
             else None
         ),
+        loaded_without_baseline=forest.loaded_without_baseline,
     )
 
 
@@ -836,6 +846,7 @@ def resplit_overgrown_leaves(
         max_tree_nodes=max_tree_nodes,
         path=None,
         fresh_health=forest.fresh_health,
+        loaded_without_baseline=forest.loaded_without_baseline,
     )
 
 
@@ -875,6 +886,7 @@ def delete_vectors(
         max_tree_nodes=forest.max_tree_nodes,
         path=forest.path,
         fresh_health=forest.fresh_health,
+        loaded_without_baseline=forest.loaded_without_baseline,
     )
 
 
@@ -979,6 +991,7 @@ def prune_underfull_subtrees(forest: RPForest) -> RPForest:
         max_tree_nodes=max_tree_nodes,
         path=None,
         fresh_health=forest.fresh_health,
+        loaded_without_baseline=forest.loaded_without_baseline,
     )
 
 
@@ -1072,22 +1085,48 @@ def forest_health_vs_fresh(
     fresh build, and explicitly "no baseline" via ``needs_rebuild()``'s
     dict for the operational caller. READ BEFORE MAINTENANCE: pruning
     collapses the emptied depth, so post-prune fill cannot see
-    hyperplane staleness."""
+    hyperplane staleness.
+
+    DRAINED LEAVES (ADVICE r11, medium): ``forest_health_stats`` can
+    only count leaves with surviving members — the leaf table has no
+    rows for a leaf whose members were ALL deleted — so under CLUSTERED
+    deletion (a tenant/region takedown drains whole leaves while
+    siblings stay full) the naive ratio current_fill / fresh_fill stays
+    near 1.0 while recall decays: the drained leaves vanish from the
+    numerator AND the denominator. The trigger therefore measures
+    current fill against ``greatest(current n_leaves, BASELINE
+    n_leaves)`` per tree — a drained leaf still counts in the
+    denominator (the hyperplanes that carved it still exist and still
+    route queries into it), while legitimate structural growth
+    (resplit after ingest) keeps using the larger current count. Hence
+    ``fill_vs_fresh`` here is NOT simply fill_ratio / fresh fill
+    whenever leaves have fully drained — it is deliberately lower."""
     stats = forest_health_stats(forest)
     if forest.fresh_health:
         spark = forest.leaves.sparkSession
         base = spark.createDataFrame(
-            [(int(r["tree_id"]), float(r["fill_ratio"]))
+            [(int(r["tree_id"]), float(r["fill_ratio"]),
+              int(r["n_leaves"]))
              for r in forest.fresh_health],
-            schema="tree_id int, fresh_fill double",
+            schema="tree_id int, fresh_fill double, fresh_n_leaves long",
         )
         stats = stats.join(F.broadcast(base), "tree_id", "left").withColumn(
             "fill_vs_fresh",
             F.when(
                 F.col("fresh_fill") > 0.0,
-                F.col("fill_ratio") / F.col("fresh_fill"),
+                (
+                    F.col("n_vectors")
+                    / (
+                        F.greatest(
+                            F.col("n_leaves"),
+                            F.coalesce("fresh_n_leaves", "n_leaves"),
+                        )
+                        * F.lit(float(forest.max_node_size))
+                    )
+                )
+                / F.col("fresh_fill"),
             ).otherwise(F.lit(1.0)),
-        ).drop("fresh_fill")
+        ).drop("fresh_fill", "fresh_n_leaves")
     else:
         stats = stats.withColumn("fill_vs_fresh", F.lit(1.0))
     return stats.withColumn(
@@ -1108,8 +1147,18 @@ def needs_rebuild(
     ``forest_health_stats`` — to share that scan with other consumers,
     as the lifecycle probe does):
 
-      current_fill   — forest-wide n_vectors / (n_leaves × leaf cap)
-      fresh_fill     — same, from the baseline stored at save time
+      current_fill   — forest-wide n_vectors / (effective n_leaves ×
+                       leaf cap), where effective n_leaves is
+                       max(current, baseline) PER TREE — a leaf whose
+                       members were all deleted has no leaf-table rows
+                       (``forest_health_stats`` cannot count it) but
+                       its hyperplanes still route queries into it, so
+                       it stays in the denominator; without this,
+                       CLUSTERED deletion that drains whole leaves
+                       reads near-1.0 fill while recall decays
+                       (ADVICE r11, medium). Structural growth
+                       (resplit) uses the larger current count.
+      fresh_fill     — from the baseline stored at save time
                        (None ⇒ no baseline: unsaved forest / pre-r11
                        index — the ratio cannot be computed)
       fill_vs_fresh  — current_fill / fresh_fill (None without baseline)
@@ -1119,36 +1168,52 @@ def needs_rebuild(
                        surfaced, not guessed)
 
     Call it BEFORE resplit/prune (see ``forest_health_stats``: post-
-    prune occupancy cannot see hyperplane staleness). The 0.5 default
-    is the measured knee — ~0.76× of fresh pruned back to recall
-    1.000 while ~0.42× left 0.896 (250k × 300-d lifecycle/shrink
-    probes, BASELINE.md r10)."""
-    agg = (
+    prune occupancy cannot see hyperplane staleness — though the
+    baseline-leaves denominator keeps post-prune readings from
+    REBOUNDING: collapsing drained depth cannot raise the ratio). The
+    0.5 default is the measured knee — ~0.76× of fresh pruned back to
+    recall 1.000 while ~0.42× left 0.896 (250k × 300-d lifecycle/shrink
+    probes, BASELINE.md r10). The occupancy trigger cannot see
+    hyperplane STALENESS where fill recovers (e.g. distribution drift
+    from skewed ingest); pair it with the sampled
+    ``operators.search.estimate_recall`` probe for a routing-quality
+    read."""
+    per_tree = (
         (stats if stats is not None else forest_health_stats(forest))
-        .agg(
-            F.sum("n_vectors").alias("nv"),
-            F.sum("n_leaves").alias("nl"),
-            F.sum("overgrown_leaves").alias("og"),
+        .select("tree_id", "n_leaves", "n_vectors", "overgrown_leaves")
+        .collect()  # ≤ num_trees slim rows — same single scan as before
+    )
+    cap = float(forest.max_node_size)
+    nv = sum(int(r.n_vectors) for r in per_tree)
+    og = sum(int(r.overgrown_leaves or 0) for r in per_tree)
+    base = (
+        {int(r["tree_id"]): r for r in forest.fresh_health}
+        if forest.fresh_health
+        else None
+    )
+    if base is None:
+        nl_eff = sum(int(r.n_leaves) for r in per_tree)
+    else:
+        # per-tree max(current, baseline) leaves; a tree whose leaf
+        # table emptied entirely still contributes its baseline leaves
+        cur_nl = {int(r.tree_id): int(r.n_leaves) for r in per_tree}
+        nl_eff = sum(
+            max(cur_nl.get(t, 0), int(base[t]["n_leaves"]) if t in base else 0)
+            for t in set(cur_nl) | set(base)
         )
-        .collect()[0]
-    )
-    current = (
-        float(agg.nv) / (float(agg.nl) * float(forest.max_node_size))
-        if agg.nl
-        else 0.0
-    )
+    current = nv / (nl_eff * cap) if nl_eff else 0.0
     fresh = None
-    if forest.fresh_health:
+    if base is not None:
         f_nv = sum(int(r["n_vectors"]) for r in forest.fresh_health)
         f_nl = sum(int(r["n_leaves"]) for r in forest.fresh_health)
         if f_nl:
-            fresh = f_nv / (f_nl * float(forest.max_node_size))
+            fresh = f_nv / (f_nl * cap)
     ratio = current / fresh if fresh else None
     return {
         "current_fill": current,
         "fresh_fill": fresh,
         "fill_vs_fresh": ratio,
-        "overgrown_leaves": int(agg.og or 0),
+        "overgrown_leaves": og,
         "needs_rebuild": bool(
             ratio is not None and ratio < rebuild_fill_ratio
         ),
@@ -1185,11 +1250,15 @@ def save_index(forest: RPForest, path: str, compact: bool = True) -> None:
     object and the persisted index agree — a later maintenance re-save
     of the SAME object carries the baseline forward instead of
     re-recording post-maintenance health as "fresh". For a
-    baseline-less forest that was itself LOADED from a pre-r11 index
-    (``path`` set, no ``health/`` table), the recorded baseline is the
-    index's CURRENT health — a RE-ANCHOR, not a fresh measurement: the
-    trigger will read degradation relative to this save. That case
-    warns, so inheriting operators know the denominator's provenance."""
+    baseline-less forest that descends from a LOADED pre-r11 index (no
+    ``health/`` table — tracked by ``loaded_without_baseline``, which
+    maintenance ops carry even though they drop ``path``, ADVICE r11),
+    the recorded baseline is the index's CURRENT health — a RE-ANCHOR,
+    not a fresh measurement: the trigger will read degradation relative
+    to this save. That case warns, so inheriting operators know the
+    denominator's provenance — including on the realistic migration
+    path load → resplit/prune → save, where the health being stamped is
+    already POST-maintenance."""
     nodes = forest.nodes.withColumn("lvl", F.length("node_path"))
     if compact:
         nodes = nodes.withColumn(
@@ -1201,15 +1270,21 @@ def save_index(forest: RPForest, path: str, compact: bool = True) -> None:
     forest.leaves.write.mode("overwrite").partitionBy("tree_id").parquet(
         f"{path}/leaves"
     )
-    if forest.fresh_health is None and forest.path is not None:
+    if forest.fresh_health is None and (
+        forest.path is not None or forest.loaded_without_baseline
+    ):
         import warnings
 
+        origin = (
+            f"was loaded from {forest.path!r}"
+            if forest.path is not None
+            else "descends from a loaded index"
+        )
         warnings.warn(
-            f"save_index: forest was loaded from {forest.path!r} which "
-            "carries no health baseline (pre-r11 index) — recording its "
-            "CURRENT health as the baseline. needs_rebuild will measure "
-            "degradation relative to this save, not to the original "
-            "fresh build.",
+            f"save_index: forest {origin} which carries no health "
+            "baseline (pre-r11 index) — recording its CURRENT health as "
+            "the baseline. needs_rebuild will measure degradation "
+            "relative to this save, not to the original fresh build.",
             RuntimeWarning,
             stacklevel=2,
         )
@@ -1306,4 +1381,5 @@ def load_index(
         max_tree_nodes=int(stats.mt or 0),
         path=path,
         fresh_health=health,
+        loaded_without_baseline=health is None,
     )

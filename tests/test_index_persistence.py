@@ -441,3 +441,99 @@ def test_health_baseline_carries_through_maintenance(spark, tmp_path):
         for w in caught
     )
     assert pre_r11.fresh_health is not None  # re-anchored to current
+
+
+def test_clustered_delete_drained_leaves_detected(spark, tmp_path):
+    """ADVICE r11 (medium): clustered deletion that empties WHOLE leaves
+    (a tenant/region takedown) drops the drained leaves out of the leaf
+    table entirely, so the naive per-surviving-leaf fill barely moves —
+    the drift pattern the trigger targets would read healthy. The
+    trigger must keep drained leaves in the denominator (their
+    hyperplanes still route queries into them) and fire."""
+    from rust_vector_search_spark.operators.index import (
+        delete_vectors,
+        forest_health_stats,
+        forest_health_vs_fresh,
+        needs_rebuild,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    forest = build_rp_forest(emb, num_trees=1, max_node_size=8, seed=42)
+    save_index(forest, str(tmp_path / "idx_cd"))
+    base = forest.fresh_health[0]
+
+    # victim selection: whole leaves (path-ordered — arbitrary w.r.t.
+    # occupancy) until ~60% of members are covered; every victim leaf
+    # drains COMPLETELY, every survivor is untouched
+    target = 0.6 * base["n_vectors"]
+    victims, covered = [], 0
+    for r in (
+        forest.leaves.groupBy("leaf_path")
+        .count()
+        .orderBy("leaf_path")
+        .collect()
+    ):
+        if covered >= target:
+            break
+        victims.append(r["leaf_path"])
+        covered += r["count"]
+    victim_ids = forest.leaves.filter(
+        F.col("leaf_path").isin(victims)
+    ).select("vec_id")
+    maimed = delete_vectors(forest, victim_ids)
+
+    # the naive surviving-leaf fill is blind: survivors are untouched,
+    # so fill_ratio over NON-EMPTY leaves stays near the fresh value
+    naive = forest_health_stats(maimed).collect()[0]
+    assert naive.fill_ratio / base["fill_ratio"] > 0.85
+
+    # ...but the trigger sees the drained leaves and fires
+    v = needs_rebuild(maimed)
+    assert 0.25 < v["fill_vs_fresh"] < 0.45
+    assert v["needs_rebuild"] is True
+    row = forest_health_vs_fresh(maimed).collect()[0]
+    assert 0.25 < row.fill_vs_fresh < 0.45
+    assert bool(row.needs_rebuild) is True
+
+
+def test_save_warns_for_baselineless_descendant(spark, tmp_path):
+    """ADVICE r11 (low): the realistic pre-r11 migration path
+    load → delete/prune → save. Maintenance ops return path=None, so
+    the re-anchor warning cannot key on path alone — the
+    loaded_without_baseline provenance bit must carry through, or the
+    POST-maintenance health is silently stamped as the fresh
+    baseline."""
+    import shutil
+    import warnings
+
+    from rust_vector_search_spark.operators.index import (
+        delete_vectors,
+        prune_underfull_subtrees,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    forest = build_rp_forest(emb, num_trees=2, max_node_size=8, seed=7)
+    path = str(tmp_path / "idx_pre")
+    save_index(forest, path)
+    shutil.rmtree(f"{path}/health")  # simulate a pre-r11 index layout
+
+    loaded = load_index(spark, path, num_trees=2, max_node_size=8, seed=7)
+    assert loaded.fresh_health is None
+    assert loaded.loaded_without_baseline is True
+
+    maimed = prune_underfull_subtrees(
+        delete_vectors(
+            loaded, emb.filter(F.col("vec_id") % 5 < 3).select("vec_id")
+        )
+    )
+    assert maimed.path is None  # prune did real work and dropped path
+    assert maimed.loaded_without_baseline is True
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        save_index(maimed, str(tmp_path / "idx_pre2"))
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "no health baseline" in str(w.message)
+        for w in caught
+    )
