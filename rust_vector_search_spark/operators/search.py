@@ -231,20 +231,50 @@ def auto_tree_batches(
     release lagging up to a full chunk — calibrated so the measured
     r10 points reproduce (250k plain → B≈10, 250k spill → B≈20 on the
     33 GB-free container; both completed, while unbatched runs filled
-    the disk twice)."""
+    the disk twice).
+
+    TREES-PER-CHUNK FLOOR (VERDICT r11 #1): each chunk pays FIXED
+    costs — the member exchange setup and the per-chunk node-table
+    side-load — that multiply with B, so a footprint-only B is
+    wall-pathological exactly when disk is tight (measured: free
+    scratch down to ~22 GB resolved B=81 ≈ 2 trees/chunk on a 150-tree
+    forest, and a large share of that run's 7,205 s wall was batching
+    overhead, not search). When the budget is DERIVED from free disk —
+    a heuristic with 10× headroom already built in — B is capped so
+    every chunk keeps at least ``SPARK_GRAFT_MIN_TREES_PER_CHUNK``
+    trees (default 5), with a RuntimeWarning when the cap binds (the
+    per-chunk footprint then exceeds the derived budget: free scratch,
+    or set the budget explicitly). An EXPLICIT env budget is a hard
+    user constraint and is never overridden — the floor only warns
+    there."""
     import math
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
+    import warnings as _warnings
+
+    def _env_int(name: str, default: "int | None") -> "int | None":
+        raw = _os.environ.get(name)
+        if raw is None:
+            return default
+        try:
+            return int(float(raw))  # accept "300.5"; reject "8g" loudly
+        except ValueError:
+            raise ValueError(
+                f"{name}={raw!r} is not a number — expected an integer "
+                f"(MB for budgets, a count for floors); unset it or fix "
+                f"the value"
+            ) from None
 
     per_row = _per_node_bytes(forest)
     est = int(
         n_corpus * max(forest.num_trees, 1) * per_row
         * (2.0 if spill_margin and float(spill_margin) > 0.0 else 1.0)
     )
-    mb = _os.environ.get("SPARK_GRAFT_SHUFFLE_BUDGET_MB")
-    if mb is not None:
-        budget = int(mb) * 1024 * 1024
+    mb = _env_int("SPARK_GRAFT_SHUFFLE_BUDGET_MB", None)
+    explicit_budget = mb is not None
+    if explicit_budget:
+        budget = mb * 1024 * 1024
     else:
         try:
             local_dir = (
@@ -265,8 +295,54 @@ def auto_tree_batches(
         budget = max(budget, 256 * 1024 * 1024)
     if budget <= 0:
         return 1, est, budget
-    B = min(max(1, math.ceil(est / budget)), max(forest.num_trees, 1))
+    n_trees = max(forest.num_trees, 1)
+    B = min(max(1, math.ceil(est / budget)), n_trees)
+    min_tpc = max(_env_int("SPARK_GRAFT_MIN_TREES_PER_CHUNK", 5), 1)
+    b_cap = max(1, math.ceil(n_trees / min_tpc))
+    if B > b_cap:
+        if explicit_budget:
+            # a hard user constraint: honor it, but don't degrade
+            # silently — per-chunk fixed costs now multiply ×B
+            _warnings.warn(
+                f"auto_tree_batches: the explicit "
+                f"SPARK_GRAFT_SHUFFLE_BUDGET_MB budget forces "
+                f"{B} chunks (<{min_tpc} trees/chunk on {n_trees} "
+                f"trees); per-chunk fixed costs (member exchange, "
+                f"node side-load) multiply with the chunk count — "
+                f"expect wall degradation. Raise the budget to reduce "
+                f"chunks.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        else:
+            # derived budget = free/10, a heuristic with 10× headroom:
+            # cap B at the floor and warn that the margin is thinner
+            _warnings.warn(
+                f"auto_tree_batches: free scratch would resolve "
+                f"{B} chunks (<{min_tpc} trees/chunk on {n_trees} "
+                f"trees) — capping at {b_cap} to bound per-chunk fixed "
+                f"costs. Each chunk's exchange "
+                f"(~{est / b_cap / 2**30:.1f} GB naive estimate) now "
+                f"exceeds a tenth of free space; free scratch disk, or "
+                f"set SPARK_GRAFT_SHUFFLE_BUDGET_MB / "
+                f"SPARK_GRAFT_MIN_TREES_PER_CHUNK=1 to choose the "
+                f"trade explicitly.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            B = b_cap
     return B, est, budget
+
+
+# what all_pairs_rp_forest's LAST call actually resolved its "auto"
+# knobs to (tree_batches, spill_margin, engine, broadcast_corpus, plus
+# the batching estimate/budget) — the SINGLE resolution point callers
+# read instead of re-running the resolution themselves (VERDICT r11
+# #4: tools/deep_index_probe.py used to call auto_tree_batches a
+# second time to print the chosen B; a second call site can drift
+# silently from the one the operator used). Populated at plan-build
+# time, before any job runs; per-process, like the operator itself.
+LAST_ALL_PAIRS_PLAN: dict = {}
 
 
 def node_table_broadcastable(forest: RPForest) -> bool:
@@ -2138,6 +2214,7 @@ def all_pairs_rp_forest(
     # groupBy(embedding) mapping is built only when rows were excluded
     n_corpus, dup_map = _self_rep_mapping(forest, corpus, id_col, vec_col)
 
+    _ap_est = _ap_budget = None  # set on the auto path; surfaced in LAST_ALL_PAIRS_PLAN
     if tree_batches == "auto":
         # size B from the disk budget (SPARK_GRAFT_SHUFFLE_BUDGET_MB or
         # a tenth of free scratch) so the co-locating exchange fits —
@@ -2175,6 +2252,22 @@ def all_pairs_rp_forest(
             eng = "treelocal"  # beyond-gate persisted: side-loaded trees
         else:
             eng = "catalyst"
+    # single resolution point (VERDICT r11 #4): callers that passed
+    # "auto" knobs read what was ACTUALLY chosen from here instead of
+    # re-running the resolution themselves (a second call site can
+    # silently drift from the one the operator used)
+    LAST_ALL_PAIRS_PLAN.clear()
+    LAST_ALL_PAIRS_PLAN.update(
+        {
+            "tree_batches": tree_batches,
+            "tree_batches_est_bytes": _ap_est,
+            "tree_batches_budget_bytes": _ap_budget,
+            "spill_margin": margin,
+            "engine": eng,
+            "broadcast_corpus": bool(broadcast_corpus),
+            "n_corpus": n_corpus,
+        }
+    )
     visitors_all = None
     if margin > 0.0 and not (tree_batches > 1 and eng == "treelocal"):
         # RECALL DIAL: spill visits ride into the SAME leaf-local groups

@@ -562,6 +562,70 @@ def test_auto_tree_batches_sizing_arithmetic():
             os.environ["SPARK_GRAFT_SHUFFLE_BUDGET_MB"] = old
 
 
+def test_auto_tree_batches_floor_and_env_validation():
+    """VERDICT r11 #1: footprint-only B is wall-pathological on a
+    nearly-full disk (measured: auto resolved B=81 ≈ 2 trees/chunk on a
+    150-tree forest, multiplying per-chunk fixed costs into the 7,205 s
+    combined-dial wall). With a DERIVED budget (free/10 heuristic) the
+    chunk count is capped so every chunk keeps at least
+    SPARK_GRAFT_MIN_TREES_PER_CHUNK trees, with a warning; an EXPLICIT
+    env budget is a hard user constraint — honored, warn only. ADVICE
+    r11 (low): malformed env values raise an error NAMING the variable
+    instead of a bare int() ValueError."""
+    import math
+    from types import SimpleNamespace
+
+    from rust_vector_search_spark.operators.search import (
+        _per_node_bytes,
+        auto_tree_batches,
+    )
+
+    f = SimpleNamespace(dim=300, num_trees=150, leaves=None)
+    per_row = _per_node_bytes(f)
+    old = os.environ.get("SPARK_GRAFT_SHUFFLE_BUDGET_MB")
+    try:
+        # DERIVED budget (env unset; no session on f ⇒ the 8 GB
+        # fallback): 400k × 150 trees × 2 (spill) ≈ 280 GB estimate
+        # wants B=36 < 2 trees/chunk territory — capped at
+        # ceil(150/5)=30 with a warning
+        os.environ.pop("SPARK_GRAFT_SHUFFLE_BUDGET_MB", None)
+        est = 400_000 * 150 * per_row * 2
+        b_footprint = math.ceil(est / (8 * 1024**3))
+        assert b_footprint > 30  # the premise: footprint B violates the floor
+        with pytest.warns(RuntimeWarning, match="capping at 30"):
+            B, _, _ = auto_tree_batches(f, 400_000, 0.45)
+        assert B == 30
+        # floor is tunable; =1 restores pure footprint sizing, silent
+        os.environ["SPARK_GRAFT_MIN_TREES_PER_CHUNK"] = "1"
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("error", RuntimeWarning)
+            B_raw, _, _ = auto_tree_batches(f, 400_000, 0.45)
+        assert B_raw == b_footprint
+        del os.environ["SPARK_GRAFT_MIN_TREES_PER_CHUNK"]
+
+        # EXPLICIT budget: honored even below the floor — warn only
+        os.environ["SPARK_GRAFT_SHUFFLE_BUDGET_MB"] = "2300"
+        with pytest.warns(RuntimeWarning, match="explicit"):
+            B_exp, est_exp, _ = auto_tree_batches(f, 250_000, 0.45)
+        assert B_exp == math.ceil(est_exp / (2300 * 1024 * 1024)) > 30
+
+        # fractional MB accepted (int(float(...)))
+        os.environ["SPARK_GRAFT_SHUFFLE_BUDGET_MB"] = "2300.5"
+        assert auto_tree_batches(f, 600, 0.0)[0] == 1
+        # malformed value: a named error, not a bare int() crash
+        os.environ["SPARK_GRAFT_SHUFFLE_BUDGET_MB"] = "8g"
+        with pytest.raises(ValueError, match="SPARK_GRAFT_SHUFFLE_BUDGET_MB"):
+            auto_tree_batches(f, 250_000, 0.0)
+    finally:
+        os.environ.pop("SPARK_GRAFT_MIN_TREES_PER_CHUNK", None)
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_SHUFFLE_BUDGET_MB", None)
+        else:
+            os.environ["SPARK_GRAFT_SHUFFLE_BUDGET_MB"] = old
+
+
 def test_all_pairs_leaflocal_tree_batched_matches_single_dag(forest, emb):
     """tree_batches bounds the peak shuffle footprint (one chunk's
     co-locating exchange at a time) and must be result-identical to the

@@ -220,25 +220,30 @@ def cmd_allpairs(args) -> None:
                 ),
                 frac=1.0,
             )
-        tb = args.tree_batches
-        if tb != "auto":
-            tb = int(tb)
-        else:
-            from rust_vector_search_spark.operators.search import (
-                auto_tree_batches,
-            )
+        # pass "auto" THROUGH and read what the operator actually chose
+        # from its single resolution point afterwards (VERDICT r11 #4:
+        # a second auto_tree_batches call here could drift silently)
+        tb = args.tree_batches if args.tree_batches == "auto" else int(
+            args.tree_batches
+        )
+        searched = all_pairs_rp_forest(
+            forest, emb, k=args.k, spill_margin=margin,
+            tree_batches=tb,
+        )
+        from rust_vector_search_spark.operators.search import (
+            LAST_ALL_PAIRS_PLAN,
+        )
 
-            tb, est, budget = auto_tree_batches(forest, n_corpus, margin)
+        tb = LAST_ALL_PAIRS_PLAN["tree_batches"]
+        if args.tree_batches == "auto":
+            est = LAST_ALL_PAIRS_PLAN["tree_batches_est_bytes"]
+            budget = LAST_ALL_PAIRS_PLAN["tree_batches_budget_bytes"]
             print(
                 f"tree_batches=auto -> {tb} (exchange est "
                 f"{est / 2**30:.1f} GB, chunk budget "
                 f"{budget / 2**30:.1f} GB)",
                 flush=True,
             )
-        searched = all_pairs_rp_forest(
-            forest, emb, k=args.k, spill_margin=margin,
-            tree_batches=tb,
-        )
     else:
         searched = search_rp_forest_self(
             forest, emb, k=args.k, spill_margin=args.spill_margin,
@@ -271,9 +276,8 @@ def cmd_allpairs(args) -> None:
     if args.subset:
         tag += f" trees={forest.num_trees}"
     if args.engine == "leaflocal":
-        resolved = tb if args.tree_batches == "auto" else args.tree_batches
         tag += (
-            f" spill_frac={args.spill_frac} batches={resolved}"
+            f" spill_frac={args.spill_frac} batches={tb}"
             + (" (auto)" if args.tree_batches == "auto" else "")
         )
     print(
