@@ -42,6 +42,7 @@ __all__ = [
     "all_pairs_rp_forest",
     "route_queries",
     "resolve_spill_margin",
+    "estimate_recall",
 ]
 
 
@@ -2443,3 +2444,77 @@ def all_pairs_rp_forest(
     return deduped.withColumn(
         "rnk", F.row_number().over(w).cast("long")
     ).filter(F.col("rnk") <= k)
+
+
+def estimate_recall(
+    forest: RPForest,
+    corpus: DataFrame,
+    n_sample: int = 100,
+    k: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    spill_margin: "float | str" = "auto",
+) -> dict:
+    """Sampled ROUTING-QUALITY probe (VERDICT r11 #2) — the complement
+    the occupancy trigger measurably lacks: ``needs_rebuild`` reads
+    fill, and fill cannot see hyperplane STALENESS where occupancy
+    recovers (measured on the 250k lifecycle: ingest RAISES fill to
+    1.111×, and an 80%-delete + prune leg sat at recall 0.896 while
+    occupancy looked healthy — BASELINE.md r10/r11). This measures the
+    quality directly: route ``n_sample`` seeded corpus queries through
+    the index (``search_rp_forest`` with the same defaults production
+    search uses) and compare against exact BLAS kNN on the SAME sample
+    (``knn_exact_fast``).
+
+    Returns ``{"recall", "hits", "total", "n_sample", "k", "seed"}``
+    where recall = |approx ∩ exact| / |exact| over the sampled queries.
+
+    COST CONTRACT (bounded, one-shot):
+      - sampling is a seeded hash order + limit — per-partition top-N
+        then a driver merge of slim (id, vec) rows, never a full sort;
+      - the approx side is one normal forest search over ``n_sample``
+        queries (broadcast-sized by contract);
+      - the exact side is one corpus scan with an Arrow/BLAS block
+        top-k per batch — O(n_sample × |corpus|) multiply-adds, the
+        same bounded shape as the probes' recall legs — and
+        ``knn_exact_fast``'s driver-collect gate rejects oversized
+        samples (SPARK_GRAFT_BC_QUERIES_MB) instead of OOMing.
+
+    ``corpus`` is the CURRENT corpus the index serves (post-delete:
+    the survivors) — both sides rank the same candidate set, so the
+    number is the recall a user's query sees today. Deterministic for
+    a fixed (corpus, seed): the sample is xxhash64-ordered with
+    deterministic (dist, vec_id) tie-breaks on both sides. Read it
+    NEXT TO ``needs_rebuild``: fill answers "is the structure
+    degraded", this answers "does routing still find the true
+    neighbors" — the rebuild decision wants both."""
+    from .knn import knn_exact_fast
+
+    q = (
+        corpus.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+        )
+        .orderBy(F.xxhash64("query_id", F.lit(seed)), "query_id")
+        .limit(int(n_sample))
+        .localCheckpoint(eager=True)
+    )
+    n_q = q.count()
+    approx = search_rp_forest(
+        forest, corpus, q, k=k,
+        id_col=id_col, vec_col=vec_col, spill_margin=spill_margin,
+    ).select("query_id", "vec_id")
+    exact = knn_exact_fast(
+        corpus, q, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "vec_id").localCheckpoint(eager=True)
+    total = exact.count()
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    return {
+        "recall": (hits / total) if total else 1.0,
+        "hits": int(hits),
+        "total": int(total),
+        "n_sample": int(n_q),
+        "k": int(k),
+        "seed": int(seed),
+    }

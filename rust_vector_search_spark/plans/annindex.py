@@ -838,3 +838,36 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, _queries(emb), k=K, m=_M, sub_dim=_SUB_DIM,
         cb_stride=_CB_STRIDE, prefilter_k=_PREFILTER_K,
     ).select("query_id", "vec_id", "dist", "rnk")
+
+
+# --- sampled routing-quality staleness probe (rows-only) -----------------------
+
+@register("ann_recall_estimate")
+def ann_recall_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 staleness probe as a queryable surface (VERDICT r11 #2):
+    ``operators.search.estimate_recall`` routes a seeded corpus sample
+    through the index and compares against exact BLAS kNN on the same
+    sample — the routing-quality complement to the occupancy trigger's
+    ``fill_vs_fresh`` (fill cannot see hyperplane staleness where
+    occupancy recovers; see ``needs_rebuild``). One row: the recall,
+    sample accounting, and the trigger's own verdict for the same
+    forest, so the rebuild decision's two inputs sit side by side.
+    Rows-only (seeded build + BLAS re-rank have no SQL twin); the
+    mechanics are pinned in tests/test_index_maintenance.py."""
+    from ..operators.index import needs_rebuild
+    from ..operators.search import estimate_recall
+
+    emb = _emb(spark, sf_dir)
+    forest = build_rp_forest(emb, num_trees=8, max_node_size=32, seed=42)
+    er = estimate_recall(forest, emb, n_sample=50, k=K, seed=7)
+    v = needs_rebuild(forest)
+    return spark.createDataFrame(
+        [(
+            float(er["recall"]), int(er["hits"]), int(er["total"]),
+            int(er["n_sample"]), int(er["k"]), int(er["seed"]),
+            float(v["current_fill"]), bool(v["needs_rebuild"]),
+        )],
+        schema="recall double, hits long, total long, n_sample long, "
+               "k long, seed long, current_fill double, "
+               "needs_rebuild boolean",
+    )

@@ -319,3 +319,69 @@ def test_forest_health_stats_track_lifecycle_decay(spark, overgrown):
     for t, r in shrunk_stats.items():
         assert r.fill_ratio < fresh_stats[t].fill_ratio
         assert r.occupancy_gini > fresh_stats[t].occupancy_gini
+
+
+def test_estimate_recall_mechanics(spark):
+    """estimate_recall (VERDICT r11 #2): the sampled routing-quality
+    probe next to the occupancy trigger. Pins: (1) deterministic for a
+    fixed (corpus, seed); (2) exact regime — a single-leaf forest
+    (max_node_size >= |corpus|) routes every query to the whole corpus,
+    so recall is exactly 1.0; (3) bounds and the cost contract's sample
+    honoring."""
+    from rust_vector_search_spark.operators.index import build_rp_forest
+    from rust_vector_search_spark.operators.search import estimate_recall
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+    # exact regime: leaf cap >= corpus => one leaf per tree => brute force
+    wide = build_rp_forest(emb, num_trees=2, max_node_size=600, seed=42)
+    r = estimate_recall(wide, emb, n_sample=20, k=5, seed=3)
+    assert r["recall"] == 1.0
+    assert r["n_sample"] == 20 and r["k"] == 5
+    assert r["total"] == r["hits"] == 20 * 5
+
+    # a selective forest: bounded, deterministic, seed-sensitive sample
+    forest = build_rp_forest(emb, num_trees=4, max_node_size=8, seed=42)
+    a = estimate_recall(forest, emb, n_sample=30, k=5, seed=1)
+    b = estimate_recall(forest, emb, n_sample=30, k=5, seed=1)
+    assert a == b
+    assert 0.0 <= a["recall"] <= 1.0
+    assert a["total"] <= 30 * 5
+
+
+def test_estimate_recall_complements_fill_trigger(spark, tmp_path):
+    """The division of labor (VERDICT r11 #2): after a mass delete +
+    prune, the drained-leaf-aware fill trigger fires (structure
+    degraded — pre-r12 this read ~1.0 and was BLIND), and
+    estimate_recall reads the routing quality of the surviving corpus
+    directly — the number that tells the operator whether the firing
+    is urgent. At smoke scale the survivors' recall stays high (a
+    smaller corpus is easier), which is exactly the case where reading
+    ONLY fill would over-alarm: the pair of signals is the point."""
+    from rust_vector_search_spark.operators.index import (
+        build_rp_forest,
+        delete_vectors,
+        needs_rebuild,
+        prune_underfull_subtrees,
+        save_index,
+    )
+    from rust_vector_search_spark.operators.search import estimate_recall
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    forest = build_rp_forest(emb, num_trees=4, max_node_size=8, seed=42)
+    save_index(forest, str(tmp_path / "idx_er"))
+
+    survivors = emb.filter(F.col("vec_id") % 5 == 0)
+    pruned = prune_underfull_subtrees(
+        delete_vectors(
+            forest, emb.filter(F.col("vec_id") % 5 != 0).select("vec_id")
+        )
+    )
+    v = needs_rebuild(pruned)
+    # 80% gone: the occupancy trigger sees it even post-prune now
+    assert v["fill_vs_fresh"] < 0.3
+    assert v["needs_rebuild"] is True
+    # the quality read over the CURRENT corpus is a separate signal
+    er = estimate_recall(pruned, survivors, n_sample=30, k=5, seed=1)
+    assert 0.0 <= er["recall"] <= 1.0
+    assert er["n_sample"] == 30

@@ -685,18 +685,36 @@ def cmd_shrink(args) -> None:
     # regime where post-prune recall decays (hyperplanes fit to the 5x
     # denser pre-delete corpus) — record what the rebuild-trigger
     # metric reads here vs the fresh/30%-delete lifecycle points
-    from rust_vector_search_spark.operators.index import forest_health_stats
+    from rust_vector_search_spark.operators.index import (
+        forest_health_stats,
+        needs_rebuild,
+    )
+    from rust_vector_search_spark.operators.search import estimate_recall
 
-    for tag, f_ in (("fresh", forest), ("deleted80", thinned),
-                    ("pruned", pruned)):
+    for tag, f_, corpus_ in (
+        ("fresh", forest, emb),
+        ("deleted80", thinned, survivors),
+        ("pruned", pruned, survivors),
+    ):
         h = forest_health_stats(f_).agg(
             F.avg("fill_ratio").alias("fill"),
             F.avg("occupancy_gini").alias("gini"),
             F.avg(F.col("max_depth") - F.col("min_depth")).alias("dspread"),
         ).collect()[0]
+        # BOTH staleness signals at the extreme-deletion point: the
+        # fill trigger (drained-leaf-aware since r12 — pre-r12 it read
+        # ~1.0 here post-prune) and the sampled routing-quality probe
+        # (VERDICT r11 #2: this is exactly the case it must detect)
+        v = needs_rebuild(f_)
+        er = estimate_recall(f_, corpus_, n_sample=args.queries,
+                             k=args.k, seed=7)
+        ratio = v["fill_vs_fresh"]
         print(
             f"RESULT shrink-health[{tag}]: fill={h.fill:.3f} "
-            f"gini={h.gini:.3f} depth_spread={h.dspread:.1f}",
+            f"gini={h.gini:.3f} depth_spread={h.dspread:.1f} "
+            f"fill_vs_fresh={'n/a' if ratio is None else f'{ratio:.3f}'} "
+            f"needs_rebuild={v['needs_rebuild']} "
+            f"est_recall={er['recall']:.3f}",
             flush=True,
         )
 
@@ -845,9 +863,22 @@ def cmd_lifecycle(args) -> None:
 
         v = needs_rebuild(forest, stats=stats)
         ratio = v["fill_vs_fresh"]
+        # the r12 staleness complement, read NEXT TO the fill trigger at
+        # every step (VERDICT r11 #2): a seeded sample of the CURRENT
+        # corpus routed through the index vs exact kNN on the same
+        # sample — routing quality, where fill only sees occupancy
+        from rust_vector_search_spark.operators.search import (
+            estimate_recall,
+        )
+
+        er = estimate_recall(
+            forest, corpus, n_sample=args.queries, k=args.k, seed=7
+        )
         print(
             f"RESULT lifecycle[{tag}]: search {t_search:.1f}s "
-            f"recall@{args.k}={recall:.3f} fill={h.fill:.3f} "
+            f"recall@{args.k}={recall:.3f} "
+            f"est_recall={er['recall']:.3f} ({er['n_sample']} sampled) "
+            f"fill={h.fill:.3f} "
             f"gini={h.gini:.3f} overgrown={int(h.over)} "
             f"max_leaf={int(h.mx)} "
             f"fill_vs_fresh={'n/a' if ratio is None else f'{ratio:.3f}'} "
@@ -860,7 +891,10 @@ def cmd_lifecycle(args) -> None:
                 f"chain (fill_vs_fresh={ratio}) — baseline carry-forward "
                 "or ratio arithmetic is broken"
             )
-        traj.append((tag, recall, float(h.fill), float(h.gini), int(h.over)))
+        traj.append(
+            (tag, recall, float(h.fill), float(h.gini), int(h.over),
+             er["recall"])
+        )
         return recall
 
     # 1. base build (90%)
@@ -930,15 +964,18 @@ def cmd_lifecycle(args) -> None:
     _eval("prune", reloaded, survivors)
 
     steps = " -> ".join(f"{t}:{r:.3f}" for t, r, *_ in traj)
+    est_steps = " -> ".join(f"{t}:{e:.3f}" for t, _, _, _, _, e in traj)
     health = "; ".join(
-        f"{t} fill={f:.2f} gini={g:.2f} over={o}" for t, _, f, g, o in traj
+        f"{t} fill={f:.2f} gini={g:.2f} over={o}"
+        for t, _, f, g, o, _ in traj
     )
     _append_history(
         f"lifecycle chain ({os.path.basename(args.index)}, "
         f"{args.num_trees} trees, compact): build(90%) {t_build:.0f} s, "
         f"ingest(10%) {t_ingest:.0f} s, resplit+save {t_fix:.0f} s, "
         f"delete(30%) {t_del:.0f} s, prune+save {t_prune:.0f} s; "
-        f"recall@{args.k} {steps} ({args.queries} q); health: {health}",
+        f"recall@{args.k} {steps} ({args.queries} q); "
+        f"est_recall {est_steps}; health: {health}",
         not args.no_baseline_append,
     )
     if args.cleanup:
