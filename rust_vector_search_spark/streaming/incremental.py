@@ -155,6 +155,8 @@ def incremental_index_ingest(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     route_strategy: str = "auto",
+    monitor_path: "str | None" = None,
+    rebuild_fill_ratio: float = 0.5,
 ) -> StreamingQuery:
     """Append new vectors to the forest's leaves: each micro-batch is
     routed through the frozen hyperplanes (same predicate as queries,
@@ -163,7 +165,35 @@ def incremental_index_ingest(
     ``route_strategy`` passes through to ``route_queries`` — "join"
     keeps the whole ingest JVM-side (no Arrow crossing), which the
     driver-window parity row uses to stay inside a default driver
-    heap late in a 50-query session."""
+    heap late in a 50-query session.
+
+    ``monitor_path`` (VERDICT r11 #6) wires the maintenance TRIGGER
+    into the loop the trigger was built for: after each batch's
+    append, the health signals are read over the post-append leaf
+    table (``needs_rebuild`` against ``forest.fresh_health`` — load
+    the forest from a saved index so the baseline is present) and ONE
+    slim row is appended to ``monitor_path`` as Parquet:
+
+      (batch_id, n_rows, current_fill, fresh_fill, fill_vs_fresh,
+       overgrown_leaves, needs_rebuild)
+
+    so maintenance is scheduled by SIGNAL, not by probe script: the
+    operational consumer polls the monitor table and runs
+    ``resplit_overgrown_leaves`` when ``overgrown_leaves`` climbs (the
+    ingest-side decay — appends only ever OVERFILL leaves, so
+    ``fill_vs_fresh`` rises and the rebuild trigger correctly stays
+    quiet) or rebuilds when ``needs_rebuild`` fires. Costs one
+    payload-free leaf scan + one tiny write per micro-batch — opt-in;
+    None (the default) keeps the append-only fast path exactly as
+    before. The routed batch is counted from the slim routed triples
+    (num_trees × batch rows), not the raw stream.
+
+    The monitor reads ``leaves_path`` as the index's WHOLE leaf table
+    (the persisted index's ``{path}/leaves`` dir, base + appends — the
+    standard ingest layout); pointing ingest at a side table of only
+    the new rows makes the appends valid but the monitor's fill
+    readings meaningless, since the base leaves would be missing from
+    the scan."""
 
     # the frozen forest's stats never change, so decide ONCE whether the
     # index is deep (node table past the broadcast gate): only then does
@@ -192,7 +222,46 @@ def incremental_index_ingest(
             F.col("leaf_path"),
             F.col("query_id").alias("vec_id"),
         )
-        routed.write.mode("append").partitionBy("tree_id").parquet(leaves_path)
+        if monitor_path is None:
+            routed.write.mode("append").partitionBy("tree_id").parquet(
+                leaves_path
+            )
+            return
+        # monitored path: checkpoint the routed triples so the count and
+        # the append share ONE routing computation, then read the
+        # health signals over the POST-append leaf table and emit one
+        # slim monitor row (see docstring)
+        import dataclasses
+
+        from ..operators.index import needs_rebuild
+
+        routed = routed.localCheckpoint(eager=True)
+        n_rows = routed.count()
+        routed.write.mode("append").partitionBy("tree_id").parquet(
+            leaves_path
+        )
+        spark = batch.sparkSession
+        v = needs_rebuild(
+            dataclasses.replace(
+                forest, leaves=spark.read.parquet(leaves_path)
+            ),
+            rebuild_fill_ratio,
+        )
+        spark.createDataFrame(
+            [(
+                int(batch_id), int(n_rows),
+                float(v["current_fill"]),
+                None if v["fresh_fill"] is None else float(v["fresh_fill"]),
+                None
+                if v["fill_vs_fresh"] is None
+                else float(v["fill_vs_fresh"]),
+                int(v["overgrown_leaves"]),
+                bool(v["needs_rebuild"]),
+            )],
+            schema="batch_id long, n_rows long, current_fill double, "
+                   "fresh_fill double, fill_vs_fresh double, "
+                   "overgrown_leaves long, needs_rebuild boolean",
+        ).coalesce(1).write.mode("append").parquet(monitor_path)
 
     return (
         vectors_stream.writeStream.foreachBatch(_route_and_append)

@@ -623,3 +623,77 @@ def test_run_to_memory_stream_parts_knob(spark, tmp_path, monkeypatch):
     assert {(r.k, r["count"]) for r in out.collect()} == {
         (0, 10), (1, 10), (2, 10)
     }
+
+
+def test_ingest_monitor_signals_and_resplit(spark, tmp_path):
+    """VERDICT r11 #6: the maintenance trigger wired into the ingest
+    loop. Ingest three micro-batches with monitor_path set; the monitor
+    table must show one row per batch with the health signals read over
+    the post-append leaf table — overgrowth CLIMBS (appends only ever
+    overfill leaves) while the rebuild trigger stays QUIET (fill rises,
+    never falls, under ingest) — then the signal schedules the
+    maintenance: resplit clears the overgrowth debt with recall pinned
+    before/after."""
+    from rust_vector_search_spark.operators.index import (
+        forest_health_stats,
+        load_index,
+        resplit_overgrown_leaves,
+        save_index,
+    )
+    from rust_vector_search_spark.operators.search import estimate_recall
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 350)
+    new = emb.filter(F.col("vec_id") >= 350)
+    forest = build_rp_forest(old, num_trees=3, max_node_size=8, seed=42)
+    idx = str(tmp_path / "idx_mon")
+    save_index(forest, idx)  # persists the fresh-health baseline
+    loaded = load_index(spark, idx, num_trees=3, max_node_size=8, seed=42)
+
+    src = str(tmp_path / "mon_src")
+    for lo, hi in ((350, 400), (400, 450), (450, 500)):
+        new.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    mon = str(tmp_path / "mon_tbl")
+    q = incremental_index_ingest(
+        stream,
+        loaded,
+        leaves_path=f"{idx}/leaves",
+        checkpoint_path=str(tmp_path / "mon_ckpt"),
+        monitor_path=mon,
+    )
+    q.awaitTermination(180)
+
+    m = sorted(
+        spark.read.parquet(mon).collect(), key=lambda r: r.batch_id
+    )
+    assert len(m) == 3
+    assert [r.n_rows for r in m] == [150, 150, 150]  # 50 vecs x 3 trees
+    # baseline present (loaded from a saved index) => ratio computable
+    assert all(r.fill_vs_fresh is not None for r in m)
+    # ingest RAISES fill monotonically; the rebuild trigger stays quiet
+    assert m[0].fill_vs_fresh > 1.0
+    assert m[0].fill_vs_fresh <= m[1].fill_vs_fresh <= m[2].fill_vs_fresh
+    assert all(not r.needs_rebuild for r in m)
+    # the resplit-debt signal climbs as hot leaves overfill
+    assert m[-1].overgrown_leaves > 0
+    assert m[0].overgrown_leaves <= m[-1].overgrown_leaves
+
+    # the signal schedules the maintenance: resplit, recall pinned
+    aug = load_index(spark, idx, num_trees=3, max_node_size=8, seed=42)
+    before = estimate_recall(aug, emb, n_sample=30, k=5, seed=2)
+    fixed = resplit_overgrown_leaves(aug, emb)
+    og_after = forest_health_stats(fixed).agg(
+        F.sum("overgrown_leaves")
+    ).collect()[0][0]
+    assert og_after == 0
+    after = estimate_recall(fixed, emb, n_sample=30, k=5, seed=2)
+    assert 0.0 <= after["recall"] <= 1.0
+    # resplit restores the leaf invariant without collapsing quality
+    assert after["recall"] >= before["recall"] - 0.2
