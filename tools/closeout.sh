@@ -19,6 +19,13 @@
 # Steps 4/5 come last precisely so their timestamps postdate every
 # functional change; if ANY step fails, fix, re-commit, and re-run the
 # whole gate.
+#
+# The gate's claim covers ANY later source commit, doc-only included
+# (VERDICT r11 #5: a docstring-only commit landed after the r11
+# artifacts and eroded the claim). After committing the regenerated
+# artifacts, run tools/closeout_check.sh as the round's FINAL act — it
+# fails if any commit touching package source postdates the artifact
+# commit.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF_DIR="${1:-/root/testdata/sf0.01}"
