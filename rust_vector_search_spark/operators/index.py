@@ -1028,6 +1028,15 @@ def forest_health_stats(forest: RPForest) -> DataFrame:
       after 80% delete     fill 0.261  → prune → recall 0.896
       post-prune (both)    fill ≈ 0.62 gini ≈ 0.25  ← indistinguishable
 
+    (That last line is about THIS function's raw columns, which only
+    see leaves that still have members. The vs-fresh trigger no longer
+    shares the blindness: ``forest_health_vs_fresh`` / ``needs_rebuild``
+    anchor the denominator at the BASELINE leaf count, so drained
+    leaves and prune-collapsed depth keep counting — post-prune
+    ``fill_vs_fresh`` tracks surviving mass, not recovered packing —
+    and ``operators.search.estimate_recall`` measures the routing
+    quality directly.)
+
     So: ``overgrown_leaves`` > 0 sizes the ``resplit_overgrown_leaves``
     debt; a PRE-prune ``fill_ratio`` still above ~0.75× the fresh
     baseline pruned back to full recall, while ~0.4× of fresh left

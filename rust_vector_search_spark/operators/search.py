@@ -247,7 +247,10 @@ def auto_tree_batches(
     per-chunk footprint then exceeds the derived budget: free scratch,
     or set the budget explicitly). An EXPLICIT env budget is a hard
     user constraint and is never overridden — the floor only warns
-    there."""
+    there. Acceptance (BASELINE r12): the same 150-tree + frac-0.15
+    run that read 28.8 ms/q at B=81 reads 15.86 ms/q at the
+    floor-capped B=30 — −45% wall at identical recall 0.643, completed
+    on a 36 GB-free disk at a naive ~5.9 GB/chunk."""
     import math
     import os as _os
     import shutil as _shutil
@@ -2120,8 +2123,10 @@ def all_pairs_rp_forest(
     the trees curve extrapolates that to ~250 trees ≈ 38 GB). The
     dials COMPOSE when both are affordable: 150 trees + frac 0.15
     measured recall 0.643 on the same regime — past anything either
-    dial reached alone — at 28.8 ms/q (see BASELINE r11 for the two
-    cost caveats on that wall). On clustered corpora single-probe at
+    dial reached alone — at 15.9 ms/q with the floored auto batching
+    (BASELINE r12; the same point read 28.8 ms/q when a tight disk
+    resolved B=81 — margin work also scales with forest size, the
+    remaining caveat). On clustered corpora single-probe at
     the reference's 50 trees already reads ~0.95 and neither dial is
     needed.
 
