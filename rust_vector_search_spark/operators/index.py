@@ -1119,23 +1119,37 @@ def forest_health_vs_fresh(
              for r in forest.fresh_health],
             schema="tree_id int, fresh_fill double, fresh_n_leaves long",
         )
-        stats = stats.join(F.broadcast(base), "tree_id", "left").withColumn(
-            "fill_vs_fresh",
-            F.when(
-                F.col("fresh_fill") > 0.0,
-                (
-                    F.col("n_vectors")
-                    / (
-                        F.greatest(
-                            F.col("n_leaves"),
-                            F.coalesce("fresh_n_leaves", "n_leaves"),
+        # FULL outer: a tree whose leaf table drained ENTIRELY has no
+        # stats row at all — a left join would drop it and the surface
+        # could never fire on the most extreme takedown. It comes back
+        # as an all-zero occupancy row with fill_vs_fresh 0.0.
+        stats = (
+            stats.join(base, "tree_id", "full")
+            .withColumn("n_leaves", F.coalesce("n_leaves", F.lit(0)))
+            .withColumn("n_vectors", F.coalesce("n_vectors", F.lit(0)))
+            .withColumn(
+                "overgrown_leaves", F.coalesce("overgrown_leaves", F.lit(0))
+            )
+            .withColumn("fill_ratio", F.coalesce("fill_ratio", F.lit(0.0)))
+            .withColumn(
+                "fill_vs_fresh",
+                F.when(
+                    F.col("fresh_fill") > 0.0,
+                    (
+                        F.col("n_vectors")
+                        / (
+                            F.greatest(
+                                F.col("n_leaves"),
+                                F.coalesce("fresh_n_leaves", "n_leaves"),
+                            )
+                            * F.lit(float(forest.max_node_size))
                         )
-                        * F.lit(float(forest.max_node_size))
                     )
-                )
-                / F.col("fresh_fill"),
-            ).otherwise(F.lit(1.0)),
-        ).drop("fresh_fill", "fresh_n_leaves")
+                    / F.col("fresh_fill"),
+                ).otherwise(F.lit(1.0)),
+            )
+            .drop("fresh_fill", "fresh_n_leaves")
+        )
     else:
         stats = stats.withColumn("fill_vs_fresh", F.lit(1.0))
     return stats.withColumn(

@@ -245,9 +245,13 @@ def auto_tree_batches(
     every chunk keeps at least ``SPARK_GRAFT_MIN_TREES_PER_CHUNK``
     trees (default 5), with a RuntimeWarning when the cap binds (the
     per-chunk footprint then exceeds the derived budget: free scratch,
-    or set the budget explicitly). An EXPLICIT env budget is a hard
-    user constraint and is never overridden — the floor only warns
-    there. Acceptance (BASELINE r12): the same 150-tree + frac-0.15
+    or set the budget explicitly). The floor never DISABLES batching:
+    a cap of 1 chunk would re-enable the unbatched disk-fill failure
+    this sizing exists to prevent, and a small-tree footprint B is
+    never pathological (fixed costs multiply at most × num_trees), so
+    the cap only engages from 2 chunks up. An EXPLICIT env budget is a
+    hard user constraint and is never overridden — the floor only
+    warns there. Acceptance (BASELINE r12): the same 150-tree + frac-0.15
     run that read 28.8 ms/q at B=81 reads 15.86 ms/q at the
     floor-capped B=30 — −45% wall at identical recall 0.643, completed
     on a 36 GB-free disk at a naive ~5.9 GB/chunk."""
@@ -262,12 +266,14 @@ def auto_tree_batches(
         if raw is None:
             return default
         try:
-            return int(float(raw))  # accept "300.5"; reject "8g" loudly
-        except ValueError:
+            # accept "300.5"; reject "8g"/"inf" loudly (OverflowError:
+            # int(float("inf")) is not a ValueError)
+            return int(float(raw))
+        except (ValueError, OverflowError):
             raise ValueError(
-                f"{name}={raw!r} is not a number — expected an integer "
-                f"(MB for budgets, a count for floors); unset it or fix "
-                f"the value"
+                f"{name}={raw!r} is not a finite number — expected an "
+                f"integer (MB for budgets, a count for floors); unset "
+                f"it or fix the value"
             ) from None
 
     per_row = _per_node_bytes(forest)
@@ -302,8 +308,16 @@ def auto_tree_batches(
     n_trees = max(forest.num_trees, 1)
     B = min(max(1, math.ceil(est / budget)), n_trees)
     min_tpc = max(_env_int("SPARK_GRAFT_MIN_TREES_PER_CHUNK", 5), 1)
-    b_cap = max(1, math.ceil(n_trees / min_tpc))
-    if B > b_cap:
+    # floor division, not ceil: b_cap chunks of n_trees must each hold
+    # >= min_tpc trees (ceil(151/5)=31 would give 4.87-tree chunks,
+    # quietly below the promised floor). A cap of 1 would DISABLE
+    # batching outright — on a small-tree forest over a huge corpus
+    # that re-enables the unbatched disk-fill failure auto-batching
+    # exists to prevent, and a small-tree footprint B is never
+    # pathological anyway (fixed costs multiply at most x num_trees) —
+    # so the floor only engages from 2 chunks up.
+    b_cap = n_trees // min_tpc
+    if b_cap >= 2 and B > b_cap:
         if explicit_budget:
             # a hard user constraint: honor it, but don't degrade
             # silently — per-chunk fixed costs now multiply ×B
@@ -2237,7 +2251,11 @@ def all_pairs_rp_forest(
                 "(exchange estimate %.1f GB, chunk budget %.1f GB)",
                 tree_batches, _ap_est / 2**30, _ap_budget / 2**30,
             )
-    tree_batches = int(tree_batches)
+    # clamp ONCE, before the plan dict records it: an explicit value
+    # past num_trees is executed clamped, so it must be REPORTED
+    # clamped too (the introspection dict's contract is "what was
+    # actually chosen", not "what was asked for")
+    tree_batches = min(int(tree_batches), max(forest.num_trees, 1))
 
     if broadcast_corpus == "auto":
         import os as _os
@@ -2372,7 +2390,7 @@ def all_pairs_rp_forest(
         # chunk materializes (localCheckpoint) so its shuffle files can
         # be reclaimed before the next chunk runs; costs one corpus
         # scan per chunk.
-        B = min(int(tree_batches), max(forest.num_trees, 1))
+        B = tree_batches  # already clamped to num_trees at resolution
         spark = corpus.sparkSession
         parts = []
         for b in range(B):

@@ -204,6 +204,25 @@ def incremental_index_ingest(
     # r8 design was explicitly free of — so pass no count there.
     deep_index = not node_table_broadcastable(forest)
 
+    if monitor_path is not None and forest.fresh_health is None:
+        # surfaced ONCE at stream start, not guessed per batch: without
+        # a baseline the monitor's ratio columns are permanently inert
+        # (fill_vs_fresh null, needs_rebuild always False) — a consumer
+        # polling needs_rebuild would never see a firing no matter how
+        # degraded the index gets. overgrown_leaves still works.
+        import warnings
+
+        warnings.warn(
+            "incremental_index_ingest: monitor_path is set but the "
+            "forest carries no health baseline (in-memory build or "
+            "pre-r11 index) — monitor rows will have fill_vs_fresh "
+            "null and needs_rebuild false FOREVER. Load the forest "
+            "from a saved index (save_index persists the baseline) "
+            "for a live rebuild trigger.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
     def _route_and_append(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
@@ -227,19 +246,26 @@ def incremental_index_ingest(
                 leaves_path
             )
             return
-        # monitored path: checkpoint the routed triples so the count and
-        # the append share ONE routing computation, then read the
-        # health signals over the POST-append leaf table and emit one
-        # slim monitor row (see docstring)
+        # monitored path: cache the routed triples so the count and the
+        # append share ONE routing computation, then read the health
+        # signals over the POST-append leaf table and emit one slim
+        # monitor row (see docstring). persist/unpersist, NOT
+        # localCheckpoint: checkpoint blocks are reclaimed only after a
+        # driver GC (the release_driver_blocks hazard), which
+        # accumulates storage across the hundreds of micro-batches of a
+        # long-running stream; unpersist releases deterministically.
         import dataclasses
 
         from ..operators.index import needs_rebuild
 
-        routed = routed.localCheckpoint(eager=True)
-        n_rows = routed.count()
-        routed.write.mode("append").partitionBy("tree_id").parquet(
-            leaves_path
-        )
+        routed = routed.persist()
+        try:
+            n_rows = routed.count()
+            routed.write.mode("append").partitionBy("tree_id").parquet(
+                leaves_path
+            )
+        finally:
+            routed.unpersist()
         spark = batch.sparkSession
         v = needs_rebuild(
             dataclasses.replace(

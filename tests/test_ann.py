@@ -614,16 +614,43 @@ def test_auto_tree_batches_floor_and_env_validation():
         # fractional MB accepted (int(float(...)))
         os.environ["SPARK_GRAFT_SHUFFLE_BUDGET_MB"] = "2300.5"
         assert auto_tree_batches(f, 600, 0.0)[0] == 1
-        # malformed value: a named error, not a bare int() crash
-        os.environ["SPARK_GRAFT_SHUFFLE_BUDGET_MB"] = "8g"
-        with pytest.raises(ValueError, match="SPARK_GRAFT_SHUFFLE_BUDGET_MB"):
-            auto_tree_batches(f, 250_000, 0.0)
+        # malformed values: a named error, not a bare int() crash —
+        # including "inf", whose int(float(...)) raises OverflowError
+        for bad in ("8g", "inf"):
+            os.environ["SPARK_GRAFT_SHUFFLE_BUDGET_MB"] = bad
+            with pytest.raises(
+                ValueError, match="SPARK_GRAFT_SHUFFLE_BUDGET_MB"
+            ):
+                auto_tree_batches(f, 250_000, 0.0)
+
+        # the floor never DISABLES batching: a 5-tree forest over a
+        # huge corpus keeps its footprint B (b_cap would be 1, which
+        # would re-enable the unbatched disk-fill failure), silently
+        os.environ.pop("SPARK_GRAFT_SHUFFLE_BUDGET_MB", None)
+        f5 = SimpleNamespace(dim=300, num_trees=5, leaves=None)
+        with _w.catch_warnings():
+            _w.simplefilter("error", RuntimeWarning)
+            assert auto_tree_batches(f5, 10**7, 0.0)[0] == 5
     finally:
         os.environ.pop("SPARK_GRAFT_MIN_TREES_PER_CHUNK", None)
         if old is None:
             os.environ.pop("SPARK_GRAFT_SHUFFLE_BUDGET_MB", None)
         else:
             os.environ["SPARK_GRAFT_SHUFFLE_BUDGET_MB"] = old
+
+
+def test_all_pairs_plan_reports_clamped_batches(forest, emb):
+    """LAST_ALL_PAIRS_PLAN's contract is 'what was ACTUALLY chosen':
+    an explicit tree_batches past num_trees executes clamped, so the
+    introspection dict (and anything printing from it, e.g. the probe
+    history rows) must report the clamped value."""
+    from rust_vector_search_spark.operators.search import (
+        LAST_ALL_PAIRS_PLAN,
+        all_pairs_rp_forest,
+    )
+
+    all_pairs_rp_forest(forest, emb, k=3, tree_batches=99).count()
+    assert LAST_ALL_PAIRS_PLAN["tree_batches"] == forest.num_trees == 16
 
 
 def test_all_pairs_leaflocal_tree_batched_matches_single_dag(forest, emb):

@@ -495,6 +495,20 @@ def test_clustered_delete_drained_leaves_detected(spark, tmp_path):
     assert 0.25 < row.fill_vs_fresh < 0.45
     assert bool(row.needs_rebuild) is True
 
+    # the EXTREME case: delete everything — the tree has no surviving
+    # leaf rows at all, so a left join would drop it from the per-tree
+    # surface entirely and 'no rows' would read as healthy; the full
+    # outer join brings it back as an all-zero row that FIRES
+    dead = delete_vectors(forest, forest.leaves.select("vec_id"))
+    v_dead = needs_rebuild(dead)
+    assert v_dead["fill_vs_fresh"] == 0.0
+    assert v_dead["needs_rebuild"] is True
+    dead_rows = forest_health_vs_fresh(dead).collect()
+    assert len(dead_rows) == 1
+    assert dead_rows[0].n_vectors == 0
+    assert dead_rows[0].fill_vs_fresh == 0.0
+    assert bool(dead_rows[0].needs_rebuild) is True
+
 
 def test_save_warns_for_baselineless_descendant(spark, tmp_path):
     """ADVICE r11 (low): the realistic pre-r11 migration path

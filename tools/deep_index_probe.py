@@ -222,7 +222,20 @@ def cmd_allpairs(args) -> None:
             )
         # pass "auto" THROUGH and read what the operator actually chose
         # from its single resolution point afterwards (VERDICT r11 #4:
-        # a second auto_tree_batches call here could drift silently)
+        # a second auto_tree_batches call here could drift silently).
+        # Surface the operator's own INFO log line on stdout FIRST —
+        # for B>1 the call below runs every chunk eagerly, and if a
+        # multi-hour run dies mid-way (disk full) the chosen B is
+        # exactly the diagnostic needed to explain it.
+        import logging
+
+        _lg = logging.getLogger(
+            "rust_vector_search_spark.operators.search"
+        )
+        _lg.setLevel(logging.INFO)
+        _h = logging.StreamHandler(sys.stdout)
+        _h.setFormatter(logging.Formatter("%(message)s"))
+        _lg.addHandler(_h)
         tb = args.tree_batches if args.tree_batches == "auto" else int(
             args.tree_batches
         )
@@ -230,6 +243,7 @@ def cmd_allpairs(args) -> None:
             forest, emb, k=args.k, spill_margin=margin,
             tree_batches=tb,
         )
+        _lg.removeHandler(_h)
         from rust_vector_search_spark.operators.search import (
             LAST_ALL_PAIRS_PLAN,
         )
@@ -696,7 +710,11 @@ def cmd_shrink(args) -> None:
         ("deleted80", thinned, survivors),
         ("pruned", pruned, survivors),
     ):
-        h = forest_health_stats(f_).agg(
+        # per-tree stats materialized ONCE per tag so the printed row
+        # and the trigger verdict share one leaf scan (same discipline
+        # as the lifecycle leg)
+        stats = forest_health_stats(f_).localCheckpoint(eager=True)
+        h = stats.agg(
             F.avg("fill_ratio").alias("fill"),
             F.avg("occupancy_gini").alias("gini"),
             F.avg(F.col("max_depth") - F.col("min_depth")).alias("dspread"),
@@ -705,7 +723,7 @@ def cmd_shrink(args) -> None:
         # fill trigger (drained-leaf-aware since r12 — pre-r12 it read
         # ~1.0 here post-prune) and the sampled routing-quality probe
         # (VERDICT r11 #2: this is exactly the case it must detect)
-        v = needs_rebuild(f_)
+        v = needs_rebuild(f_, stats=stats)
         er = estimate_recall(f_, corpus_, n_sample=args.queries,
                              k=args.k, seed=7)
         ratio = v["fill_vs_fresh"]
