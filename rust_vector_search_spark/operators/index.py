@@ -62,6 +62,7 @@ __all__ = [
     "save_index",
     "load_index",
     "subset_forest",
+    "extend_forest",
     "resplit_overgrown_leaves",
     "delete_vectors",
     "prune_underfull_subtrees",
@@ -608,6 +609,160 @@ def build_rp_forest_batched(
     if built.fresh_health is None:
         built.fresh_health = _write_health_baseline(built, path)
     return built
+
+
+def extend_forest(
+    forest: RPForest,
+    emb: DataFrame,
+    extra_trees: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_depth: int = 24,
+    dedup: bool = True,
+    local_threshold: int = 8192,
+    tree_batch_size: int = 8,
+) -> RPForest:
+    """GROW a persisted forest by ``extra_trees`` trees without a
+    rebuild — the other half of the trees dial ``subset_forest``
+    shrinks. Trees are the measured cheap recall knob (BASELINE r11/r12
+    frontier: 6–7.5× cheaper per query than the spill margin at matched
+    recall, price paid at build time), so an index that needs more
+    recall should be EXTENDED at the marginal build cost of the new
+    trees, not rebuilt from zero: every pivot hash salts on the
+    ABSOLUTE tree_id (``build_rp_forest(tree_offset=...)``, the same
+    property the batched build composes on), so the extension is
+    bit-identical to the suffix of a larger fresh build — pinned by
+    tests/test_index_maintenance.py (extend(subset(F, k), n-k) ≡ F).
+
+    Writes APPEND-style into the existing index dir: only the NEW
+    trees' node/leaf partitions land on disk (a 150→200-tree extension
+    writes ~¼ of a fresh 200-tree build), batched ``tree_batch_size``
+    trees at a time with the same per-batch GC discipline as
+    ``build_rp_forest_batched`` (peak scratch = one batch's subtree
+    exchange). The new batches' coeffs are cast to MATCH the on-disk
+    format (compact float32 vs doubles), detected from the loaded node
+    schema — a mixed-precision index would silently change routing.
+
+    Contract and sharp edges:
+      - ``forest`` must be a LOADED persisted index (``path`` set);
+        in-memory forests should be ``save_index``-ed first. The dir at
+        ``path`` becomes the EXTENDED index — subsequent loads must
+        pass the new num_trees (same contract as the batched build).
+      - Refuses to run if the dir already holds trees ≥
+        ``forest.num_trees`` (a crashed prior extension's leftovers or
+        a stale num_trees — appending onto either would duplicate or
+        interleave trees). Recovery: delete the ``tree_id >= N``
+        partition dirs, or reload with the true tree count.
+      - Pass the SAME build geometry the original used (seed and
+        max_node_size ride on the forest; ``max_depth`` /
+        ``local_threshold`` / ``dedup`` must match the original call
+        for the bit-identity claim to hold).
+      - Health baseline: the new trees are fresh by construction —
+        their health rows are APPENDED to the stored baseline, so
+        ``needs_rebuild`` keeps the original trees' old denominator
+        and the new trees' fresh one. A baseline-less (pre-r11) index
+        stays baseline-less (no partial denominators).
+
+    Returns the extended forest reloaded from ``path`` (lineage = a
+    Parquet scan, same as the batched build)."""
+    import gc as _gc
+
+    from pyspark.sql.types import FloatType
+
+    if forest.path is None:
+        raise ValueError(
+            "extend_forest: forest has no persisted path — save_index it "
+            "first (the extension appends new tree partitions in place)"
+        )
+    if extra_trees <= 0:
+        return forest
+    spark = forest.nodes.sparkSession
+    path = forest.path
+    # leftover-partition guard (partition-column-only scan: cheap)
+    mx = forest.nodes.agg(F.max("tree_id")).collect()[0][0]
+    if mx is not None and int(mx) >= forest.num_trees:
+        raise ValueError(
+            f"extend_forest: {path!r} holds tree_id {mx} but forest."
+            f"num_trees is {forest.num_trees} — a crashed prior "
+            f"extension's leftovers or a stale tree count; delete the "
+            f"tree_id >= {forest.num_trees} partitions or reload with "
+            f"the true count before extending"
+        )
+    compact = isinstance(
+        forest.nodes.schema["coeffs"].dataType.elementType, FloatType
+    )
+
+    new_health: "list[dict]" = []
+    for offset in range(
+        forest.num_trees, forest.num_trees + extra_trees, tree_batch_size
+    ):
+        batch = min(tree_batch_size, forest.num_trees + extra_trees - offset)
+        built = build_rp_forest(
+            emb,
+            num_trees=batch,
+            max_node_size=forest.max_node_size,
+            seed=forest.seed,
+            max_depth=max_depth,
+            id_col=id_col,
+            vec_col=vec_col,
+            dedup=dedup,
+            local_threshold=local_threshold,
+            tree_offset=offset,
+        )
+        batch_nodes = built.nodes.withColumn("lvl", F.length("node_path"))
+        if compact:
+            batch_nodes = batch_nodes.withColumn(
+                "coeffs", F.col("coeffs").cast("array<float>")
+            )
+        batch_nodes.sortWithinPartitions("lvl").write.mode(
+            "append"
+        ).partitionBy("tree_id").parquet(f"{path}/nodes")
+        built.leaves.write.mode("append").partitionBy("tree_id").parquet(
+            f"{path}/leaves"
+        )
+        if forest.fresh_health is not None:
+            new_health.extend(
+                _health_rows(
+                    forest_health_stats(built)
+                    .select(*_HEALTH_COLS)
+                    .collect()
+                )
+            )
+        # same GC discipline as the batched build: bound peak scratch
+        # to one batch's subtree exchange
+        del built, batch_nodes
+        _gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass  # Spark Connect: no JVM handle; cleaner runs on its own
+
+    extended = load_index(
+        spark,
+        path,
+        num_trees=forest.num_trees + extra_trees,
+        max_node_size=forest.max_node_size,
+        seed=forest.seed,
+    )
+    if forest.fresh_health is not None:
+        # original trees keep their ORIGINAL denominator verbatim; the
+        # new trees enter with their fresh-build health
+        extended.fresh_health = list(forest.fresh_health) + new_health
+        spark.createDataFrame(
+            [tuple(r[c] for c in _HEALTH_COLS)
+             for r in extended.fresh_health],
+            schema="tree_id int, n_leaves long, n_vectors long, "
+                   "fill_ratio double, occupancy_gini double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/health")
+    else:
+        # pre-r11 index: stays baseline-less (a PARTIAL baseline —
+        # fresh rows for new trees only — would make the forest-wide
+        # ratio a mix of measured and guessed denominators); the
+        # provenance bit keeps the save-time re-anchor warning alive
+        extended.fresh_health = None
+        extended.loaded_without_baseline = True
+        _hadoop_delete_or_raise(spark, [f"{path}/health"])
+    return extended
 
 
 def subset_forest(forest: RPForest, num_trees: int) -> RPForest:

@@ -871,3 +871,32 @@ def ann_recall_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                "k long, seed long, current_fill double, "
                "needs_rebuild boolean",
     )
+
+
+# --- grow the trees dial in place: extend a persisted forest (rows-only) -------
+
+@register("ann_extend_forest_search")
+def ann_extend_forest_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trees dial GROWN in place (r12): build a 5-tree persisted
+    index, ``extend_forest`` it to 8 trees (appending only the new
+    trees' partitions; bit-identical to a fresh 8-tree build — pivot
+    hashes salt on absolute tree_id), then search through the extended
+    forest. More trees = the measured cheap recall knob (BASELINE
+    r11/r12 frontier), so an index that needs more recall is extended
+    at marginal cost, not rebuilt. Rows-only (seeded build);
+    tests/test_index_maintenance.py pins extend(subset) ≡ fresh-build
+    node-for-node and the baseline-append semantics."""
+    import tempfile
+
+    from ..operators.index import build_rp_forest_batched, extend_forest
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="rp_extend_")
+    part = build_rp_forest_batched(
+        emb, path, num_trees=5, max_node_size=32, seed=42,
+        tree_batch_size=3,
+    )
+    extended = extend_forest(part, emb, 3, tree_batch_size=2)
+    return search_rp_forest(extended, emb, _queries(emb), k=K).select(
+        "query_id", "vec_id", "dist", "rnk"
+    )

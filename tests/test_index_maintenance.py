@@ -385,3 +385,78 @@ def test_estimate_recall_complements_fill_trigger(spark, tmp_path):
     er = estimate_recall(pruned, survivors, n_sample=30, k=5, seed=1)
     assert 0.0 <= er["recall"] <= 1.0
     assert er["n_sample"] == 30
+
+
+def test_extend_forest_bit_identity_and_guards(spark, tmp_path):
+    """extend_forest grows a persisted index in place and must be
+    BIT-IDENTICAL to the larger fresh build (pivot hashes salt on
+    absolute tree_id — the same property the batched build composes
+    on): extend(5-tree index, +3) ≡ fresh 8-tree build, node for node,
+    leaf for leaf. Also pins: baseline append (original trees keep
+    their old denominator, new trees enter fresh, trigger quiet at
+    1.0), the leftover-partition guard, and the no-path refusal."""
+    import pytest as _pytest
+
+    from rust_vector_search_spark.operators.index import (
+        build_rp_forest_batched,
+        extend_forest,
+        load_index,
+        needs_rebuild,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    p_full = str(tmp_path / "idx_full")
+    p_part = str(tmp_path / "idx_part")
+    full = build_rp_forest_batched(
+        emb, p_full, num_trees=8, max_node_size=16, seed=42,
+        tree_batch_size=3,
+    )
+    part = build_rp_forest_batched(
+        emb, p_part, num_trees=5, max_node_size=16, seed=42,
+        tree_batch_size=3,
+    )
+
+    ext = extend_forest(part, emb, 3, tree_batch_size=2)
+    assert ext.num_trees == 8
+    assert ext.path == p_part
+
+    def _nodes(f):
+        return sorted(
+            (r.tree_id, r.node_path, tuple(r.coeffs), r.constant)
+            for r in f.nodes.select(
+                "tree_id", "node_path", "coeffs", "constant"
+            ).collect()
+        )
+
+    def _leaves(f):
+        return sorted(
+            (r.tree_id, r.leaf_path, r.vec_id) for r in f.leaves.collect()
+        )
+
+    assert _nodes(ext) == _nodes(full)
+    assert _leaves(ext) == _leaves(full)
+
+    # baseline: 8 per-tree rows, the original 5 carried VERBATIM
+    assert [r["tree_id"] for r in ext.fresh_health] == list(range(8))
+    assert ext.fresh_health[:5] == part.fresh_health[:5]
+    v = needs_rebuild(ext)
+    assert abs(v["fill_vs_fresh"] - 1.0) < 1e-9
+    assert v["needs_rebuild"] is False
+    # the rewritten on-disk baseline round-trips through a fresh load
+    reloaded = load_index(
+        spark, p_part, num_trees=8, max_node_size=16, seed=42
+    )
+    assert {r["tree_id"] for r in reloaded.fresh_health} == set(range(8))
+
+    # leftover-partition guard: loading the (now 8-tree) dir with a
+    # stale count and extending again must refuse, not interleave
+    stale = load_index(
+        spark, p_part, num_trees=5, max_node_size=16, seed=42
+    )
+    with _pytest.raises(ValueError, match="holds tree_id"):
+        extend_forest(stale, emb, 2)
+
+    # in-memory forests must be saved first
+    mem = build_rp_forest(emb, num_trees=2, max_node_size=16, seed=42)
+    with _pytest.raises(ValueError, match="no persisted path"):
+        extend_forest(mem, emb, 1)
