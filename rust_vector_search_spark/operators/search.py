@@ -43,6 +43,7 @@ __all__ = [
     "route_queries",
     "resolve_spill_margin",
     "estimate_recall",
+    "save_recall_baseline",
 ]
 
 
@@ -2478,6 +2479,8 @@ def estimate_recall(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     spill_margin: "float | str" = "auto",
+    truth_path: "str | None" = None,
+    strict: bool = True,
 ) -> dict:
     """Sampled ROUTING-QUALITY probe (VERDICT r11 #2) — the complement
     the occupancy trigger measurably lacks: ``needs_rebuild`` reads
@@ -2511,7 +2514,42 @@ def estimate_recall(
     deterministic (dist, vec_id) tie-breaks on both sides. Read it
     NEXT TO ``needs_rebuild``: fill answers "is the structure
     degraded", this answers "does routing still find the true
-    neighbors" — the rebuild decision wants both."""
+    neighbors" — the rebuild decision wants both.
+
+    CACHED MODE (``truth_path``): the exact side above is the probe's
+    O(|corpus|) term — at the reference's 1M × 300-d scale it is a
+    full vector-column scan per health check (measured 163.3 s /
+    100 samples, BASELINE.md r12), and at a real 100 TB corpus it is
+    the term you cannot pay on a schedule. Pass
+    ``truth_path=<index path>`` after a one-time
+    ``save_recall_baseline`` and the exact side becomes a read of the
+    persisted truth table re-filtered to the CURRENT corpus ids — an
+    id-column-only semi-join (parquet prunes the vector column away),
+    so the recurring check costs one forest search plus an id scan.
+    Deletion-exactness: the baseline stores ``reserve × k`` neighbors
+    per query in true distance order, so as long as ≥ k of a query's
+    cached neighbors survive deletion, the first k survivors ARE that
+    query's exact current top-k (everything outside the cache is
+    farther than everything inside). Queries whose reserve is
+    exhausted are EXCLUDED and counted in ``n_exhausted`` — the
+    honest signal to re-anchor. INSERTS are outside the cached
+    contract (a new vector can be a true neighbor the cache cannot
+    know): if the corpus grew past the baseline count, strict mode
+    (default) raises; ``strict=False`` proceeds and reports
+    ``inserted_at_least`` — the number is then "retention of
+    baseline-time neighbors", not current recall. A mixed
+    insert+delete drift that nets ≤ 0 rows escapes the count guard —
+    re-anchor after any ingest (the monitored streaming loop already
+    re-reads health per batch; re-anchoring belongs at the same
+    maintenance points). ``n_sample``/``seed`` are taken from the
+    baseline in cached mode; passing different explicit values
+    raises rather than silently answering a different question."""
+    if truth_path is not None:
+        return _estimate_recall_cached(
+            forest, corpus, truth_path, n_sample=n_sample, k=k,
+            seed=seed, id_col=id_col, vec_col=vec_col,
+            spill_margin=spill_margin, strict=strict,
+        )
     from .knn import knn_exact_fast
 
     q = (
@@ -2540,4 +2578,197 @@ def estimate_recall(
         "n_sample": int(n_q),
         "k": int(k),
         "seed": int(seed),
+    }
+
+
+def save_recall_baseline(
+    forest: RPForest,
+    corpus: DataFrame,
+    path: str,
+    n_sample: int = 100,
+    k: int = 10,
+    reserve: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """One-time exact-truth anchor for ``estimate_recall``'s cached
+    mode: sample ``n_sample`` corpus queries (the SAME seeded xxhash64
+    order the uncached probe uses, so cached-vs-uncached answer the
+    same question on an unchanged corpus) and persist their exact
+    top-``reserve × k`` neighbors at ``{path}/recall_truth`` beside
+    the index — the same placement discipline as the ``{path}/health``
+    occupancy baseline (index.py), and the same reasoning: the
+    denominator of a recurring health check must be computed ONCE, at
+    anchor time, not re-derived from an O(|corpus|) scan per check.
+
+    ``reserve`` is the deletion margin: each query's truth list holds
+    ``reserve × k`` neighbors in true (dist, vec_id) order, so the
+    cached check stays EXACT until deletions burn through
+    ``(reserve − 1) × k`` of a query's cached neighbors (see
+    ``estimate_recall``'s cached-mode contract). Three tiny tables:
+    ``truth`` (n_sample × reserve·k slim id rows), ``queries``
+    (n_sample pinned query vectors — pinned, because a post-delete
+    corpus would re-sample DIFFERENT queries and break comparability),
+    ``meta`` (one row: sample/k/reserve/seed + the baseline corpus
+    count the insert guard checks against).
+
+    Cost: exactly one uncached probe's exact side (one corpus scan,
+    BLAS block top-k, driver-collect gated) — paid once per anchor,
+    amortized over every subsequent cached check. ``forest`` is
+    accepted for signature symmetry and future layout-aware sampling;
+    the truth is a property of (corpus, seed) alone."""
+    from .knn import knn_exact_fast
+
+    spark = corpus.sparkSession
+    k_eff = int(k) * int(reserve)
+    if k_eff < int(k) or int(reserve) < 1:
+        raise ValueError(f"save_recall_baseline: reserve must be >= 1, got {reserve}")
+    q = (
+        corpus.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+        )
+        .orderBy(F.xxhash64("query_id", F.lit(seed)), "query_id")
+        .limit(int(n_sample))
+        .localCheckpoint(eager=True)
+    )
+    n_q = q.count()
+    n_corpus = corpus.count()
+    truth = knn_exact_fast(
+        corpus, q, k=k_eff, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "rnk", "vec_id", "dist")
+    base = f"{path}/recall_truth"
+    truth.coalesce(1).write.mode("overwrite").parquet(f"{base}/truth")
+    q.coalesce(1).write.mode("overwrite").parquet(f"{base}/queries")
+    spark.createDataFrame(
+        [(int(n_q), int(k), int(k_eff), int(seed), int(n_corpus))],
+        schema="n_sample long, k long, k_eff long, seed long, n_corpus long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/meta")
+    return {
+        "n_sample": int(n_q),
+        "k": int(k),
+        "k_eff": int(k_eff),
+        "seed": int(seed),
+        "n_corpus": int(n_corpus),
+        "path": base,
+    }
+
+
+def _estimate_recall_cached(
+    forest: RPForest,
+    corpus: DataFrame,
+    truth_path: str,
+    n_sample: int,
+    k: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    spill_margin: "float | str",
+    strict: bool,
+) -> dict:
+    """Cached-truth body of ``estimate_recall`` (see its docstring for
+    the contract). The exact side is replaced by: read the persisted
+    truth, semi-join it against the CURRENT corpus ids (id column
+    only — parquet never materializes the vectors for this side), and
+    take each query's first k surviving cached neighbors, which are
+    provably the exact current top-k wherever ≥ k survive within the
+    cached ``k_eff`` window. A query whose cached window was truncated
+    (held exactly ``k_eff`` rows — i.e. the baseline corpus had more
+    neighbors than the cache keeps) AND lost too many of them is
+    EXHAUSTED: excluded from the ratio, counted in ``n_exhausted``. A
+    shorter-than-``k_eff`` cached list is the whole baseline
+    neighborhood, so it certifies at any deletion depth."""
+    spark = corpus.sparkSession
+    base = f"{truth_path}/recall_truth"
+    meta = spark.read.parquet(f"{base}/meta").collect()[0]
+    if int(k) > int(meta.k):
+        raise ValueError(
+            f"estimate_recall(cached): k={k} exceeds the baseline's "
+            f"k={int(meta.k)} — the deletion reserve was sized for the "
+            f"anchored k; re-anchor with save_recall_baseline(k={k})"
+        )
+    # defaults mean "take the baseline's"; an explicit different value
+    # must not silently answer a different question than it names
+    if int(n_sample) != int(meta.n_sample) and int(n_sample) != 100:
+        raise ValueError(
+            f"estimate_recall(cached): n_sample={n_sample} conflicts with "
+            f"the baseline's n_sample={int(meta.n_sample)} — the cached "
+            f"sample is pinned at anchor time"
+        )
+    if int(seed) != int(meta.seed) and int(seed) != 42:
+        raise ValueError(
+            f"estimate_recall(cached): seed={seed} conflicts with the "
+            f"baseline's seed={int(meta.seed)} — the cached sample is "
+            f"pinned at anchor time"
+        )
+    q = spark.read.parquet(f"{base}/queries")
+    truth = spark.read.parquet(f"{base}/truth")
+    n_corpus_now = corpus.count()
+    inserted_at_least = max(0, int(n_corpus_now) - int(meta.n_corpus))
+    if inserted_at_least and strict:
+        raise ValueError(
+            f"estimate_recall(cached): corpus has grown by at least "
+            f"{inserted_at_least} rows since the baseline was anchored "
+            f"(now {n_corpus_now}, anchored at {int(meta.n_corpus)}) — "
+            f"an inserted vector can be a true neighbor the cache cannot "
+            f"know. Re-anchor with save_recall_baseline, or pass "
+            f"strict=False to read neighbor RETENTION instead of recall"
+        )
+    ids = corpus.select(F.col(id_col).alias("vec_id"))
+    surv = truth.join(ids, "vec_id", "left_semi")
+    per_q = (
+        truth.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_cached"))
+        .join(
+            surv.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_surv")),
+            "query_id",
+            "left",
+        )
+        .fillna(0, ["n_surv"])
+    )
+    # truncated cache + too many casualties => cannot certify this query
+    exhausted = per_q.filter(
+        (F.col("n_surv") < F.lit(int(k)))
+        & (F.col("n_cached") >= F.lit(int(meta.k_eff)))
+    ).select("query_id").localCheckpoint(eager=True)
+    n_exhausted = exhausted.count()
+    cert = per_q.join(exhausted, "query_id", "left_anti").select(
+        "query_id"
+    ).localCheckpoint(eager=True)
+    n_cert = cert.count()
+    if n_cert == 0:
+        raise ValueError(
+            f"estimate_recall(cached): every sampled query's deletion "
+            f"reserve is exhausted (n_exhausted={n_exhausted}) — the "
+            f"cached truth can no longer certify any current top-{k}; "
+            f"re-anchor with save_recall_baseline"
+        )
+    w = Window.partitionBy("query_id").orderBy("rnk")
+    current_truth = (
+        surv.withColumn("crnk", F.row_number().over(w))
+        .filter(F.col("crnk") <= int(k))
+        .join(cert, "query_id", "left_semi")
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    total = current_truth.count()
+    qs = q.join(cert, "query_id", "left_semi")
+    approx = search_rp_forest(
+        forest, corpus, qs, k=k,
+        id_col=id_col, vec_col=vec_col, spill_margin=spill_margin,
+    ).select("query_id", "vec_id")
+    hits = current_truth.join(
+        approx, ["query_id", "vec_id"], "left_semi"
+    ).count()
+    return {
+        "recall": (hits / total) if total else 1.0,
+        "hits": int(hits),
+        "total": int(total),
+        "n_sample": int(n_cert),
+        "k": int(k),
+        "seed": int(meta.seed),
+        "cached": True,
+        "n_exhausted": int(n_exhausted),
+        "inserted_at_least": int(inserted_at_least),
     }

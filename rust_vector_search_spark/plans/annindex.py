@@ -900,3 +900,62 @@ def ann_extend_forest_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_rp_forest(extended, emb, _queries(emb), k=K).select(
         "query_id", "vec_id", "dist", "rnk"
     )
+
+
+# --- cached-truth staleness check: the O(corpus) term paid once (rows-only) ----
+
+@register("ann_recall_cached")
+def ann_recall_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 cached-truth staleness check as a queryable surface:
+    ``save_recall_baseline`` anchors the exact-kNN side of the recall
+    probe ONCE (the only O(|corpus|) term a recurring health check
+    carries — at 100 TB the full-scan exact side cannot be paid per
+    check), then a delete burns half the corpus and the CACHED
+    ``estimate_recall`` re-certifies the current top-k from the
+    persisted ``reserve × k`` window — provably exact wherever >= k
+    cached neighbors survive. One row: the cached verdict next to the
+    uncached recomputation on the same survivors, their deltas zero by
+    the deletion-exactness contract (pinned in
+    tests/test_index_maintenance.py). Rows-only (seeded build + BLAS
+    truth have no SQL twin)."""
+    import tempfile
+
+    from ..operators.index import delete_vectors
+    from ..operators.knn import knn_exact_fast
+    from ..operators.search import estimate_recall, save_recall_baseline
+
+    emb = _emb(spark, sf_dir)
+    forest = build_rp_forest(emb, num_trees=6, max_node_size=16, seed=42)
+    path = tempfile.mkdtemp(prefix="rp_recall_cache_")
+    info = save_recall_baseline(
+        forest, emb, path, n_sample=40, k=K, reserve=4, seed=7
+    )
+    survivors = emb.filter(F.col("vec_id") % 2 == 0)
+    shrunk = delete_vectors(
+        forest, emb.filter(F.col("vec_id") % 2 != 0).select("vec_id")
+    )
+    cached = estimate_recall(
+        shrunk, survivors, n_sample=40, k=K, seed=7, truth_path=path
+    )
+    # the from-scratch recomputation the cache replaces: fresh BLAS
+    # truth over the SAME pinned queries on the survivor corpus
+    q = spark.read.parquet(f"{path}/recall_truth/queries")
+    exact = knn_exact_fast(survivors, q, k=K).select("query_id", "vec_id")
+    approx = search_rp_forest(shrunk, survivors, q, k=K).select(
+        "query_id", "vec_id"
+    )
+    total = exact.count()
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    fresh_recall = (hits / total) if total else 1.0
+    return spark.createDataFrame(
+        [(
+            float(cached["recall"]), int(cached["hits"]),
+            int(cached["total"]), int(cached["n_sample"]),
+            int(cached["n_exhausted"]), int(info["k_eff"]),
+            float(fresh_recall),
+            float(abs(cached["recall"] - fresh_recall)),
+        )],
+        schema="cached_recall double, hits long, total long, "
+               "n_certified long, n_exhausted long, k_eff long, "
+               "fresh_recall double, abs_delta double",
+    )

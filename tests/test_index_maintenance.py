@@ -460,3 +460,129 @@ def test_extend_forest_bit_identity_and_guards(spark, tmp_path):
     mem = build_rp_forest(emb, num_trees=2, max_node_size=16, seed=42)
     with _pytest.raises(ValueError, match="no persisted path"):
         extend_forest(mem, emb, 1)
+
+
+def test_recall_baseline_roundtrip_matches_uncached(spark, tmp_path):
+    """save_recall_baseline + cached estimate_recall (r12): on an
+    UNCHANGED corpus the cached check must answer the exact same
+    question as the uncached probe — same pinned sample (identical
+    seeded xxhash64 order), same exact truth (top-k prefix of the
+    persisted top-k_eff), same forest search — so recall/hits/total
+    are equal, with zero exhausted queries and the cached marker set."""
+    from rust_vector_search_spark.operators.search import (
+        estimate_recall,
+        save_recall_baseline,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    forest = build_rp_forest(emb, num_trees=4, max_node_size=8, seed=42)
+    p = str(tmp_path / "idx_rb")
+
+    info = save_recall_baseline(
+        forest, emb, p, n_sample=25, k=5, reserve=3, seed=7
+    )
+    assert info["n_sample"] == 25 and info["k_eff"] == 15
+    assert info["n_corpus"] == emb.count()
+
+    uncached = estimate_recall(forest, emb, n_sample=25, k=5, seed=7)
+    cached = estimate_recall(
+        forest, emb, n_sample=25, k=5, seed=7, truth_path=p
+    )
+    assert cached["cached"] is True
+    assert cached["n_exhausted"] == 0
+    assert cached["inserted_at_least"] == 0
+    for key in ("recall", "hits", "total", "n_sample", "k", "seed"):
+        assert cached[key] == uncached[key], key
+
+
+def test_recall_baseline_stays_exact_under_deletion(spark, tmp_path):
+    """The deletion contract: with >= k cached survivors per query the
+    first k survivors ARE the exact current top-k, so the cached
+    check must equal a from-scratch recomputation (fresh BLAS truth on
+    the SAME pinned queries over the survivor corpus) — not an
+    approximation of it. Uniform 50% delete against reserve=4 leaves
+    ~2k survivors per window: nothing exhausts."""
+    from rust_vector_search_spark.operators.knn import knn_exact_fast
+    from rust_vector_search_spark.operators.search import (
+        estimate_recall,
+        save_recall_baseline,
+        search_rp_forest,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    forest = build_rp_forest(emb, num_trees=4, max_node_size=8, seed=42)
+    p = str(tmp_path / "idx_rbdel")
+    save_recall_baseline(forest, emb, p, n_sample=20, k=5, reserve=4, seed=3)
+
+    survivors = emb.filter(F.col("vec_id") % 2 == 0)
+    shrunk = delete_vectors(
+        forest, emb.filter(F.col("vec_id") % 2 != 0).select("vec_id")
+    )
+    cached = estimate_recall(
+        shrunk, survivors, n_sample=20, k=5, seed=3, truth_path=p
+    )
+    assert cached["n_exhausted"] == 0
+    assert cached["n_sample"] == 20
+
+    # from-scratch ground truth on the pinned sample over the survivors
+    q = spark.read.parquet(f"{p}/recall_truth/queries")
+    exact = knn_exact_fast(survivors, q, k=5).select("query_id", "vec_id")
+    approx = search_rp_forest(shrunk, survivors, q, k=5).select(
+        "query_id", "vec_id"
+    )
+    total = exact.count()
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    assert cached["total"] == total
+    assert cached["hits"] == hits
+    assert cached["recall"] == (hits / total)
+
+
+def test_recall_baseline_exhaustion_and_guards(spark, tmp_path):
+    """Honesty edges: (1) reserve=1 + a 90% delete exhausts every
+    query's window -> typed error demanding a re-anchor, never a
+    silently-wrong ratio; (2) an insert past the baseline count is
+    outside the cached contract -> strict raises, strict=False reports
+    retention with the inserted_at_least flag; (3) parameter conflicts
+    with the anchored meta raise instead of answering a different
+    question than the caller named."""
+    import pytest as _pytest
+
+    from rust_vector_search_spark.operators.search import (
+        estimate_recall,
+        save_recall_baseline,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    forest = build_rp_forest(emb, num_trees=4, max_node_size=8, seed=42)
+
+    # (1) no margin: k_eff == k, so any k-window casualty exhausts
+    p1 = str(tmp_path / "idx_rbx1")
+    save_recall_baseline(forest, emb, p1, n_sample=15, k=5, reserve=1, seed=3)
+    tenth = emb.filter(F.col("vec_id") % 10 == 0)
+    shrunk = delete_vectors(
+        forest, emb.filter(F.col("vec_id") % 10 != 0).select("vec_id")
+    )
+    with _pytest.raises(ValueError, match="re-anchor"):
+        estimate_recall(shrunk, tenth, n_sample=15, k=5, seed=3, truth_path=p1)
+
+    # (2) inserts: corpus grew past the anchored count
+    p2 = str(tmp_path / "idx_rbx2")
+    save_recall_baseline(forest, emb, p2, n_sample=15, k=5, reserve=4, seed=3)
+    grown = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    with _pytest.raises(ValueError, match="grown"):
+        estimate_recall(forest, grown, n_sample=15, k=5, seed=3, truth_path=p2)
+    retention = estimate_recall(
+        forest, grown, n_sample=15, k=5, seed=3, truth_path=p2, strict=False
+    )
+    assert retention["inserted_at_least"] == emb.count()
+    assert 0.0 <= retention["recall"] <= 1.0
+
+    # (3) conflicts with the anchored meta
+    with _pytest.raises(ValueError, match="exceeds the baseline"):
+        estimate_recall(forest, emb, n_sample=15, k=9, seed=3, truth_path=p2)
+    with _pytest.raises(ValueError, match="n_sample"):
+        estimate_recall(forest, emb, n_sample=20, k=5, seed=3, truth_path=p2)
+    with _pytest.raises(ValueError, match="seed"):
+        estimate_recall(forest, emb, n_sample=15, k=5, seed=4, truth_path=p2)
