@@ -39,6 +39,15 @@
             ingest(10%) → resplit → delete(30%) → prune — recall and
             forest_health_stats recorded after every step, all persists
             on the compact default.
+  recallcache (r12b) cached-truth staleness check: uncached
+            estimate_recall wall vs save_recall_baseline anchor +
+            cached check, with value parity asserted — splits the
+            probe cost into the O(|corpus|) term paid once and the
+            recurring forest-search + id-scan term.
+  debt      (r12b) fresh-build resplit debt: dense regions force-close
+            leaves at the build depth cap (idx1m: 31,580 at depth 32);
+            resplit_overgrown_leaves repairs past the cap, re-saves to
+            {index}_rs/idx, recall measured before/after.
 
 The index comes from tools/scale_probe.py --workdir DIR (layout:
 DIR/emb deduped corpus, DIR/idx/{nodes,leaves} partitionBy(tree_id)).
@@ -662,6 +671,168 @@ def cmd_maintain(args) -> None:
         shutil.rmtree(mdir, ignore_errors=True)
 
 
+def cmd_recallcache(args) -> None:
+    """Cached-truth staleness-check acceptance (r12b): on the loaded
+    index, run the UNCACHED estimate_recall (exact side = one full
+    corpus vector scan + BLAS block top-k), then anchor
+    save_recall_baseline beside the index and run the CACHED check.
+    Records all three walls and asserts value parity (same corpus =>
+    identical recall by construction). At probe scale the vector
+    column is small enough that the local win is modest — the point
+    of the measurement is splitting the wall into the O(|corpus|)
+    term (paid once at anchor) vs the recurring term (forest search +
+    id-column semi-join), the division that decides feasibility at a
+    corpus the node table dwarfs."""
+    import shutil
+
+    from rust_vector_search_spark.operators.index import needs_rebuild
+    from rust_vector_search_spark.operators.search import (
+        estimate_recall,
+        save_recall_baseline,
+    )
+    from rust_vector_search_spark.session import get_spark
+
+    _ensure_index(args.index, args.n, args.num_trees, args.leaf)
+    spark = get_spark(app_name="deep_index_probe_recallcache")
+    emb, forest = _load(spark, args.index, args.num_trees, args.leaf)
+    idx = f"{args.index}/idx"
+
+    t0 = time.time()
+    v = needs_rebuild(forest)
+    t_trig = time.time() - t0
+    print(f"needs_rebuild: {t_trig:.1f}s fill_vs_fresh="
+          f"{v['fill_vs_fresh']:.3f} fires={v['needs_rebuild']}",
+          flush=True)
+
+    t0 = time.time()
+    un = estimate_recall(forest, emb, n_sample=args.queries, k=args.k)
+    t_un = time.time() - t0
+    print(f"RESULT estimate_recall[uncached]: {t_un:.1f}s "
+          f"recall={un['recall']:.3f} ({un['n_sample']} samples)",
+          flush=True)
+
+    t0 = time.time()
+    save_recall_baseline(
+        forest, emb, idx, n_sample=args.queries, k=args.k, reserve=4
+    )
+    t_anchor = time.time() - t0
+    t0 = time.time()
+    ca = estimate_recall(
+        forest, emb, n_sample=args.queries, k=args.k, truth_path=idx
+    )
+    t_ca = time.time() - t0
+    parity = (ca["recall"] == un["recall"] and ca["hits"] == un["hits"])
+    print(f"RESULT estimate_recall[cached]: {t_ca:.1f}s "
+          f"recall={ca['recall']:.3f} exhausted={ca['n_exhausted']} "
+          f"(anchor {t_anchor:.1f}s, parity={parity})", flush=True)
+    if not parity:
+        raise SystemExit(
+            f"cached/uncached recall DIVERGED on an unchanged corpus: "
+            f"{ca['recall']:.4f} vs {un['recall']:.4f}"
+        )
+    _append_history(
+        f"cached staleness check ({os.path.basename(args.index)}): "
+        f"uncached {t_un:.1f} s vs cached {t_ca:.1f} s / "
+        f"{args.queries} samples (one-time anchor {t_anchor:.1f} s, "
+        f"reserve 4); recall {un['recall']:.3f} == {ca['recall']:.3f}, "
+        f"trigger read {t_trig:.1f} s",
+        not args.no_baseline_append,
+    )
+    if args.cleanup:
+        shutil.rmtree(f"{idx}/recall_truth", ignore_errors=True)
+
+
+def cmd_debt(args) -> None:
+    """Fresh-build resplit-debt leg (r12b): a dense corpus force-closes
+    leaves at the build's depth cap, so even a FRESH index carries
+    overgrown leaves (idx1m: 31,580 at depth 32) — real maintenance
+    debt the overgrowth signal surfaces. resplit_overgrown_leaves'
+    default cap (deepest overgrown + 8) lets maintenance split past
+    the build cap. Records debt before/after, the resplit + re-save
+    walls vs the known rebuild cost, and search recall before/after
+    over the re-saved index ({index}_rs/idx, compact)."""
+    import shutil
+
+    from rust_vector_search_spark.operators.index import (
+        load_index,
+        resplit_overgrown_leaves,
+        save_index,
+    )
+    from rust_vector_search_spark.operators.search import search_rp_forest
+    from rust_vector_search_spark.session import get_spark
+
+    _ensure_index(args.index, args.n, args.num_trees, args.leaf)
+    spark = get_spark(app_name="deep_index_probe_debt")
+    emb, forest = _load(spark, args.index, args.num_trees, args.leaf)
+
+    def _over_stats(f):
+        row = (
+            f.leaves.groupBy("tree_id", "leaf_path")
+            .count()
+            .filter(F.col("count") > args.leaf)
+            .agg(
+                F.count(F.lit(1)).alias("k"),
+                F.max("count").alias("mx"),
+                F.sum("count").alias("m"),
+            )
+            .collect()[0]
+        )
+        return int(row.k or 0), int(row.mx or 0), int(row.m or 0)
+
+    k0, mx0, m0 = _over_stats(forest)
+    print(f"debt before: {k0} overgrown leaves (max {mx0}, {m0} members) "
+          f"at depth cap {forest.max_depth}", flush=True)
+    if not k0:
+        print("RESULT debt: none — nothing to repair", flush=True)
+        return
+
+    q = _queries_of(emb, args.queries)
+    approx0 = (
+        search_rp_forest(forest, emb, q, k=args.k)
+        .select("query_id", "vec_id").localCheckpoint(eager=True)
+    )
+    approx0.count()
+    recall0 = _recall_vs_exact(spark, emb, approx0, q, args.k)
+    print(f"recall before: {recall0:.3f}", flush=True)
+
+    t0 = time.time()
+    fixed = resplit_overgrown_leaves(forest, emb)
+    t_fix = time.time() - t0
+    k1, mx1, _ = _over_stats(fixed)
+    print(f"RESULT debt resplit: {t_fix:.1f}s; overgrown {k0} -> {k1} "
+          f"(max {mx0} -> {mx1}); nodes {forest.node_count} -> "
+          f"{fixed.node_count}, depth {forest.max_depth} -> "
+          f"{fixed.max_depth}", flush=True)
+
+    rs_dir = args.index.rstrip("/") + "_rs/idx"
+    t0 = time.time()
+    save_index(fixed, rs_dir)
+    t_save = time.time() - t0
+    repaired = load_index(spark, rs_dir, num_trees=args.num_trees,
+                          max_node_size=args.leaf, seed=42)
+    t0 = time.time()
+    approx1 = (
+        search_rp_forest(repaired, emb, q, k=args.k)
+        .select("query_id", "vec_id").localCheckpoint(eager=True)
+    )
+    approx1.count()
+    t_search = time.time() - t0
+    recall1 = _recall_vs_exact(spark, emb, approx1, q, args.k)
+    print(f"RESULT search[repaired]: {t_search:.1f}s "
+          f"recall@{args.k}={recall1:.3f} (was {recall0:.3f})", flush=True)
+    _append_history(
+        f"fresh-build resplit debt ({os.path.basename(args.index)}): "
+        f"{k0} force-closed leaves ({m0} members, max {mx0}) repaired "
+        f"to {k1} in {t_fix:.1f} s (+{t_save:.1f} s re-save), depth "
+        f"{forest.max_depth} -> {fixed.max_depth}; recall {recall0:.3f} "
+        f"-> {recall1:.3f} ({args.queries} q, post-repair search "
+        f"{t_search:.1f} s)",
+        not args.no_baseline_append,
+    )
+    if args.cleanup:
+        shutil.rmtree(args.index.rstrip("/") + "_rs", ignore_errors=True)
+
+
 def cmd_shrink(args) -> None:
     """Deletion-at-scale leg: delete_vectors removes a seeded 80% of
     the corpus from the index, prune_underfull_subtrees collapses the
@@ -1007,7 +1178,7 @@ def main() -> None:
     p.add_argument(
         "cmd", choices=[
             "search", "allpairs", "recall", "ingest", "compact",
-            "maintain", "shrink", "lifecycle",
+            "maintain", "shrink", "lifecycle", "recallcache", "debt",
         ]
     )
     p.add_argument("--index", default="/tmp/idx250k")
