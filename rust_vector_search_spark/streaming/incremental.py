@@ -157,6 +157,9 @@ def incremental_index_ingest(
     route_strategy: str = "auto",
     monitor_path: "str | None" = None,
     rebuild_fill_ratio: float = 0.5,
+    retention_path: "str | None" = None,
+    retention_corpus_path: "str | None" = None,
+    retention_every: int = 1,
 ) -> StreamingQuery:
     """Append new vectors to the forest's leaves: each micro-batch is
     routed through the frozen hyperplanes (same predicate as queries,
@@ -193,7 +196,30 @@ def incremental_index_ingest(
     standard ingest layout); pointing ingest at a side table of only
     the new rows makes the appends valid but the monitor's fill
     readings meaningless, since the base leaves would be missing from
-    the scan."""
+    the scan.
+
+    ``retention_path`` (r12b) adds the ROUTING-QUALITY drift signal the
+    occupancy columns structurally cannot give under ingest (appends
+    RAISE fill — the trigger correctly stays quiet while hot leaves
+    overflow): point it at an index dir where ``save_recall_baseline``
+    has anchored a cached truth, and every ``retention_every``-th batch
+    the monitor row also carries
+
+      (retention, retention_exhausted, retention_inserted)
+
+    — the cached ``estimate_recall`` in ``strict=False`` mode over the
+    post-append index: the fraction of the ANCHOR-TIME true neighbors a
+    production search still returns today. Under ingest this is
+    retention, not current recall (a new arrival can be a genuinely
+    closer neighbor and displace a baseline one — that displacement and
+    routing decay both lower the number; re-anchor at maintenance
+    points to re-baseline). ``retention_corpus_path`` must name the
+    parquet dir holding the CURRENT corpus vectors (base + arrivals —
+    the upstream table the stream feeds from), because the exact
+    re-rank needs every candidate's payload; the columns are null on
+    batches the cadence skips. Cost per read: one forest search of the
+    anchored sample + an id-column semi-join — the recurring term of
+    the cached check, no corpus vector scan."""
 
     # the frozen forest's stats never change, so decide ONCE whether the
     # index is deep (node table past the broadcast gate): only then does
@@ -203,6 +229,43 @@ def incremental_index_ingest(
     # partition right-sizing, costing one count job per micro-batch the
     # r8 design was explicitly free of — so pass no count there.
     deep_index = not node_table_broadcastable(forest)
+
+    retention_k = None
+    if retention_path is not None:
+        # fail FAST at stream start, not on batch 17: the retention read
+        # needs a monitor row to land in, an anchored truth to certify
+        # against, and a corpus dir for the exact re-rank payloads
+        if monitor_path is None:
+            raise ValueError(
+                "incremental_index_ingest: retention_path requires "
+                "monitor_path — the retention columns live on the "
+                "monitor row"
+            )
+        if retention_corpus_path is None:
+            raise ValueError(
+                "incremental_index_ingest: retention_path requires "
+                "retention_corpus_path (the parquet dir holding the "
+                "current corpus vectors — base + arrivals)"
+            )
+        if int(retention_every) < 1:
+            raise ValueError(
+                f"incremental_index_ingest: retention_every must be "
+                f">= 1, got {retention_every}"
+            )
+        try:
+            meta = (
+                forest.leaves.sparkSession.read
+                .parquet(f"{retention_path}/recall_truth/meta")
+                .collect()[0]
+            )
+        except Exception as exc:
+            raise ValueError(
+                f"incremental_index_ingest: retention_path="
+                f"{retention_path} carries no anchored recall baseline "
+                f"({retention_path}/recall_truth/meta unreadable) — run "
+                f"save_recall_baseline there first"
+            ) from exc
+        retention_k = int(meta.k)
 
     if monitor_path is not None and forest.fresh_health is None:
         # surfaced ONCE at stream start, not guessed per batch: without
@@ -267,12 +330,26 @@ def incremental_index_ingest(
         finally:
             routed.unpersist()
         spark = batch.sparkSession
-        v = needs_rebuild(
-            dataclasses.replace(
-                forest, leaves=spark.read.parquet(leaves_path)
-            ),
-            rebuild_fill_ratio,
+        post = dataclasses.replace(
+            forest, leaves=spark.read.parquet(leaves_path)
         )
+        v = needs_rebuild(post, rebuild_fill_ratio)
+        ret = ret_ex = ret_ins = None
+        if retention_path is not None and batch_id % retention_every == 0:
+            from ..operators.search import estimate_recall
+
+            r = estimate_recall(
+                post,
+                spark.read.parquet(retention_corpus_path),
+                k=retention_k,
+                id_col=id_col,
+                vec_col=vec_col,
+                truth_path=retention_path,
+                strict=False,
+            )
+            ret = float(r["recall"])
+            ret_ex = int(r["n_exhausted"])
+            ret_ins = int(r["inserted_at_least"])
         spark.createDataFrame(
             [(
                 int(batch_id), int(n_rows),
@@ -283,10 +360,13 @@ def incremental_index_ingest(
                 else float(v["fill_vs_fresh"]),
                 int(v["overgrown_leaves"]),
                 bool(v["needs_rebuild"]),
+                ret, ret_ex, ret_ins,
             )],
             schema="batch_id long, n_rows long, current_fill double, "
                    "fresh_fill double, fill_vs_fresh double, "
-                   "overgrown_leaves long, needs_rebuild boolean",
+                   "overgrown_leaves long, needs_rebuild boolean, "
+                   "retention double, retention_exhausted long, "
+                   "retention_inserted long",
         ).coalesce(1).write.mode("append").parquet(monitor_path)
 
     return (

@@ -697,3 +697,98 @@ def test_ingest_monitor_signals_and_resplit(spark, tmp_path):
     assert 0.0 <= after["recall"] <= 1.0
     # resplit restores the leaf invariant without collapsing quality
     assert after["recall"] >= before["recall"] - 0.2
+
+
+def test_ingest_monitor_retention_signal(spark, tmp_path):
+    """r12b: the cached-truth RETENTION read wired into the monitored
+    ingest loop — the routing-quality drift signal occupancy cannot
+    give under ingest (appends raise fill; the trigger stays quiet
+    while quality drifts). Anchor a recall baseline on the base
+    corpus, stream three arrival batches with retention_path set, and
+    the monitor rows must carry (retention, retention_exhausted,
+    retention_inserted) per cadence hit — computed in strict=False
+    mode because ingest GROWS the corpus past the anchored count.
+    Also pins the fail-fast guards: retention without a monitor row
+    to land in, and without an anchored truth, refuse at stream
+    start, not on batch N."""
+    from rust_vector_search_spark.operators.index import (
+        load_index,
+        save_index,
+    )
+    from rust_vector_search_spark.operators.search import (
+        save_recall_baseline,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 350)
+    new = emb.filter(F.col("vec_id") >= 350)
+    forest = build_rp_forest(old, num_trees=3, max_node_size=8, seed=42)
+    idx = str(tmp_path / "idx_ret")
+    save_index(forest, idx)
+    loaded = load_index(spark, idx, num_trees=3, max_node_size=8, seed=42)
+    save_recall_baseline(
+        loaded, old, idx, n_sample=20, k=5, reserve=4, seed=42
+    )
+
+    # the upstream corpus table: base + all arrivals (vector payloads
+    # the retention read's exact re-rank joins against)
+    corpus_dir = str(tmp_path / "ret_corpus")
+    emb.select("vec_id", "embedding").write.parquet(corpus_dir)
+
+    src = str(tmp_path / "ret_src")
+    for lo, hi in ((350, 400), (400, 450), (450, 500)):
+        new.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    mon = str(tmp_path / "ret_mon")
+    q = incremental_index_ingest(
+        stream,
+        loaded,
+        leaves_path=f"{idx}/leaves",
+        checkpoint_path=str(tmp_path / "ret_ckpt"),
+        monitor_path=mon,
+        retention_path=idx,
+        retention_corpus_path=corpus_dir,
+        retention_every=2,
+    )
+    q.awaitTermination(180)
+
+    m = sorted(spark.read.parquet(mon).collect(), key=lambda r: r.batch_id)
+    assert len(m) == 3
+    # cadence: batches 0 and 2 carry the read, batch 1 is null
+    assert m[0].retention is not None and m[2].retention is not None
+    assert m[1].retention is None
+    for r in (m[0], m[2]):
+        assert 0.0 <= r.retention <= 1.0
+        assert r.retention_exhausted == 0  # ingest deletes nothing
+        assert r.retention_inserted >= 150  # the arrivals grew the corpus
+    # occupancy columns still live on the same row
+    assert all(r.fill_vs_fresh is not None for r in m)
+
+    # fail-fast guards
+    with pytest.raises(ValueError, match="requires monitor_path"):
+        incremental_index_ingest(
+            stream, loaded, leaves_path=f"{idx}/leaves",
+            checkpoint_path=str(tmp_path / "g1"),
+            retention_path=idx, retention_corpus_path=corpus_dir,
+        )
+    with pytest.raises(ValueError, match="retention_corpus_path"):
+        incremental_index_ingest(
+            stream, loaded, leaves_path=f"{idx}/leaves",
+            checkpoint_path=str(tmp_path / "g2"),
+            monitor_path=mon, retention_path=idx,
+        )
+    bare = str(tmp_path / "idx_bare")
+    save_index(forest, bare)
+    with pytest.raises(ValueError, match="no anchored recall baseline"):
+        incremental_index_ingest(
+            stream, loaded, leaves_path=f"{idx}/leaves",
+            checkpoint_path=str(tmp_path / "g3"),
+            monitor_path=mon, retention_path=bare,
+            retention_corpus_path=corpus_dir,
+        )
