@@ -2473,9 +2473,9 @@ def all_pairs_rp_forest(
 def estimate_recall(
     forest: RPForest,
     corpus: DataFrame,
-    n_sample: int = 100,
+    n_sample: "int | None" = None,
     k: int = 10,
-    seed: int = 42,
+    seed: "int | None" = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     spill_margin: "float | str" = "auto",
@@ -2541,15 +2541,18 @@ def estimate_recall(
     insert+delete drift that nets ≤ 0 rows escapes the count guard —
     re-anchor after any ingest (the monitored streaming loop already
     re-reads health per batch; re-anchoring belongs at the same
-    maintenance points). ``n_sample``/``seed`` are taken from the
-    baseline in cached mode; passing different explicit values
-    raises rather than silently answering a different question."""
+    maintenance points). ``n_sample``/``seed`` default to None =
+    "take the baseline's" in cached mode (uncached: 100 / 42); any
+    EXPLICIT value that disagrees with the anchored meta raises
+    rather than silently answering a different question."""
     if truth_path is not None:
         return _estimate_recall_cached(
             forest, corpus, truth_path, n_sample=n_sample, k=k,
             seed=seed, id_col=id_col, vec_col=vec_col,
             spill_margin=spill_margin, strict=strict,
         )
+    n_sample = 100 if n_sample is None else int(n_sample)
+    seed = 42 if seed is None else int(seed)
     from .knn import knn_exact_fast
 
     q = (
@@ -2659,9 +2662,9 @@ def _estimate_recall_cached(
     forest: RPForest,
     corpus: DataFrame,
     truth_path: str,
-    n_sample: int,
+    n_sample: "int | None",
     k: int,
-    seed: int,
+    seed: "int | None",
     id_col: str,
     vec_col: str,
     spill_margin: "float | str",
@@ -2688,15 +2691,15 @@ def _estimate_recall_cached(
             f"k={int(meta.k)} — the deletion reserve was sized for the "
             f"anchored k; re-anchor with save_recall_baseline(k={k})"
         )
-    # defaults mean "take the baseline's"; an explicit different value
-    # must not silently answer a different question than it names
-    if int(n_sample) != int(meta.n_sample) and int(n_sample) != 100:
+    # None means "take the baseline's"; an EXPLICIT value must not
+    # silently answer a different question than it names
+    if n_sample is not None and int(n_sample) != int(meta.n_sample):
         raise ValueError(
             f"estimate_recall(cached): n_sample={n_sample} conflicts with "
             f"the baseline's n_sample={int(meta.n_sample)} — the cached "
             f"sample is pinned at anchor time"
         )
-    if int(seed) != int(meta.seed) and int(seed) != 42:
+    if seed is not None and int(seed) != int(meta.seed):
         raise ValueError(
             f"estimate_recall(cached): seed={seed} conflicts with the "
             f"baseline's seed={int(meta.seed)} — the cached sample is "
@@ -2717,6 +2720,11 @@ def _estimate_recall_cached(
         )
     ids = corpus.select(F.col(id_col).alias("vec_id"))
     surv = truth.join(ids, "vec_id", "left_semi")
+    # one driver-collect of <= n_sample slim accounting rows (the
+    # sample is gated at anchor time) decides certification — NOT
+    # localCheckpoint: a monitored stream runs this per micro-batch,
+    # and checkpoint blocks are reclaimed only after a driver GC (the
+    # release_driver_blocks hazard incremental.py documents)
     per_q = (
         truth.groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_cached"))
@@ -2726,46 +2734,48 @@ def _estimate_recall_cached(
             "left",
         )
         .fillna(0, ["n_surv"])
-    )
-    # truncated cache + too many casualties => cannot certify this query
-    exhausted = per_q.filter(
-        (F.col("n_surv") < F.lit(int(k)))
-        & (F.col("n_cached") >= F.lit(int(meta.k_eff)))
-    ).select("query_id").localCheckpoint(eager=True)
-    n_exhausted = exhausted.count()
-    cert = per_q.join(exhausted, "query_id", "left_anti").select(
-        "query_id"
-    ).localCheckpoint(eager=True)
-    n_cert = cert.count()
-    if n_cert == 0:
+    ).collect()
+    # truncated cache + too many casualties => cannot certify the query
+    cert_ids = [
+        int(r.query_id) for r in per_q
+        if not (r.n_surv < int(k) and r.n_cached >= int(meta.k_eff))
+    ]
+    n_exhausted = len(per_q) - len(cert_ids)
+    if not cert_ids:
         raise ValueError(
             f"estimate_recall(cached): every sampled query's deletion "
             f"reserve is exhausted (n_exhausted={n_exhausted}) — the "
             f"cached truth can no longer certify any current top-{k}; "
             f"re-anchor with save_recall_baseline"
         )
+    cert = spark.createDataFrame(
+        [(i,) for i in cert_ids], "query_id long"
+    )
     w = Window.partitionBy("query_id").orderBy("rnk")
     current_truth = (
         surv.withColumn("crnk", F.row_number().over(w))
         .filter(F.col("crnk") <= int(k))
         .join(cert, "query_id", "left_semi")
         .select("query_id", "vec_id")
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    total = current_truth.count()
-    qs = q.join(cert, "query_id", "left_semi")
-    approx = search_rp_forest(
-        forest, corpus, qs, k=k,
-        id_col=id_col, vec_col=vec_col, spill_margin=spill_margin,
-    ).select("query_id", "vec_id")
-    hits = current_truth.join(
-        approx, ["query_id", "vec_id"], "left_semi"
-    ).count()
+    try:
+        total = current_truth.count()
+        qs = q.join(cert, "query_id", "left_semi")
+        approx = search_rp_forest(
+            forest, corpus, qs, k=k,
+            id_col=id_col, vec_col=vec_col, spill_margin=spill_margin,
+        ).select("query_id", "vec_id")
+        hits = current_truth.join(
+            approx, ["query_id", "vec_id"], "left_semi"
+        ).count()
+    finally:
+        current_truth.unpersist()
     return {
         "recall": (hits / total) if total else 1.0,
         "hits": int(hits),
         "total": int(total),
-        "n_sample": int(n_cert),
+        "n_sample": len(cert_ids),
         "k": int(k),
         "seed": int(meta.seed),
         "cached": True,

@@ -350,24 +350,35 @@ def incremental_index_ingest(
             ret = float(r["recall"])
             ret_ex = int(r["n_exhausted"])
             ret_ins = int(r["inserted_at_least"])
-        spark.createDataFrame(
-            [(
-                int(batch_id), int(n_rows),
-                float(v["current_fill"]),
-                None if v["fresh_fill"] is None else float(v["fresh_fill"]),
-                None
-                if v["fill_vs_fresh"] is None
-                else float(v["fill_vs_fresh"]),
-                int(v["overgrown_leaves"]),
-                bool(v["needs_rebuild"]),
-                ret, ret_ex, ret_ins,
-            )],
-            schema="batch_id long, n_rows long, current_fill double, "
-                   "fresh_fill double, fill_vs_fresh double, "
-                   "overgrown_leaves long, needs_rebuild boolean, "
-                   "retention double, retention_exhausted long, "
-                   "retention_inserted long",
-        ).coalesce(1).write.mode("append").parquet(monitor_path)
+        row = (
+            int(batch_id), int(n_rows),
+            float(v["current_fill"]),
+            None if v["fresh_fill"] is None else float(v["fresh_fill"]),
+            None
+            if v["fill_vs_fresh"] is None
+            else float(v["fill_vs_fresh"]),
+            int(v["overgrown_leaves"]),
+            bool(v["needs_rebuild"]),
+        )
+        schema = (
+            "batch_id long, n_rows long, current_fill double, "
+            "fresh_fill double, fill_vs_fresh double, "
+            "overgrown_leaves long, needs_rebuild boolean"
+        )
+        if retention_path is not None:
+            # the retention columns exist only on retention-enabled
+            # streams: a monitor dir written before this feature keeps
+            # its 7-column schema instead of silently flapping between
+            # footers (enable retention on a FRESH monitor_path, or
+            # read the mixed dir with mergeSchema)
+            row = row + (ret, ret_ex, ret_ins)
+            schema += (
+                ", retention double, retention_exhausted long, "
+                "retention_inserted long"
+            )
+        spark.createDataFrame([row], schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(monitor_path)
 
     return (
         vectors_stream.writeStream.foreachBatch(_route_and_append)

@@ -700,9 +700,12 @@ def cmd_recallcache(args) -> None:
     t0 = time.time()
     v = needs_rebuild(forest)
     t_trig = time.time() - t0
-    print(f"needs_rebuild: {t_trig:.1f}s fill_vs_fresh="
-          f"{v['fill_vs_fresh']:.3f} fires={v['needs_rebuild']}",
-          flush=True)
+    fvf = (
+        "n/a" if v["fill_vs_fresh"] is None
+        else f"{v['fill_vs_fresh']:.3f}"
+    )
+    print(f"needs_rebuild: {t_trig:.1f}s fill_vs_fresh={fvf} "
+          f"fires={v['needs_rebuild']}", flush=True)
 
     t0 = time.time()
     un = estimate_recall(forest, emb, n_sample=args.queries, k=args.k)
