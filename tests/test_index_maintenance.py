@@ -586,3 +586,92 @@ def test_recall_baseline_exhaustion_and_guards(spark, tmp_path):
         estimate_recall(forest, emb, n_sample=20, k=5, seed=3, truth_path=p2)
     with _pytest.raises(ValueError, match="seed"):
         estimate_recall(forest, emb, n_sample=15, k=5, seed=4, truth_path=p2)
+
+
+def test_recall_baseline_mixed_exhaustion_accounting(spark, tmp_path):
+    """The partial-exhaustion regime (between the all-certified and
+    all-exhausted edges already pinned): a thin reserve + heavy
+    clustered deletion exhausts SOME queries' cached windows. The
+    exhausted count must match an INDEPENDENT numpy recomputation
+    (full float64 distance sort per pinned query, same (dist, vec_id)
+    tie-breaks, survivor filter applied to the top-k_eff window), and
+    the certified queries' recall must equal a fresh BLAS recompute
+    restricted to the same certified set — exhaustion may shrink the
+    sample, never tilt the ratio."""
+    import numpy as np
+
+    from rust_vector_search_spark.operators.knn import knn_exact_fast
+    from rust_vector_search_spark.operators.search import (
+        estimate_recall,
+        save_recall_baseline,
+        search_rp_forest,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    forest = build_rp_forest(emb, num_trees=4, max_node_size=8, seed=42)
+    p = str(tmp_path / "idx_rbmix")
+    k, reserve = 5, 2
+    save_recall_baseline(
+        forest, emb, p, n_sample=25, k=k, reserve=reserve, seed=11
+    )
+
+    # clustered deletion: drop a contiguous id band (70%) so some
+    # queries lose their whole neighborhood and others keep it
+    survivors = emb.filter(
+        (F.col("vec_id") % 10 < 3)
+    )
+    shrunk = delete_vectors(
+        forest, emb.filter(F.col("vec_id") % 10 >= 3).select("vec_id")
+    )
+    res = estimate_recall(shrunk, survivors, k=k, truth_path=p)
+
+    # independent oracle: numpy full-sort per pinned query
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    surv_ids = {r.vec_id for r in survivors.select("vec_id").collect()}
+    qrows = spark.read.parquet(f"{p}/recall_truth/queries").collect()
+    k_eff = k * reserve
+    n_exhausted_expected = 0
+    for qr in qrows:
+        qv = np.array(list(qr.query_vec), dtype=np.float64)
+        d = ((X - qv) ** 2).sum(axis=1)
+        order = sorted(
+            (float(d[i]), int(ids[i]))
+            for i in range(len(ids))
+            if int(ids[i]) != qr.query_id
+        )
+        window = order[:k_eff]
+        n_surv = sum(1 for _, vid in window if vid in surv_ids)
+        if n_surv < k and len(window) >= k_eff:
+            n_exhausted_expected += 1
+    assert res["n_exhausted"] == n_exhausted_expected
+    assert res["n_exhausted"] > 0  # the regime actually exercised
+    assert res["n_sample"] == 25 - n_exhausted_expected
+
+    # certified-side parity: fresh BLAS truth on the certified queries
+    q = spark.read.parquet(f"{p}/recall_truth/queries")
+    exhausted_qids = set()
+    for qr in qrows:
+        qv = np.array(list(qr.query_vec), dtype=np.float64)
+        d = ((X - qv) ** 2).sum(axis=1)
+        order = sorted(
+            (float(d[i]), int(ids[i]))
+            for i in range(len(ids))
+            if int(ids[i]) != qr.query_id
+        )
+        window = order[:k_eff]
+        n_surv = sum(1 for _, vid in window if vid in surv_ids)
+        if n_surv < k and len(window) >= k_eff:
+            exhausted_qids.add(qr.query_id)
+    cert_q = q.filter(~F.col("query_id").isin(list(exhausted_qids)))
+    exact = knn_exact_fast(survivors, cert_q, k=k).select(
+        "query_id", "vec_id"
+    )
+    approx = search_rp_forest(shrunk, survivors, cert_q, k=k).select(
+        "query_id", "vec_id"
+    )
+    total = exact.count()
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    assert res["total"] == total
+    assert res["hits"] == hits
