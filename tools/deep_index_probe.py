@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Per-round deep-index regression + scale probes over the persisted
-250k × 300-d RP-forest (VERDICT r8 #1/#2/#3/#6). One tool, eight legs:
+250k × 300-d RP-forest (VERDICT r8 #1/#2/#3/#6). One tool, ten legs:
 
   search    the regression leg: N queries (default 100), k = 10, via the
             zero-shuffle persisted-layout route; recall vs exact BLAS
@@ -62,6 +62,8 @@ Usage:
   python tools/deep_index_probe.py maintain [--index /tmp/idx250k] [--cleanup]
   python tools/deep_index_probe.py shrink   [--index /tmp/idx250k] [--cleanup]
   python tools/deep_index_probe.py lifecycle [--index /tmp/idx250k] [--cleanup]
+  python tools/deep_index_probe.py recallcache [--index /tmp/idx250k] [--queries 100] [--cleanup]
+  python tools/deep_index_probe.py debt [--index /tmp/idx1m] [--cleanup]
 Common: --n 250000 --num-trees 50 --leaf 5 --k 10 --no-baseline-append
 """
 
