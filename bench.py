@@ -89,7 +89,32 @@ HEADLINE = [
 ]
 
 
+def _parse_only(argv: "list[str]") -> "list[str]":
+    """`--only name[,name...]` (VERDICT r12 #6): select a subset of the
+    headline rows so adjudicating ONE drifted query costs one query, not
+    41. No flag = the full default set, byte-identical output contract
+    (the driver parses the one-line JSON of the no-args invocation).
+    Warm-ups always run regardless of selection — a solo number is only
+    comparable to its full-run row if both paid the same JIT/codegen/
+    state-store spin-up beforehand."""
+    if not argv:
+        return HEADLINE
+    if argv[0] != "--only" or len(argv) != 2:
+        raise SystemExit(
+            f"usage: bench.py [--only name[,name...]] — got {argv!r}"
+        )
+    names = [n for n in argv[1].split(",") if n]
+    unknown = [n for n in names if n not in HEADLINE]
+    if unknown:
+        raise SystemExit(
+            f"bench.py --only: unknown queries {unknown}; valid names are "
+            f"the headline set: {', '.join(HEADLINE)}"
+        )
+    return names
+
+
 def main() -> None:
+    selected = _parse_only(sys.argv[1:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
@@ -123,7 +148,7 @@ def main() -> None:
     from rust_vector_search_spark.plans.registry import release_driver_blocks
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in selected:
         fn = QUERIES[name]
         # inter-iteration GC (untimed, standard bench hygiene): eagerly
         # release the previous query's localCheckpoint blocks — Spark's
