@@ -2481,6 +2481,7 @@ def estimate_recall(
     spill_margin: "float | str" = "auto",
     truth_path: "str | None" = None,
     strict: bool = True,
+    check_payload: bool = False,
 ) -> dict:
     """Sampled ROUTING-QUALITY probe (VERDICT r11 #2) — the complement
     the occupancy trigger measurably lacks: ``needs_rebuild`` reads
@@ -2534,14 +2535,35 @@ def estimate_recall(
     exhausted are EXCLUDED and counted in ``n_exhausted`` — the
     honest signal to re-anchor. INSERTS are outside the cached
     contract (a new vector can be a true neighbor the cache cannot
-    know): if the corpus grew past the baseline count, strict mode
-    (default) raises; ``strict=False`` proceeds and reports
-    ``inserted_at_least`` — the number is then "retention of
-    baseline-time neighbors", not current recall. A mixed
-    insert+delete drift that nets ≤ 0 rows escapes the count guard —
-    re-anchor after any ingest (the monitored streaming loop already
+    know): the anchor persists the corpus ID SET
+    (``recall_truth/corpus_ids``, 16 B/row), and the check verifies
+    MEMBERSHIP — an anti-join of current ids against anchored ids —
+    so ANY non-anchored id is detected exactly, including mixed
+    insert+delete drift netting ≤ 0 rows (the r12 count guard's
+    escape; VERDICT r12 #1). Strict mode (default) raises on the
+    first foreign id; ``strict=False`` proceeds and reports the
+    exact foreign-row count as ``inserted_at_least`` — the number is
+    then "retention of baseline-time neighbors", not current recall.
+    Re-anchor after any ingest (the monitored streaming loop already
     re-reads health per batch; re-anchoring belongs at the same
-    maintenance points). ``n_sample``/``seed`` default to None =
+    maintenance points).
+
+    ID-IMMUTABILITY ASSUMPTION (the default check reads the id
+    column only): a vec_id, once anchored, always names the same
+    vector — ids are never reused and payloads never mutate in
+    place. That is this package's own ingest contract (appends carry
+    fresh ids; deletes remove them). If the corpus cannot promise
+    it, pass ``check_payload=True``: membership is then verified on
+    ``(vec_id, xxhash64(vec_id, vec))`` pairs, catching in-place
+    updates and delete+insert reusing an id, at the cost of one
+    vector-column scan per check (the hash is computed scan-side in
+    the JVM; only 16-byte pairs shuffle). Anchors written before r13
+    lack ``corpus_ids``: the check falls back to the legacy count
+    guard with a RuntimeWarning naming the re-anchor (and
+    ``check_payload=True`` refuses — it cannot verify content
+    against an anchor that never recorded it).
+
+    ``n_sample``/``seed`` default to None =
     "take the baseline's" in cached mode (uncached: 100 / 42); any
     EXPLICIT value that disagrees with the anchored meta raises
     rather than silently answering a different question."""
@@ -2550,6 +2572,13 @@ def estimate_recall(
             forest, corpus, truth_path, n_sample=n_sample, k=k,
             seed=seed, id_col=id_col, vec_col=vec_col,
             spill_margin=spill_margin, strict=strict,
+            check_payload=check_payload,
+        )
+    if check_payload:
+        raise ValueError(
+            "estimate_recall: check_payload applies only to cached mode "
+            "(truth_path) — the uncached probe recomputes exact truth "
+            "from the live payloads, so there is nothing to verify"
         )
     n_sample = 100 if n_sample is None else int(n_sample)
     seed = 42 if seed is None else int(seed)
@@ -2609,12 +2638,17 @@ def save_recall_baseline(
     ``reserve × k`` neighbors in true (dist, vec_id) order, so the
     cached check stays EXACT until deletions burn through
     ``(reserve − 1) × k`` of a query's cached neighbors (see
-    ``estimate_recall``'s cached-mode contract). Three tiny tables:
+    ``estimate_recall``'s cached-mode contract). Four tables:
     ``truth`` (n_sample × reserve·k slim id rows), ``queries``
     (n_sample pinned query vectors — pinned, because a post-delete
     corpus would re-sample DIFFERENT queries and break comparability),
     ``meta`` (one row: sample/k/reserve/seed + the baseline corpus
-    count the insert guard checks against).
+    count), and ``corpus_ids`` (r13: the full anchor-time id set plus
+    a per-row ``xxhash64(id, vec)`` content hash — 16 B/row, so 16 MB
+    at the reference's 1M point — the table the exact MEMBERSHIP
+    guard anti-joins against; the count guard alone lets mixed
+    insert+delete drift netting ≤ 0 rows certify against a truth that
+    cannot know the new vectors, VERDICT r12 #1).
 
     Cost: exactly one uncached probe's exact side (one corpus scan,
     BLAS block top-k, driver-collect gated) — paid once per anchor,
@@ -2644,6 +2678,13 @@ def save_recall_baseline(
     base = f"{path}/recall_truth"
     truth.coalesce(1).write.mode("overwrite").parquet(f"{base}/truth")
     q.coalesce(1).write.mode("overwrite").parquet(f"{base}/queries")
+    # corpus-sized but slim (two 8-byte columns): keep the scan's
+    # natural partitioning — a coalesce(1) here would funnel the whole
+    # id set through one task at 10^8+ rows
+    corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.xxhash64(F.col(id_col), F.col(vec_col)).alias("row_hash"),
+    ).write.mode("overwrite").parquet(f"{base}/corpus_ids")
     spark.createDataFrame(
         [(int(n_q), int(k), int(k_eff), int(seed), int(n_corpus))],
         schema="n_sample long, k long, k_eff long, seed long, n_corpus long",
@@ -2669,6 +2710,7 @@ def _estimate_recall_cached(
     vec_col: str,
     spill_margin: "float | str",
     strict: bool,
+    check_payload: bool = False,
 ) -> dict:
     """Cached-truth body of ``estimate_recall`` (see its docstring for
     the contract). The exact side is replaced by: read the persisted
@@ -2676,12 +2718,14 @@ def _estimate_recall_cached(
     only — parquet never materializes the vectors for this side), and
     take each query's first k surviving cached neighbors, which are
     provably the exact current top-k wherever ≥ k survive within the
-    cached ``k_eff`` window. A query whose cached window was truncated
-    (held exactly ``k_eff`` rows — i.e. the baseline corpus had more
-    neighbors than the cache keeps) AND lost too many of them is
-    EXHAUSTED: excluded from the ratio, counted in ``n_exhausted``. A
-    shorter-than-``k_eff`` cached list is the whole baseline
-    neighborhood, so it certifies at any deletion depth."""
+    cached ``k_eff`` window. A query whose cached window was TRUNCATED
+    (held exactly ``k_eff`` rows while the baseline corpus had MORE
+    than ``k_eff`` candidates — when the anchor corpus had exactly
+    ``k_eff`` non-self rows, a full window is the COMPLETE
+    neighborhood and certifies at any deletion depth, ADVICE r12 #4)
+    AND lost too many of them is EXHAUSTED: excluded from the ratio,
+    counted in ``n_exhausted``. A shorter-than-``k_eff`` cached list
+    is likewise the whole baseline neighborhood."""
     spark = corpus.sparkSession
     base = f"{truth_path}/recall_truth"
     meta = spark.read.parquet(f"{base}/meta").collect()[0]
@@ -2707,17 +2751,71 @@ def _estimate_recall_cached(
         )
     q = spark.read.parquet(f"{base}/queries")
     truth = spark.read.parquet(f"{base}/truth")
-    n_corpus_now = corpus.count()
-    inserted_at_least = max(0, int(n_corpus_now) - int(meta.n_corpus))
-    if inserted_at_least and strict:
-        raise ValueError(
-            f"estimate_recall(cached): corpus has grown by at least "
-            f"{inserted_at_least} rows since the baseline was anchored "
-            f"(now {n_corpus_now}, anchored at {int(meta.n_corpus)}) — "
-            f"an inserted vector can be a true neighbor the cache cannot "
-            f"know. Re-anchor with save_recall_baseline, or pass "
-            f"strict=False to read neighbor RETENTION instead of recall"
+    # drift guard: exact MEMBERSHIP against the anchored id set when
+    # the anchor carries one (r13), legacy count guard + warning when
+    # it does not. Absence is probed through the Hadoop FS API, never
+    # inferred from a failed read — a transient FS error must
+    # propagate, not silently select the weaker guard.
+    from ..streaming.incremental import _hadoop_path_exists
+
+    ids_path = f"{base}/corpus_ids"
+    if _hadoop_path_exists(spark, ids_path):
+        anchor_ids = spark.read.parquet(ids_path)
+        if check_payload:
+            cur = corpus.select(
+                F.col(id_col).alias("vec_id"),
+                F.xxhash64(F.col(id_col), F.col(vec_col)).alias(
+                    "row_hash"
+                ),
+            )
+            foreign = cur.join(
+                anchor_ids, ["vec_id", "row_hash"], "left_anti"
+            )
+            what = "rows absent from (or mutated since) the anchored baseline"
+        else:
+            foreign = corpus.select(F.col(id_col).alias("vec_id")).join(
+                anchor_ids.select("vec_id"), "vec_id", "left_anti"
+            )
+            what = "ids absent from the anchored baseline"
+        inserted_at_least = int(foreign.count())
+        if inserted_at_least and strict:
+            raise ValueError(
+                f"estimate_recall(cached): the corpus holds "
+                f"{inserted_at_least} {what} — a vector the anchor "
+                f"never saw can be a true neighbor the cache cannot "
+                f"know, so the cached number would not be recall. "
+                f"Re-anchor with save_recall_baseline, or pass "
+                f"strict=False to read neighbor RETENTION instead"
+            )
+    else:
+        if check_payload:
+            raise ValueError(
+                f"estimate_recall(cached): check_payload=True needs the "
+                f"anchored corpus_ids table, but {ids_path} does not "
+                f"exist (pre-r13 anchor) — re-anchor with "
+                f"save_recall_baseline to record content hashes"
+            )
+        import warnings
+
+        warnings.warn(
+            f"estimate_recall(cached): {ids_path} missing (pre-r13 "
+            f"anchor) — falling back to the COUNT guard, which a mixed "
+            f"insert+delete netting <= 0 rows escapes; re-anchor with "
+            f"save_recall_baseline for the exact membership guard",
+            RuntimeWarning,
+            stacklevel=3,
         )
+        n_corpus_now = corpus.count()
+        inserted_at_least = max(0, int(n_corpus_now) - int(meta.n_corpus))
+        if inserted_at_least and strict:
+            raise ValueError(
+                f"estimate_recall(cached): corpus has grown by at least "
+                f"{inserted_at_least} rows since the baseline was anchored "
+                f"(now {n_corpus_now}, anchored at {int(meta.n_corpus)}) — "
+                f"an inserted vector can be a true neighbor the cache cannot "
+                f"know. Re-anchor with save_recall_baseline, or pass "
+                f"strict=False to read neighbor RETENTION instead of recall"
+            )
     ids = corpus.select(F.col(id_col).alias("vec_id"))
     surv = truth.join(ids, "vec_id", "left_semi")
     # one driver-collect of <= n_sample slim accounting rows (the
@@ -2735,10 +2833,21 @@ def _estimate_recall_cached(
         )
         .fillna(0, ["n_surv"])
     ).collect()
-    # truncated cache + too many casualties => cannot certify the query
+    # truncated cache + too many casualties => cannot certify the query.
+    # A full window is truncated only if the ANCHOR corpus actually had
+    # more candidates than the cache keeps: with exactly k_eff non-self
+    # rows at anchor time, n_cached == k_eff IS the complete
+    # neighborhood and certifies at any deletion depth (ADVICE r12 #4 —
+    # the count-only rule spuriously exhausted small corpora and could
+    # trip the all-exhausted refusal on a fully-certifiable sample)
+    anchor_avail = int(meta.n_corpus) - 1  # exact truth excludes self
     cert_ids = [
         int(r.query_id) for r in per_q
-        if not (r.n_surv < int(k) and r.n_cached >= int(meta.k_eff))
+        if not (
+            r.n_surv < int(k)
+            and r.n_cached >= int(meta.k_eff)
+            and anchor_avail > int(meta.k_eff)
+        )
     ]
     n_exhausted = len(per_q) - len(cert_ids)
     if not cert_ids:

