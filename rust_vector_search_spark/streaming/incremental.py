@@ -160,6 +160,7 @@ def incremental_index_ingest(
     retention_path: "str | None" = None,
     retention_corpus_path: "str | None" = None,
     retention_every: int = 1,
+    retention_budget_frac: "float | None" = None,
 ) -> StreamingQuery:
     """Append new vectors to the forest's leaves: each micro-batch is
     routed through the frozen hyperplanes (same predicate as queries,
@@ -218,8 +219,39 @@ def incremental_index_ingest(
     the upstream table the stream feeds from), because the exact
     re-rank needs every candidate's payload; the columns are null on
     batches the cadence skips. Cost per read: one forest search of the
-    anchored sample + an id-column semi-join — the recurring term of
-    the cached check, no corpus vector scan."""
+    anchored sample + two id-column joins (survivor semi-join +
+    membership anti-join) — the recurring term of the cached check, no
+    corpus vector scan.
+
+    MONITOR SCHEMA IS STABLE (ADVICE r12 #3): every monitored stream
+    writes the same 11 columns — the 7 occupancy columns plus
+    (retention, retention_exhausted, retention_inserted,
+    retention_status) — with the retention columns null when retention
+    is disabled or the cadence skips a batch, so a monitor dir never
+    mixes footers and a plain ``spark.read.parquet`` always resolves
+    every column. A pre-existing ``monitor_path`` whose schema differs
+    (e.g. a 7-column pre-r13 dir) FAILS AT STREAM START with a
+    migration hint, never silently on batch N. ``retention_status`` is
+    null on a clean read; ``"error: ..."`` when a retention read
+    failed (the failure is CONTAINED — a monitoring signal must never
+    take down production ingestion (ADVICE r12 #2): the row lands
+    with null retention columns and the stream keeps appending);
+    ``"deferred: time budget"`` when ``retention_budget_frac`` skipped
+    a due read.
+
+    RETENTION CADENCE SIZING (VERDICT r12 #2): one retention read
+    costs roughly one cached health check — see BASELINE.md's r13
+    cadence table for the measured walls at the 250k and 1M × 300-d
+    points (dominated by the forest search of the anchored sample) —
+    so ``retention_every=1`` on sub-minute micro-batches makes the
+    read the stream's bottleneck. Size it so the read amortizes below
+    a few percent of batch wall (e.g. 40 s reads on 20 s batches →
+    ``retention_every=60`` ≈ 3% overhead), or set
+    ``retention_budget_frac`` (e.g. ``0.05``) and the stream
+    self-regulates: a due read runs only when the LAST read's wall is
+    at most ``frac`` × the batch wall accumulated since that read —
+    deferred rows are marked, never silently dropped, and the first
+    due read always runs (no history yet)."""
 
     # the frozen forest's stats never change, so decide ONCE whether the
     # index is deep (node table past the broadcast gate): only then does
@@ -229,6 +261,55 @@ def incremental_index_ingest(
     # partition right-sizing, costing one count job per micro-batch the
     # r8 design was explicitly free of — so pass no count there.
     deep_index = not node_table_broadcastable(forest)
+
+    monitor_schema = (
+        "batch_id long, n_rows long, current_fill double, "
+        "fresh_fill double, fill_vs_fresh double, "
+        "overgrown_leaves long, needs_rebuild boolean, "
+        "retention double, retention_exhausted long, "
+        "retention_inserted long, retention_status string"
+    )
+    if retention_budget_frac is not None:
+        if retention_path is None:
+            raise ValueError(
+                "incremental_index_ingest: retention_budget_frac is set "
+                "but retention_path is not — there is no retention read "
+                "to budget"
+            )
+        if not (0.0 < float(retention_budget_frac) <= 1.0):
+            raise ValueError(
+                f"incremental_index_ingest: retention_budget_frac must "
+                f"be in (0, 1], got {retention_budget_frac}"
+            )
+    if monitor_path is not None:
+        # schema fail-fast (ADVICE r12 #3): a pre-existing monitor dir
+        # with a different column set would otherwise mix parquet
+        # footers and plain reads would resolve an arbitrary one —
+        # refuse at stream start, not on batch N. An existing-but-empty
+        # dir has no footers to conflict with (the schema-inference
+        # error is the only read error treated as absence here).
+        spark0 = forest.leaves.sparkSession
+        if _hadoop_path_exists(spark0, monitor_path):
+            from pyspark.errors import AnalysisException
+
+            existing = None
+            try:
+                existing = spark0.read.parquet(monitor_path).schema
+            except AnalysisException:
+                pass
+            expected = [f.split()[0] for f in monitor_schema.split(", ")]
+            if existing is not None and [
+                f.name for f in existing.fields
+            ] != expected:
+                raise ValueError(
+                    f"incremental_index_ingest: monitor_path="
+                    f"{monitor_path} already holds a table with columns "
+                    f"{[f.name for f in existing.fields]}, but monitored "
+                    f"streams write the stable 11-column schema "
+                    f"{expected} — point at a fresh dir, or migrate the "
+                    f"old rows once (read with mergeSchema=true, select "
+                    f"the 11 columns with nulls filled, rewrite)"
+                )
 
     retention_k = None
     if retention_path is not None:
@@ -286,6 +367,10 @@ def incremental_index_ingest(
             stacklevel=2,
         )
 
+    # retention-budget closure state: survives across micro-batches of
+    # THIS query (foreachBatch runs driver-side); one stream = one state
+    _ret_state = {"last_cost": None, "wall_accum": 0.0}
+
     def _route_and_append(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
@@ -318,9 +403,11 @@ def incremental_index_ingest(
         # accumulates storage across the hundreds of micro-batches of a
         # long-running stream; unpersist releases deterministically.
         import dataclasses
+        import time
 
         from ..operators.index import needs_rebuild
 
+        t_batch = time.perf_counter()
         routed = routed.persist()
         try:
             n_rows = routed.count()
@@ -334,22 +421,55 @@ def incremental_index_ingest(
             forest, leaves=spark.read.parquet(leaves_path)
         )
         v = needs_rebuild(post, rebuild_fill_ratio)
-        ret = ret_ex = ret_ins = None
+        ret = ret_ex = ret_ins = ret_status = None
         if retention_path is not None and batch_id % retention_every == 0:
-            from ..operators.search import estimate_recall
-
-            r = estimate_recall(
-                post,
-                spark.read.parquet(retention_corpus_path),
-                k=retention_k,
-                id_col=id_col,
-                vec_col=vec_col,
-                truth_path=retention_path,
-                strict=False,
+            # time-budget gate: the accumulated NON-retention batch wall
+            # since the last read is the denominator the read amortizes
+            # over; a read costlier than frac x that wall is deferred
+            # (marked, never silent) until enough batches have run
+            accum = _ret_state["wall_accum"] + (
+                time.perf_counter() - t_batch
             )
-            ret = float(r["recall"])
-            ret_ex = int(r["n_exhausted"])
-            ret_ins = int(r["inserted_at_least"])
+            last_cost = _ret_state["last_cost"]
+            if (
+                retention_budget_frac is not None
+                and last_cost is not None
+                and last_cost > float(retention_budget_frac) * accum
+            ):
+                ret_status = "deferred: time budget"
+                _ret_state["wall_accum"] = accum
+            else:
+                from ..operators.search import estimate_recall
+
+                t_read = time.perf_counter()
+                try:
+                    r = estimate_recall(
+                        post,
+                        spark.read.parquet(retention_corpus_path),
+                        k=retention_k,
+                        id_col=id_col,
+                        vec_col=vec_col,
+                        truth_path=retention_path,
+                        strict=False,
+                    )
+                except Exception as exc:  # noqa: BLE001 — containment:
+                    # a monitoring signal must never take down
+                    # production ingestion (ADVICE r12 #2): the append
+                    # already landed; record the failure on the row
+                    # (all-queries-exhausted, a momentarily unreadable
+                    # corpus dir, ...) and keep the stream alive
+                    ret_status = f"error: {exc}"[:400]
+                    _ret_state["wall_accum"] = accum
+                else:
+                    ret = float(r["recall"])
+                    ret_ex = int(r["n_exhausted"])
+                    ret_ins = int(r["inserted_at_least"])
+                    _ret_state["last_cost"] = (
+                        time.perf_counter() - t_read
+                    )
+                    _ret_state["wall_accum"] = 0.0
+        else:
+            _ret_state["wall_accum"] += time.perf_counter() - t_batch
         row = (
             int(batch_id), int(n_rows),
             float(v["current_fill"]),
@@ -359,26 +479,11 @@ def incremental_index_ingest(
             else float(v["fill_vs_fresh"]),
             int(v["overgrown_leaves"]),
             bool(v["needs_rebuild"]),
+            ret, ret_ex, ret_ins, ret_status,
         )
-        schema = (
-            "batch_id long, n_rows long, current_fill double, "
-            "fresh_fill double, fill_vs_fresh double, "
-            "overgrown_leaves long, needs_rebuild boolean"
-        )
-        if retention_path is not None:
-            # the retention columns exist only on retention-enabled
-            # streams: a monitor dir written before this feature keeps
-            # its 7-column schema instead of silently flapping between
-            # footers (enable retention on a FRESH monitor_path, or
-            # read the mixed dir with mergeSchema)
-            row = row + (ret, ret_ex, ret_ins)
-            schema += (
-                ", retention double, retention_exhausted long, "
-                "retention_inserted long"
-            )
-        spark.createDataFrame([row], schema=schema).coalesce(1).write.mode(
-            "append"
-        ).parquet(monitor_path)
+        spark.createDataFrame(
+            [row], schema=monitor_schema
+        ).coalesce(1).write.mode("append").parquet(monitor_path)
 
     return (
         vectors_stream.writeStream.foreachBatch(_route_and_append)

@@ -792,3 +792,219 @@ def test_ingest_monitor_retention_signal(spark, tmp_path):
             monitor_path=mon, retention_path=bare,
             retention_corpus_path=corpus_dir,
         )
+
+
+def _mk_arrival_stream(spark, tmp_path, new, tag):
+    """Three 50-row arrival files + a maxFilesPerTrigger=1 file stream."""
+    src = str(tmp_path / f"{tag}_src")
+    for lo, hi in ((350, 400), (400, 450), (450, 500)):
+        new.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+    return (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def test_ingest_monitor_stable_schema_and_mismatch_guard(spark, tmp_path):
+    """ADVICE r12 #3: the monitor schema is STABLE — a retention-less
+    monitored stream writes the same 11 columns (retention columns
+    null), so no monitor dir ever mixes footers; and pointing a
+    monitored stream at a pre-existing dir with a DIFFERENT schema
+    (the pre-r13 7-column layout) refuses at stream start with a
+    migration hint, never resolves an arbitrary footer on batch N."""
+    from rust_vector_search_spark.operators.index import (
+        load_index,
+        save_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 350)
+    new = emb.filter(F.col("vec_id") >= 350)
+    forest = build_rp_forest(old, num_trees=3, max_node_size=8, seed=42)
+    idx = str(tmp_path / "idx_ss")
+    save_index(forest, idx)
+    loaded = load_index(spark, idx, num_trees=3, max_node_size=8, seed=42)
+
+    stream = _mk_arrival_stream(spark, tmp_path, new, "ss")
+    mon = str(tmp_path / "ss_mon")
+    q = incremental_index_ingest(
+        stream,
+        loaded,
+        leaves_path=f"{idx}/leaves",
+        checkpoint_path=str(tmp_path / "ss_ckpt"),
+        monitor_path=mon,
+    )
+    q.awaitTermination(180)
+
+    m = spark.read.parquet(mon)
+    assert [f.name for f in m.schema.fields] == [
+        "batch_id", "n_rows", "current_fill", "fresh_fill",
+        "fill_vs_fresh", "overgrown_leaves", "needs_rebuild",
+        "retention", "retention_exhausted", "retention_inserted",
+        "retention_status",
+    ]
+    rows = m.collect()
+    assert len(rows) == 3
+    assert all(
+        r.retention is None
+        and r.retention_exhausted is None
+        and r.retention_status is None
+        for r in rows
+    )
+
+    # mismatch guard: a legacy 7-column dir refuses at stream start
+    legacy = str(tmp_path / "ss_legacy")
+    spark.createDataFrame(
+        [(0, 1, 0.5, 0.5, 1.0, 0, False)],
+        schema=(
+            "batch_id long, n_rows long, current_fill double, "
+            "fresh_fill double, fill_vs_fresh double, "
+            "overgrown_leaves long, needs_rebuild boolean"
+        ),
+    ).write.parquet(legacy)
+    with pytest.raises(ValueError, match="stable 11-column"):
+        incremental_index_ingest(
+            stream,
+            loaded,
+            leaves_path=f"{idx}/leaves",
+            checkpoint_path=str(tmp_path / "ss_ckpt2"),
+            monitor_path=legacy,
+        )
+    # an existing dir ALREADY in the stable schema is accepted (resume)
+    q2 = incremental_index_ingest(
+        _mk_arrival_stream(spark, tmp_path, new, "ss"),  # same src files
+        loaded,
+        leaves_path=f"{idx}/leaves",
+        checkpoint_path=str(tmp_path / "ss_ckpt"),  # same checkpoint
+        monitor_path=mon,
+    )
+    q2.awaitTermination(180)  # no new files: clean no-op resume
+
+
+def test_ingest_retention_error_contained(spark, tmp_path):
+    """ADVICE r12 #2: a retention-read failure must never take down
+    the ingest stream. Anchor with reserve=1 (no deletion margin) and
+    point retention_corpus_path at a corpus missing most anchored
+    neighbors: every cached window exhausts and estimate_recall raises
+    its all-exhausted refusal — the monitor row must land with null
+    retention columns and 'error: ...' in retention_status, and ALL
+    three batches must still append their arrivals."""
+    from rust_vector_search_spark.operators.index import (
+        load_index,
+        save_index,
+    )
+    from rust_vector_search_spark.operators.search import (
+        save_recall_baseline,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 350)
+    new = emb.filter(F.col("vec_id") >= 350)
+    forest = build_rp_forest(old, num_trees=3, max_node_size=8, seed=42)
+    idx = str(tmp_path / "idx_rerr")
+    save_index(forest, idx)
+    loaded = load_index(spark, idx, num_trees=3, max_node_size=8, seed=42)
+    save_recall_baseline(
+        loaded, old, idx, n_sample=10, k=5, reserve=1, seed=42
+    )
+
+    # corpus missing almost all anchored neighbors -> all windows exhaust
+    broken_corpus = str(tmp_path / "rerr_corpus")
+    emb.filter(F.col("vec_id") % 97 == 0).select(
+        "vec_id", "embedding"
+    ).write.parquet(broken_corpus)
+
+    stream = _mk_arrival_stream(spark, tmp_path, new, "rerr")
+    mon = str(tmp_path / "rerr_mon")
+    n_leaves_before = spark.read.parquet(f"{idx}/leaves").count()
+    q = incremental_index_ingest(
+        stream,
+        loaded,
+        leaves_path=f"{idx}/leaves",
+        checkpoint_path=str(tmp_path / "rerr_ckpt"),
+        monitor_path=mon,
+        retention_path=idx,
+        retention_corpus_path=broken_corpus,
+        retention_every=1,
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None  # the stream survived every failure
+
+    m = sorted(spark.read.parquet(mon).collect(), key=lambda r: r.batch_id)
+    assert len(m) == 3  # one row per batch, none lost to the failures
+    for r in m:
+        assert r.retention is None
+        assert r.retention_status is not None
+        assert r.retention_status.startswith("error: ")
+        assert "re-anchor" in r.retention_status
+    # ingestion kept appending through the monitoring failures
+    n_leaves_after = spark.read.parquet(f"{idx}/leaves").count()
+    assert n_leaves_after == n_leaves_before + 150 * 3  # 50 vecs x 3 trees
+
+
+def test_ingest_retention_budget_defers(spark, tmp_path):
+    """VERDICT r12 #2 (cadence): with retention_budget_frac set, the
+    first due read runs (no cost history), and subsequent due reads are
+    DEFERRED while the last read's wall exceeds frac x the accumulated
+    batch wall — marked 'deferred: time budget', never silently
+    dropped. A microscopic frac makes the deferral deterministic."""
+    from rust_vector_search_spark.operators.index import (
+        load_index,
+        save_index,
+    )
+    from rust_vector_search_spark.operators.search import (
+        save_recall_baseline,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 350)
+    new = emb.filter(F.col("vec_id") >= 350)
+    forest = build_rp_forest(old, num_trees=3, max_node_size=8, seed=42)
+    idx = str(tmp_path / "idx_bud")
+    save_index(forest, idx)
+    loaded = load_index(spark, idx, num_trees=3, max_node_size=8, seed=42)
+    save_recall_baseline(
+        loaded, old, idx, n_sample=10, k=5, reserve=4, seed=42
+    )
+    corpus_dir = str(tmp_path / "bud_corpus")
+    emb.select("vec_id", "embedding").write.parquet(corpus_dir)
+
+    stream = _mk_arrival_stream(spark, tmp_path, new, "bud")
+    mon = str(tmp_path / "bud_mon")
+    q = incremental_index_ingest(
+        stream,
+        loaded,
+        leaves_path=f"{idx}/leaves",
+        checkpoint_path=str(tmp_path / "bud_ckpt"),
+        monitor_path=mon,
+        retention_path=idx,
+        retention_corpus_path=corpus_dir,
+        retention_every=1,
+        retention_budget_frac=1e-6,
+    )
+    q.awaitTermination(180)
+
+    m = sorted(spark.read.parquet(mon).collect(), key=lambda r: r.batch_id)
+    assert len(m) == 3
+    assert m[0].retention is not None and m[0].retention_status is None
+    for r in (m[1], m[2]):
+        assert r.retention is None
+        assert r.retention_status == "deferred: time budget"
+
+    # knob guards
+    with pytest.raises(ValueError, match="no retention read to budget"):
+        incremental_index_ingest(
+            stream, loaded, leaves_path=f"{idx}/leaves",
+            checkpoint_path=str(tmp_path / "bg1"),
+            monitor_path=mon, retention_budget_frac=0.1,
+        )
+    with pytest.raises(ValueError, match="must be in \\(0, 1\\]"):
+        incremental_index_ingest(
+            stream, loaded, leaves_path=f"{idx}/leaves",
+            checkpoint_path=str(tmp_path / "bg2"),
+            monitor_path=mon, retention_path=idx,
+            retention_corpus_path=corpus_dir, retention_budget_frac=1.5,
+        )
