@@ -2482,6 +2482,7 @@ def estimate_recall(
     truth_path: "str | None" = None,
     strict: bool = True,
     check_payload: bool = False,
+    route_strategy: str = "auto",
 ) -> dict:
     """Sampled ROUTING-QUALITY probe (VERDICT r11 #2) — the complement
     the occupancy trigger measurably lacks: ``needs_rebuild`` reads
@@ -2507,6 +2508,12 @@ def estimate_recall(
         same bounded shape as the probes' recall legs — and
         ``knn_exact_fast``'s driver-collect gate rejects oversized
         samples (SPARK_GRAFT_BC_QUERIES_MB) instead of OOMing.
+
+    ``route_strategy`` passes through to ``search_rp_forest`` — "join"
+    forces the Catalyst join-chain descent whose sequential-fold dot
+    product is bit-exact against a SQL oracle's list_reduce (the
+    fixture-replay queries need it); "auto" (default) is what
+    production search uses.
 
     ``corpus`` is the CURRENT corpus the index serves (post-delete:
     the survivors) — both sides rank the same candidate set, so the
@@ -2572,7 +2579,7 @@ def estimate_recall(
             forest, corpus, truth_path, n_sample=n_sample, k=k,
             seed=seed, id_col=id_col, vec_col=vec_col,
             spill_margin=spill_margin, strict=strict,
-            check_payload=check_payload,
+            check_payload=check_payload, route_strategy=route_strategy,
         )
     if check_payload:
         raise ValueError(
@@ -2597,6 +2604,7 @@ def estimate_recall(
     approx = search_rp_forest(
         forest, corpus, q, k=k,
         id_col=id_col, vec_col=vec_col, spill_margin=spill_margin,
+        route_strategy=route_strategy,
     ).select("query_id", "vec_id")
     exact = knn_exact_fast(
         corpus, q, k=k, id_col=id_col, vec_col=vec_col
@@ -2623,6 +2631,8 @@ def save_recall_baseline(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    queries: "DataFrame | None" = None,
+    method: str = "blas",
 ) -> dict:
     """One-time exact-truth anchor for ``estimate_recall``'s cached
     mode: sample ``n_sample`` corpus queries (the SAME seeded xxhash64
@@ -2654,25 +2664,46 @@ def save_recall_baseline(
     BLAS block top-k, driver-collect gated) — paid once per anchor,
     amortized over every subsequent cached check. ``forest`` is
     accepted for signature symmetry and future layout-aware sampling;
-    the truth is a property of (corpus, seed) alone."""
-    from .knn import knn_exact_fast
+    the truth is a property of (corpus, seed) alone.
 
+    ``queries`` (r13) pins an EXPLICIT broadcast-sized eval set
+    (query_id, query_vec) instead of the seeded sample — the shape a
+    production eval harness wants (fixed golden queries) and the shape
+    a SQL oracle can replay (a seeded xxhash64 sample cannot be
+    reproduced engine-independently). ``method`` selects the exact-kNN
+    engine for the anchored truth: "blas" (default — Arrow/numpy block
+    top-k, fastest) or "fold" (the Catalyst sequential-fold twin whose
+    float summation order is bit-exact against DuckDB's list_reduce,
+    for oracle-replayable anchors)."""
+    from .knn import knn_exact, knn_exact_fast
+
+    if method not in ("blas", "fold"):
+        raise ValueError(
+            f"save_recall_baseline: method must be 'blas' or 'fold', "
+            f"got {method!r}"
+        )
     spark = corpus.sparkSession
     k_eff = int(k) * int(reserve)
     if k_eff < int(k) or int(reserve) < 1:
         raise ValueError(f"save_recall_baseline: reserve must be >= 1, got {reserve}")
-    q = (
-        corpus.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("query_vec"),
+    if queries is not None:
+        q = queries.select("query_id", "query_vec").localCheckpoint(
+            eager=True
         )
-        .orderBy(F.xxhash64("query_id", F.lit(seed)), "query_id")
-        .limit(int(n_sample))
-        .localCheckpoint(eager=True)
-    )
+    else:
+        q = (
+            corpus.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("query_vec"),
+            )
+            .orderBy(F.xxhash64("query_id", F.lit(seed)), "query_id")
+            .limit(int(n_sample))
+            .localCheckpoint(eager=True)
+        )
     n_q = q.count()
     n_corpus = corpus.count()
-    truth = knn_exact_fast(
+    exact_fn = knn_exact_fast if method == "blas" else knn_exact
+    truth = exact_fn(
         corpus, q, k=k_eff, id_col=id_col, vec_col=vec_col
     ).select("query_id", "rnk", "vec_id", "dist")
     base = f"{path}/recall_truth"
@@ -2711,6 +2742,7 @@ def _estimate_recall_cached(
     spill_margin: "float | str",
     strict: bool,
     check_payload: bool = False,
+    route_strategy: str = "auto",
 ) -> dict:
     """Cached-truth body of ``estimate_recall`` (see its docstring for
     the contract). The exact side is replaced by: read the persisted
@@ -2874,6 +2906,7 @@ def _estimate_recall_cached(
         approx = search_rp_forest(
             forest, corpus, qs, k=k,
             id_col=id_col, vec_col=vec_col, spill_margin=spill_margin,
+            route_strategy=route_strategy,
         ).select("query_id", "vec_id")
         hits = current_truth.join(
             approx, ["query_id", "vec_id"], "left_semi"

@@ -262,6 +262,18 @@ _DEMOTED_STABLE = [
     # hash-green since r2 with zero code movement; the JSON parse path
     # stays locally value-checked every round
     "events_props_as_map",
+    # r13: the cached-certification fixture row takes this slot
+    # (VERDICT r12 #7 — the certification semantics hash-checked
+    # end-to-end). Containment: knn_with_doc_labels IS entry(), which
+    # the driver separately executes and smoke-checks (rows + schema)
+    # every round, so the path still runs under the driver's session;
+    # its exact-kNN machinery (sequential-fold sq-euclid + (dist,
+    # vec_id) row_number top-k over broadcast queries) is hash-held
+    # in-window by the new row's anchored-truth side and by
+    # hard_negative_pairs, and the doc-label broadcast join is plain
+    # equi-join machinery carried by q5/scd2. Stays value-checked
+    # locally every round
+    "knn_with_doc_labels",
     # r8 (VERDICT r7 #1): the float-moments applyInPandas witness
     # hash-failed the DRIVER DuckDB twice while passing local DuckDB
     # 1.0.0 — a driver-build-specific float divergence, undebuggable

@@ -959,3 +959,219 @@ def ann_recall_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
                "n_certified long, n_exhausted long, k_eff long, "
                "fresh_recall double, abs_delta double",
     )
+
+
+# --- cached certification, HASH-EXACT over the committed fixture (r13) --------
+
+_CERT_RESERVE = 2
+_CERT_KEFF = K * _CERT_RESERVE
+
+@register(
+    "ann_cached_certification_fixture",
+    oracle=f"""
+WITH RECURSIVE
+nodes AS (SELECT CAST(tree_id AS INTEGER) AS tree_id, node_path, coeffs, constant, coeff_norm
+          FROM read_parquet('{_FIXTURE_DIR}/nodes/*/*.parquet', hive_partitioning=1)),
+lvs AS (SELECT CAST(tree_id AS INTEGER) AS tree_id, leaf_path, vec_id
+        FROM read_parquet('{_FIXTURE_DIR}/leaves/*/*.parquet', hive_partitioning=1)
+        WHERE vec_id % 2 = 0),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+truth AS (
+  SELECT query_id, vec_id, rnk FROM (
+    SELECT q.query_id, e.vec_id,
+           CAST(row_number() OVER (PARTITION BY q.query_id
+                                   ORDER BY {dd_sq_euc('q.qv', 'e.embedding')}, e.vec_id) AS BIGINT) AS rnk
+    FROM q JOIN embeddings e ON e.vec_id <> q.query_id) t
+  WHERE rnk <= {_CERT_KEFF}),
+ncorp AS (SELECT count(*) AS n FROM embeddings),
+per_q AS (
+  SELECT t.query_id,
+         count(*) AS n_cached,
+         count(*) FILTER (WHERE t.vec_id % 2 = 0) AS n_surv
+  FROM truth t GROUP BY t.query_id),
+cert AS (
+  SELECT p.query_id, p.n_cached, p.n_surv,
+         CAST(NOT (p.n_surv < {K} AND p.n_cached >= {_CERT_KEFF}
+                   AND (SELECT n FROM ncorp) - 1 > {_CERT_KEFF}) AS BIGINT) AS certified
+  FROM per_q p),
+cur_truth AS (
+  SELECT s.query_id, s.vec_id FROM (
+    SELECT t.query_id, t.vec_id,
+           row_number() OVER (PARTITION BY t.query_id ORDER BY t.rnk) AS crnk
+    FROM truth t WHERE t.vec_id % 2 = 0) s
+  JOIN cert c ON c.query_id = s.query_id AND c.certified = 1
+  WHERE s.crnk <= {K}),
+trees AS (SELECT DISTINCT tree_id FROM nodes),
+walk(query_id, tree_id, path, spills) AS (
+  SELECT q.query_id, t.tree_id, '', 0 FROM q, trees t
+  UNION ALL
+  SELECT w.query_id, w.tree_id, w.path || c.ch.bit, w.spills + c.ch.ds
+  FROM walk w
+  JOIN nodes n ON n.tree_id = w.tree_id AND n.node_path = w.path
+  JOIN q ON q.query_id = w.query_id
+  CROSS JOIN LATERAL (SELECT {_W_DOT} + n.constant AS v) s
+  CROSS JOIN UNNEST(
+    CASE WHEN abs(s.v) / n.coeff_norm < {_FIXTURE_MARGIN} AND w.spills < {_FIXTURE_MAX_SPILLS}
+         THEN [{{'bit': CASE WHEN s.v >= 0 THEN '1' ELSE '0' END, 'ds': 0}},
+               {{'bit': CASE WHEN s.v >= 0 THEN '0' ELSE '1' END, 'ds': 1}}]
+         ELSE [{{'bit': CASE WHEN s.v >= 0 THEN '1' ELSE '0' END, 'ds': 0}}]
+    END) AS c(ch)
+),
+routed AS (
+  SELECT w.query_id, w.tree_id, w.path AS leaf_path FROM walk w
+  WHERE NOT EXISTS (SELECT 1 FROM nodes n
+                    WHERE n.tree_id = w.tree_id AND n.node_path = w.path)),
+leaf_sizes AS (SELECT tree_id, leaf_path, count(*) AS leaf_n FROM lvs GROUP BY 1, 2),
+underfull AS (
+  SELECT r.query_id, r.tree_id,
+         substr(r.leaf_path, 1, length(r.leaf_path) - 1) ||
+           CASE WHEN substr(r.leaf_path, length(r.leaf_path), 1) = '1'
+                THEN '0' ELSE '1' END AS sibling_prefix
+  FROM routed r
+  LEFT JOIN leaf_sizes s ON s.tree_id = r.tree_id AND s.leaf_path = r.leaf_path
+  WHERE (s.leaf_n < {K} OR s.leaf_n IS NULL) AND length(r.leaf_path) > 0),
+leaf_anc AS (
+  SELECT tree_id, vec_id,
+         unnest(list_transform(range(1, length(leaf_path) + 1),
+                               i -> leaf_path[1:i])) AS sibling_prefix
+  FROM lvs WHERE length(leaf_path) > 0),
+cand AS (
+  SELECT DISTINCT query_id, vec_id FROM (
+    SELECT r.query_id, l.vec_id
+    FROM routed r JOIN lvs l ON l.tree_id = r.tree_id AND l.leaf_path = r.leaf_path
+    UNION ALL
+    SELECT u.query_id, la.vec_id
+    FROM underfull u
+    JOIN leaf_anc la ON la.tree_id = u.tree_id AND la.sibling_prefix = u.sibling_prefix)),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT c.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY {dd_sq_euc('q.qv', 'e.embedding')}, c.vec_id) AS rnk
+    FROM cand c
+    JOIN q ON q.query_id = c.query_id
+    JOIN embeddings e ON e.vec_id = c.vec_id
+    WHERE c.vec_id <> c.query_id) t
+  WHERE rnk <= {K})
+SELECT c.query_id, c.n_cached, c.n_surv, c.certified,
+       count(ct.vec_id) AS cert_total,
+       count(a.vec_id) AS cert_hits
+FROM cert c
+LEFT JOIN cur_truth ct ON ct.query_id = c.query_id
+LEFT JOIN approx a ON a.query_id = ct.query_id AND a.vec_id = ct.vec_id
+GROUP BY 1, 2, 3, 4
+""",
+)
+def ann_cached_certification_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12b cached-truth CERTIFICATION, hash-exact end-to-end
+    (VERDICT r12 #7): live anchoring is seeded and BLAS-side, but over
+    the committed fixture every term is a deterministic function SQL
+    replays — the anchored truth is the exact top-k_eff window (the
+    same fold + (dist, vec_id) ties every kNN oracle uses), the drift
+    is a deterministic delete (odd ids), survival is a semi-join, the
+    exhaustion rule is the complete-neighborhood-aware truncation test
+    (ADVICE r12 #4), the certified current truth is the
+    first-k-survivors window, and the approx side is the SAME
+    recursive-CTE forest walk as ``ann_rp_forest_search_from_fixture``
+    over the post-delete leaf table. One row per anchored query:
+    (n_cached, n_surv, certified, cert_total, cert_hits) — the per-query
+    ledger ``_estimate_recall_cached`` aggregates into its verdict
+    (tests/test_index_maintenance.py ties this query's sums to the real
+    operator's dict on the same inputs).
+
+    The Spark side anchors through the REAL ``save_recall_baseline``
+    (method="fold" — the Catalyst sequential-fold twin of the oracle's
+    list_reduce; queries pinned explicitly, the shape a production
+    golden-query eval set takes) and deletes through the real
+    ``delete_vectors``; the certification ledger is the same semi-join
+    + window algebra the operator runs, kept distributed so the driver
+    can hash it. Scale shape: the recurring terms are id-column joins
+    and an n_sample-bounded window — no corpus vector scan."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from ..operators.index import delete_vectors, load_index
+    from ..operators.search import save_recall_baseline
+
+    emb = _emb(spark, sf_dir)
+    forest = load_index(
+        spark, _FIXTURE_DIR, num_trees=50, max_node_size=5, seed=42
+    )
+    q = _queries(emb)
+    path = tempfile.mkdtemp(prefix="rp_cert_fixture_")
+    save_recall_baseline(
+        forest, emb, path, queries=q, k=K, reserve=_CERT_RESERVE,
+        method="fold",
+    )
+    survivors = emb.filter(F.col("vec_id") % 2 == 0)
+    shrunk = delete_vectors(
+        forest, emb.filter(F.col("vec_id") % 2 != 0).select("vec_id")
+    )
+
+    truth = spark.read.parquet(f"{path}/recall_truth/truth")
+    surv_truth = truth.join(
+        survivors.select("vec_id"), "vec_id", "left_semi"
+    )
+    ncorp = emb.agg(F.count(F.lit(1)).alias("n_corpus_all"))
+    per_q = (
+        truth.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_cached"))
+        .join(
+            surv_truth.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("n_surv")
+            ),
+            "query_id",
+            "left",
+        )
+        .fillna(0, ["n_surv"])
+        .crossJoin(F.broadcast(ncorp))
+        .withColumn(
+            "certified",
+            (
+                ~(
+                    (F.col("n_surv") < K)
+                    & (F.col("n_cached") >= _CERT_KEFF)
+                    & (F.col("n_corpus_all") - 1 > _CERT_KEFF)
+                )
+            ).cast("long"),
+        )
+        .drop("n_corpus_all")
+    )
+    w = Window.partitionBy("query_id").orderBy("rnk")
+    cur_truth = (
+        surv_truth.withColumn("crnk", F.row_number().over(w))
+        .filter(F.col("crnk") <= K)
+        .join(
+            per_q.filter(F.col("certified") == 1).select("query_id"),
+            "query_id",
+            "left_semi",
+        )
+        .select("query_id", "vec_id")
+    )
+    approx = search_rp_forest(
+        shrunk,
+        survivors,
+        q,
+        k=K,
+        spill_margin=_FIXTURE_MARGIN,
+        max_spills=_FIXTURE_MAX_SPILLS,
+        route_strategy="join",
+    ).select("query_id", "vec_id")
+    totals = cur_truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("cert_total")
+    )
+    hits = (
+        cur_truth.join(approx, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("cert_hits"))
+    )
+    return (
+        per_q.join(totals, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .fillna(0, ["cert_total", "cert_hits"])
+        .select(
+            "query_id", "n_cached", "n_surv", "certified",
+            "cert_total", "cert_hits",
+        )
+    )

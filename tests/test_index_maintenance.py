@@ -866,3 +866,72 @@ def test_recall_baseline_complete_neighborhood_certifies(spark, tmp_path):
     hits = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
     assert res["total"] == total
     assert res["hits"] == hits
+
+
+def test_cached_certification_fixture_ties_to_operator(spark):
+    """The driver-window ledger (ann_cached_certification_fixture) and
+    the REAL cached operator must tell the same story on the same
+    inputs: the ledger's sums (certified count, exhausted count, total,
+    hits) equal estimate_recall's dict over the identical fixture
+    anchor + delete — so a hash-green driver row certifies the
+    operator's math, not a lookalike twin's."""
+    import tempfile
+
+    from rust_vector_search_spark.operators.index import (
+        delete_vectors,
+        load_index,
+    )
+    from rust_vector_search_spark.operators.search import (
+        estimate_recall,
+        save_recall_baseline,
+    )
+    from rust_vector_search_spark.plans import QUERIES
+    from rust_vector_search_spark.plans.annindex import (
+        _CERT_RESERVE,
+        _FIXTURE_DIR,
+        _FIXTURE_MARGIN,
+        K,
+        N_QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.01"  # the fixture was built from sf0.01
+    ledger = {
+        r.query_id: r
+        for r in QUERIES["ann_cached_certification_fixture"](
+            spark, sf
+        ).collect()
+    }
+    assert len(ledger) == N_QUERIES
+    # the regime must exercise BOTH branches of the exhaustion rule
+    assert 0 < sum(r.certified for r in ledger.values()) < N_QUERIES
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    forest = load_index(
+        spark, _FIXTURE_DIR, num_trees=50, max_node_size=5, seed=42
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    path = str(tempfile.mkdtemp(prefix="rp_cert_tie_"))
+    save_recall_baseline(
+        forest, emb, path, queries=q, k=K, reserve=_CERT_RESERVE,
+        method="fold",
+    )
+    survivors = emb.filter(F.col("vec_id") % 2 == 0)
+    shrunk = delete_vectors(
+        forest, emb.filter(F.col("vec_id") % 2 != 0).select("vec_id")
+    )
+    res = estimate_recall(
+        shrunk, survivors, k=K, truth_path=path,
+        spill_margin=_FIXTURE_MARGIN, route_strategy="join",
+    )
+    assert res["n_sample"] == sum(r.certified for r in ledger.values())
+    assert res["n_exhausted"] == sum(
+        1 - r.certified for r in ledger.values()
+    )
+    assert res["total"] == sum(r.cert_total for r in ledger.values())
+    assert res["hits"] == sum(r.cert_hits for r in ledger.values())
+    assert res["recall"] == (
+        res["hits"] / res["total"] if res["total"] else 1.0
+    )

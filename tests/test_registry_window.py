@@ -118,6 +118,14 @@ MUST_BE_IN_WINDOW = [
     # pairs (same lvs self-join UNIONed with the spilled visits), so
     # the r9 machinery stays hash-checked through the new row
     "ann_all_pairs_spill_leaflocal",
+    # r13: the cached-truth certification ledger hash-checked over the
+    # committed fixture (truth window + survivor semi-join + complete-
+    # neighborhood exhaustion rule + first-k-survivors + recursive
+    # forest walk on the post-delete leaves). Slot from
+    # knn_with_doc_labels (= entry(), still driver-executed every
+    # round as the smoke check; containment documented in plans/
+    # __init__.py)
+    "ann_cached_certification_fixture",
 ]
 
 
