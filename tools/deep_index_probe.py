@@ -69,6 +69,7 @@ Common: --n 250000 --num-trees 50 --leaf 5 --k 10 --no-baseline-append
 
 from __future__ import annotations
 
+import math
 import os
 import subprocess
 import sys
@@ -350,42 +351,53 @@ def cmd_recall(args) -> None:
         # across a split. frac is in units of the projection spread
         # r/√d (resolve_spill_margin's scale; 0.3 = the "auto" point).
         unit = resolve_spill_margin(q, frac=1.0)
-        for cfg in args.spills.split(","):
-            frac_s, ms_s = cfg.split(":")
-            frac, ms = float(frac_s), int(ms_s)
-            t0 = time.time()
-            approx = (
-                search_rp_forest(
-                    forest, emb, q, k=args.k,
-                    spill_margin=frac * unit, max_spills=ms,
+        # r13 (VERDICT r12 #4): the sweep crosses tree counts too, so
+        # the two-dial guidance covers SINGLE queries, not just the
+        # leaf-local all-pairs engine. --trees at its default means
+        # "full forest only" (the pre-r13 behavior); pass an explicit
+        # list to subset
+        if args.trees == "5,10,25,50":
+            tree_counts = [forest.num_trees]
+        else:
+            tree_counts = [int(t) for t in args.trees.split(",")]
+        for T in tree_counts:
+            sub = subset_forest(forest, T) if T < forest.num_trees else forest
+            for cfg in args.spills.split(","):
+                frac_s, ms_s = cfg.split(":")
+                frac, ms = float(frac_s), int(ms_s)
+                t0 = time.time()
+                approx = (
+                    search_rp_forest(
+                        sub, emb, q, k=args.k,
+                        spill_margin=frac * unit, max_spills=ms,
+                    )
+                    .select("query_id", "vec_id")
+                    .localCheckpoint(eager=True)
                 )
-                .select("query_id", "vec_id")
-                .localCheckpoint(eager=True)
-            )
-            approx.count()
-            wall = time.time() - t0
-            hits = exact.join(
-                approx, ["query_id", "vec_id"], "left_semi"
-            ).count()
-            routed = route_queries(
-                forest, q, spill_margin=frac * unit, max_spills=ms,
-                n_queries=args.queries,
-            )
-            cand = (
-                routed.join(forest.leaves, ["tree_id", "leaf_path"])
-                .select("query_id", "vec_id")
-                .distinct()
-                .count()
-            )
-            line = (
-                f"spill sweep ({os.path.basename(args.index)}, "
-                f"{forest.num_trees} trees): frac={frac} max_spills={ms} "
-                f"recall@{args.k}={hits / max(total, 1):.3f} "
-                f"cand_frac={cand / (args.queries * n_corpus):.4f} "
-                f"wall={wall:.1f}s/{args.queries}q"
-            )
-            print(f"RESULT {line}", flush=True)
-            _append_history(line, not args.no_baseline_append)
+                approx.count()
+                wall = time.time() - t0
+                hits = exact.join(
+                    approx, ["query_id", "vec_id"], "left_semi"
+                ).count()
+                routed = route_queries(
+                    sub, q, spill_margin=frac * unit, max_spills=ms,
+                    n_queries=args.queries,
+                )
+                cand = (
+                    routed.join(sub.leaves, ["tree_id", "leaf_path"])
+                    .select("query_id", "vec_id")
+                    .distinct()
+                    .count()
+                )
+                line = (
+                    f"spill sweep ({os.path.basename(args.index)}, "
+                    f"{T} trees): frac={frac} max_spills={ms} "
+                    f"recall@{args.k}={hits / max(total, 1):.3f} "
+                    f"cand_frac={cand / (args.queries * n_corpus):.4f} "
+                    f"wall={wall:.1f}s/{args.queries}q"
+                )
+                print(f"RESULT {line}", flush=True)
+                _append_history(line, not args.no_baseline_append)
         return
 
     for t_str in args.trees.split(","):
@@ -1068,10 +1080,29 @@ def cmd_lifecycle(args) -> None:
         er = estimate_recall(
             forest, corpus, n_sample=args.queries, k=args.k, seed=7
         )
+        # the r12b cached check with the r13 membership guard, read at
+        # every step: strict=False labels the number retention once
+        # foreign ids exist (exactly counted); exhaustion raises the
+        # typed refusal, recorded, never fatal to the chain
+        t0 = time.time()
+        try:
+            cr = estimate_recall(
+                forest, corpus, k=args.k, truth_path=f"{lc}/idx",
+                strict=False,
+            )
+            cached_txt = (
+                f"cached_retention={cr['recall']:.3f} "
+                f"(exh={cr['n_exhausted']} "
+                f"foreign={cr['inserted_at_least']} "
+                f"{time.time() - t0:.0f}s)"
+            )
+        except ValueError as exc:
+            cached_txt = f"cached=REFUSED({str(exc)[:60]})"
         print(
             f"RESULT lifecycle[{tag}]: search {t_search:.1f}s "
             f"recall@{args.k}={recall:.3f} "
             f"est_recall={er['recall']:.3f} ({er['n_sample']} sampled) "
+            f"{cached_txt} "
             f"fill={h.fill:.3f} "
             f"gini={h.gini:.3f} overgrown={int(h.over)} "
             f"max_leaf={int(h.mx)} "
@@ -1102,6 +1133,22 @@ def cmd_lifecycle(args) -> None:
     base = load_index(spark, f"{lc}/idx", num_trees=args.num_trees,
                       max_node_size=args.leaf, seed=42)
     print(f"lifecycle build(90%): {t_build:.1f}s", flush=True)
+    # r13: anchor the cached truth ON THE CHAIN'S OWN INDEX so every
+    # step below also reads the recurring-health check a production
+    # deployment would poll (strict=False: ingest makes later corpora
+    # supersets of the anchor — the membership guard counts the
+    # foreign ids exactly and the number is labeled retention)
+    from rust_vector_search_spark.operators.search import (
+        save_recall_baseline,
+    )
+
+    t0 = time.time()
+    save_recall_baseline(
+        base, rest, f"{lc}/idx", n_sample=args.queries, k=args.k,
+        reserve=4,
+    )
+    print(f"lifecycle anchor (reserve 4): {time.time() - t0:.1f}s",
+          flush=True)
     _eval("build", base, rest)
 
     # 2. ingest the holdout through the frozen hyperplanes
@@ -1136,6 +1183,13 @@ def cmd_lifecycle(args) -> None:
                             max_node_size=args.leaf, seed=42)
     print(f"lifecycle resplit+save: {t_fix:.1f}s", flush=True)
     _eval("resplit", maintained, emb)
+    if args.reclaim:
+        # the base index is no longer read past this point (the cached
+        # truth lives under {lc}/idx/recall_truth — keep ONLY that)
+        for sub in ("leaves", "nodes", "health", "meta"):
+            shutil.rmtree(f"{lc}/idx/{sub}", ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
+        print("reclaimed: base idx tables + holdout_src", flush=True)
 
     # 4. delete 30% of members (takedown/retention)
     t0 = time.time()
@@ -1155,6 +1209,9 @@ def cmd_lifecycle(args) -> None:
         f"lifecycle prune+save: {t_prune:.1f}s; nodes "
         f"{maintained.node_count} -> {reloaded.node_count}", flush=True,
     )
+    if args.reclaim:
+        shutil.rmtree(f"{lc}/idx_m", ignore_errors=True)
+        print("reclaimed: idx_m", flush=True)
     _eval("prune", reloaded, survivors)
 
     steps = " -> ".join(f"{t}:{r:.3f}" for t, r, *_ in traj)
@@ -1176,6 +1233,107 @@ def cmd_lifecycle(args) -> None:
         shutil.rmtree(lc, ignore_errors=True)
 
 
+def cmd_retention(args) -> None:
+    """Retention-cadence sizing (VERDICT r12 #2): how does ONE
+    retention read compare to ONE monitored ingest micro-batch at this
+    scale? Anchors the cached truth fresh (which also migrates a
+    pre-r13 anchor to the corpus_ids membership layout), then times
+    3 iterations of each side:
+
+      - retention read = the cached estimate_recall in strict=False
+        mode, exactly what incremental_index_ingest runs every
+        retention_every-th batch (forest search of the anchored sample
+        + membership anti-join + survivor semi-join, id columns only);
+      - micro-batch body = route a 1k-row batch through the frozen
+        hyperplanes + write the routed triples (to a scratch dir — the
+        write cost is the same parquet append the real stream pays,
+        without polluting the persisted index) + the post-append
+        needs_rebuild health read over the REAL leaf table.
+
+    Prints the implied retention_every for a 5% overhead target — the
+    sizing rule the incremental_index_ingest docstring quotes."""
+    import shutil
+    import tempfile
+
+    from rust_vector_search_spark.operators.index import needs_rebuild
+    from rust_vector_search_spark.operators.search import (
+        estimate_recall,
+        route_queries,
+        save_recall_baseline,
+    )
+    from rust_vector_search_spark.session import get_spark
+
+    _ensure_index(args.index, args.n, args.num_trees, args.leaf)
+    spark = get_spark(app_name="deep_index_probe_retention")
+    emb, forest = _load(spark, args.index, args.num_trees, args.leaf)
+    idx = f"{args.index}/idx"
+
+    t0 = time.time()
+    save_recall_baseline(
+        forest, emb, idx, n_sample=args.queries, k=args.k, reserve=4
+    )
+    t_anchor = time.time() - t0
+    print(f"anchor (incl. corpus_ids): {t_anchor:.1f}s", flush=True)
+
+    reads = []
+    for i in range(3):
+        t0 = time.time()
+        r = estimate_recall(
+            forest, emb, n_sample=args.queries, k=args.k,
+            truth_path=idx, strict=False,
+        )
+        reads.append(time.time() - t0)
+        print(f"retention read #{i}: {reads[-1]:.1f}s "
+              f"recall={r['recall']:.3f} exhausted={r['n_exhausted']} "
+              f"foreign={r['inserted_at_least']}", flush=True)
+
+    batch = (
+        emb.orderBy(F.desc("vec_id")).limit(1000)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    batches = []
+    scratch = tempfile.mkdtemp(prefix="retention_batch_")
+    for i in range(3):
+        t0 = time.time()
+        routed = route_queries(forest, batch, route_strategy="join").select(
+            "tree_id", "leaf_path", F.col("query_id").alias("vec_id")
+        )
+        routed.write.mode("append").partitionBy("tree_id").parquet(
+            f"{scratch}/leaves"
+        )
+        needs_rebuild(forest)
+        batches.append(time.time() - t0)
+        print(f"micro-batch body #{i} (1k rows): {batches[-1]:.1f}s",
+              flush=True)
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    import statistics
+
+    m_read = statistics.median(reads)
+    m_batch = statistics.median(batches)
+    every_5pct = max(1, math.ceil(m_read / (0.05 * m_batch)))
+    print(
+        f"RESULT retention cadence ({os.path.basename(args.index)}): "
+        f"read {m_read:.1f}s vs batch {m_batch:.1f}s -> "
+        f"retention_every>={every_5pct} for <=5% overhead "
+        f"(or retention_budget_frac=0.05)", flush=True,
+    )
+    _append_history(
+        f"retention cadence ({os.path.basename(args.index)}, "
+        f"{args.queries} samples, k={args.k}): retention read "
+        f"{min(reads):.1f}-{max(reads):.1f} s (median {m_read:.1f}), "
+        f"1k-row monitored batch body {min(batches):.1f}-"
+        f"{max(batches):.1f} s (median {m_batch:.1f}); 5% overhead -> "
+        f"retention_every >= {every_5pct} (anchor {t_anchor:.1f} s "
+        f"incl. corpus_ids)",
+        not args.no_baseline_append,
+    )
+
+
 def main() -> None:
     import argparse
 
@@ -1184,6 +1342,7 @@ def main() -> None:
         "cmd", choices=[
             "search", "allpairs", "recall", "ingest", "compact",
             "maintain", "shrink", "lifecycle", "recallcache", "debt",
+            "retention",
         ]
     )
     p.add_argument("--index", default="/tmp/idx250k")
@@ -1226,6 +1385,14 @@ def main() -> None:
     )
     p.add_argument("--no-baseline-append", action="store_true")
     p.add_argument("--cleanup", action="store_true")
+    p.add_argument(
+        "--reclaim", action="store_true",
+        help="lifecycle: delete each intermediate index as soon as the "
+             "chain no longer reads it (base idx after the resplit "
+             "eval, idx_m after the pruned index loads) — caps peak "
+             "scratch at ~2 index copies instead of 3, the difference "
+             "that lets the chain fit beside a 22 GB 1M substrate",
+    )
     args = p.parse_args()
     os.environ.setdefault("SPARK_GRAFT_MAX_RESULT", "8g")
     if args.cmd == "recall" and args.queries == 100:
