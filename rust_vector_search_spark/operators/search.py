@@ -1004,7 +1004,17 @@ def search_rp_forest(
     instead (the window that follows repartitions on ``query_id`` anyway,
     so the shuffle is reused, not extra). ``"auto"`` estimates the query
     payload from count × dim (same shape as the node-map gate above) and
-    broadcasts only under ``SPARK_GRAFT_BC_QUERIES_MB`` (default 256)."""
+    broadcasts only under ``SPARK_GRAFT_BC_QUERIES_MB`` (default 256).
+
+    RECALL DIALS for point queries (measured, r13 hard-regime sweep —
+    BASELINE.md): widen ``spill_margin`` FIRST, add trees only past
+    its saturation — 50 trees + frac 0.6 matches 100 trees + auto at
+    matched recall (~0.93 vs 0.91) at lower wall and half the
+    footprint, and 100 trees + frac 0.6 matches the full 215-tree
+    index (0.992 vs 0.991). This is the OPPOSITE of the all-pairs
+    guidance (see ``all_pairs_rp_forest``): a point query pays spill
+    cost once per near-plane descent, while extra trees each cost a
+    full extra routing descent."""
     # ONE lazily-run count job, shared by the routing right-sizing
     # (broadcast-map path only — see route_queries) and the
     # broadcast-queries gate. Memoized thunk: when the join-chain routing
@@ -2144,6 +2154,21 @@ def all_pairs_rp_forest(
     remaining caveat). On clustered corpora single-probe at
     the reference's 50 trees already reads ~0.95 and neither dial is
     needed.
+
+    THIS GUIDANCE IS ALL-PAIRS-SPECIFIC — it does NOT transfer to
+    single queries (measured, r13 sweep on the same hard regime,
+    BASELINE.md): through ``search_rp_forest`` the margin dial WINS at
+    matched recall — 50 trees + frac 0.6 reads 0.930 @ ~0.10 s/q vs
+    100 trees + auto(0.3) at 0.908 @ ~0.13 s/q, and 100 trees +
+    frac 0.6 reads 0.992 @ ~0.16 s/q vs 215 trees + auto at 0.991 @
+    ~0.18 s/q — half the footprint and no extra build either way. The
+    asymmetry is structural: a point query pays spill cost once per
+    near-plane descent (a few extra leaves), while an all-pairs
+    visitor pays pairwise work in EVERY spilled group across the
+    whole corpus; conversely extra trees cost a point query a full
+    extra routing descent each. Single queries: widen the margin
+    first, add trees only past its saturation. Whole-corpus passes:
+    trees first, margin last.
 
     Cross-engine ``dist`` reproducibility: the spill-routing engines
     agree on the RESULT SET — same (query_id, vec_id, rnk) rows —
