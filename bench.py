@@ -104,6 +104,11 @@ def _parse_only(argv: "list[str]") -> "list[str]":
             f"usage: bench.py [--only name[,name...]] — got {argv!r}"
         )
     names = [n for n in argv[1].split(",") if n]
+    if not names:
+        raise SystemExit(
+            "bench.py --only: empty selection (a shell-quoting slip?) — "
+            "a 0-query run would print a valid-looking 0-second result"
+        )
     unknown = [n for n in names if n not in HEADLINE]
     if unknown:
         raise SystemExit(

@@ -2695,7 +2695,16 @@ def save_recall_baseline(
     (query_id, query_vec) instead of the seeded sample — the shape a
     production eval harness wants (fixed golden queries) and the shape
     a SQL oracle can replay (a seeded xxhash64 sample cannot be
-    reproduced engine-independently). ``method`` selects the exact-kNN
+    reproduced engine-independently). Self-exclusion is keyed on ID
+    EQUALITY end to end: a corpus vector sharing an external query's
+    id is excluded from that query's anchored truth AND from every
+    search the cached check runs (both sides agree, so the
+    certification stays internally exact) — namespace external query
+    ids away from corpus ids if those vectors must be rankable. Each
+    anchored query also records whether its id matched a corpus row
+    (``self_in_corpus``), which the exhaustion rule uses for the exact
+    per-query candidate count: an in-corpus query has n_corpus − 1
+    non-self candidates, an external one all n_corpus. ``method`` selects the exact-kNN
     engine for the anchored truth: "blas" (default — Arrow/numpy block
     top-k, fastest) or "fold" (the Catalyst sequential-fold twin whose
     float summation order is bit-exact against DuckDB's list_reduce,
@@ -2733,7 +2742,15 @@ def save_recall_baseline(
     ).select("query_id", "rnk", "vec_id", "dist")
     base = f"{path}/recall_truth"
     truth.coalesce(1).write.mode("overwrite").parquet(f"{base}/truth")
-    q.coalesce(1).write.mode("overwrite").parquet(f"{base}/queries")
+    q.join(
+        corpus.select(F.col(id_col).alias("query_id"))
+        .distinct()
+        .withColumn("self_in_corpus", F.lit(True)),
+        "query_id",
+        "left",
+    ).fillna(False, ["self_in_corpus"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/queries")
     # corpus-sized but slim (two 8-byte columns): keep the scan's
     # natural partitioning — a coalesce(1) here would funnel the whole
     # id set through one task at 10^8+ rows
@@ -2813,10 +2830,10 @@ def _estimate_recall_cached(
     # it does not. Absence is probed through the Hadoop FS API, never
     # inferred from a failed read — a transient FS error must
     # propagate, not silently select the weaker guard.
-    from ..streaming.incremental import _hadoop_path_exists
+    from ..session import hadoop_path_exists
 
     ids_path = f"{base}/corpus_ids"
-    if _hadoop_path_exists(spark, ids_path):
+    if hadoop_path_exists(spark, ids_path):
         anchor_ids = spark.read.parquet(ids_path)
         if check_payload:
             cur = corpus.select(
@@ -2896,14 +2913,31 @@ def _estimate_recall_cached(
     # rows at anchor time, n_cached == k_eff IS the complete
     # neighborhood and certifies at any deletion depth (ADVICE r12 #4 —
     # the count-only rule spuriously exhausted small corpora and could
-    # trip the all-exhausted refusal on a fully-certifiable sample)
-    anchor_avail = int(meta.n_corpus) - 1  # exact truth excludes self
+    # trip the all-exhausted refusal on a fully-certifiable sample).
+    # Availability is PER QUERY: an in-corpus query has n_corpus − 1
+    # non-self candidates, an external golden query (r13 explicit
+    # sets) all n_corpus — the anchored self_in_corpus flag decides;
+    # pre-r13 anchors sampled queries from the corpus, so absent flag
+    # means in-corpus
+    if "self_in_corpus" in q.columns:
+        _self_flags = {
+            int(r.query_id): bool(r.self_in_corpus)
+            for r in q.select("query_id", "self_in_corpus").collect()
+        }
+    else:
+        _self_flags = {}
+
+    def _avail(qid: int) -> int:
+        return int(meta.n_corpus) - (
+            1 if _self_flags.get(qid, True) else 0
+        )
+
     cert_ids = [
         int(r.query_id) for r in per_q
         if not (
             r.n_surv < int(k)
             and r.n_cached >= int(meta.k_eff)
-            and anchor_avail > int(meta.k_eff)
+            and _avail(int(r.query_id)) > int(meta.k_eff)
         )
     ]
     n_exhausted = len(per_q) - len(cert_ids)
@@ -2927,7 +2961,9 @@ def _estimate_recall_cached(
     )
     try:
         total = current_truth.count()
-        qs = q.join(cert, "query_id", "left_semi")
+        qs = q.select("query_id", "query_vec").join(
+            cert, "query_id", "left_semi"
+        )
         approx = search_rp_forest(
             forest, corpus, qs, k=k,
             id_col=id_col, vec_col=vec_col, spill_margin=spill_margin,

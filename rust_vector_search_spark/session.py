@@ -73,3 +73,35 @@ def ensure_deterministic_session(spark: SparkSession) -> SparkSession:
     except Exception:
         pass  # static conf on some builds; get_spark sets it at build time
     return spark
+
+
+def hadoop_path_exists(spark, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API (any supported
+    URI scheme), falling back to os.path ONLY for plain local paths on
+    JVM-less (Connect) sessions. Used instead of catching read errors:
+    a CORRUPT index must fail the batch loudly, never silently read as
+    'no history yet' and emit wrong flags. The fallback discipline
+    mirrors ``_hadoop_delete_or_raise`` (ADVICE r7, medium): only the
+    ABSENCE of the JVM handle selects the fallback — a transient FS /
+    py4j error during the probe itself propagates (os.path.exists is
+    always False for an s3a/hdfs index, which would silently turn
+    'index unreachable' into 'no history yet'), and the fallback
+    refuses non-local URIs it cannot actually check."""
+    try:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    except Exception:
+        jvm = None
+    if jvm is not None:
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(hconf)
+        return bool(fs.exists(hpath))
+    if "://" in path and not path.startswith("file:"):
+        raise RuntimeError(
+            f"cannot probe non-local index path {path!r} without a JVM "
+            "Hadoop FileSystem handle; refusing to treat it as absent"
+        )
+    import os
+
+    local = path[len("file:"):] if path.startswith("file:") else path
+    return os.path.exists(local)

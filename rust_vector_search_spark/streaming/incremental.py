@@ -25,6 +25,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.index import RPForest
 from ..operators.search import node_table_broadcastable, route_queries
+from ..session import hadoop_path_exists as _hadoop_path_exists
 
 __all__ = [
     "streaming_windowed_counts",
@@ -297,18 +298,21 @@ def incremental_index_ingest(
                 existing = spark0.read.parquet(monitor_path).schema
             except AnalysisException:
                 pass
-            expected = [f.split()[0] for f in monitor_schema.split(", ")]
+            from pyspark.sql.types import StructType
+
+            expected = StructType.fromDDL(monitor_schema)
             if existing is not None and [
-                f.name for f in existing.fields
-            ] != expected:
+                (f.name, f.dataType) for f in existing.fields
+            ] != [(f.name, f.dataType) for f in expected.fields]:
                 raise ValueError(
                     f"incremental_index_ingest: monitor_path="
-                    f"{monitor_path} already holds a table with columns "
-                    f"{[f.name for f in existing.fields]}, but monitored "
-                    f"streams write the stable 11-column schema "
-                    f"{expected} — point at a fresh dir, or migrate the "
-                    f"old rows once (read with mergeSchema=true, select "
-                    f"the 11 columns with nulls filled, rewrite)"
+                    f"{monitor_path} already holds a table with schema "
+                    f"{existing.simpleString()}, but monitored streams "
+                    f"write the stable 11-column schema "
+                    f"{expected.simpleString()} — point at a fresh dir, "
+                    f"or migrate the old rows once (read with "
+                    f"mergeSchema=true, select the 11 columns with "
+                    f"nulls filled and these exact types, rewrite)"
                 )
 
     retention_k = None
@@ -457,9 +461,16 @@ def incremental_index_ingest(
                     # production ingestion (ADVICE r12 #2): the append
                     # already landed; record the failure on the row
                     # (all-queries-exhausted, a momentarily unreadable
-                    # corpus dir, ...) and keep the stream alive
+                    # corpus dir, ...) and keep the stream alive.
+                    # The FAILED attempt's wall is still a read cost —
+                    # record it so the time budget can defer a
+                    # persistently-failing expensive read instead of
+                    # re-paying it every cadence batch (r13 review)
                     ret_status = f"error: {exc}"[:400]
-                    _ret_state["wall_accum"] = accum
+                    _ret_state["last_cost"] = (
+                        time.perf_counter() - t_read
+                    )
+                    _ret_state["wall_accum"] = 0.0
                 else:
                     ret = float(r["recall"])
                     ret_ex = int(r["n_exhausted"])
@@ -491,38 +502,6 @@ def incremental_index_ingest(
         .trigger(availableNow=True)
         .start()
     )
-
-
-def _hadoop_path_exists(spark, path: str) -> bool:
-    """Existence check through the Hadoop FileSystem API (any supported
-    URI scheme), falling back to os.path ONLY for plain local paths on
-    JVM-less (Connect) sessions. Used instead of catching read errors:
-    a CORRUPT index must fail the batch loudly, never silently read as
-    'no history yet' and emit wrong flags. The fallback discipline
-    mirrors ``_hadoop_delete_or_raise`` (ADVICE r7, medium): only the
-    ABSENCE of the JVM handle selects the fallback — a transient FS /
-    py4j error during the probe itself propagates (os.path.exists is
-    always False for an s3a/hdfs index, which would silently turn
-    'index unreachable' into 'no history yet'), and the fallback
-    refuses non-local URIs it cannot actually check."""
-    try:
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    except Exception:
-        jvm = None
-    if jvm is not None:
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(hconf)
-        return bool(fs.exists(hpath))
-    if "://" in path and not path.startswith("file:"):
-        raise RuntimeError(
-            f"cannot probe non-local index path {path!r} without a JVM "
-            "Hadoop FileSystem handle; refusing to treat it as absent"
-        )
-    import os
-
-    local = path[len("file:"):] if path.startswith("file:") else path
-    return os.path.exists(local)
 
 
 def streaming_lsh_dedup_ingest(

@@ -353,14 +353,20 @@ def cmd_recall(args) -> None:
         unit = resolve_spill_margin(q, frac=1.0)
         # r13 (VERDICT r12 #4): the sweep crosses tree counts too, so
         # the two-dial guidance covers SINGLE queries, not just the
-        # leaf-local all-pairs engine. --trees at its default means
-        # "full forest only" (the pre-r13 behavior); pass an explicit
-        # list to subset
-        if args.trees == "5,10,25,50":
+        # leaf-local all-pairs engine. --trees unset means "full forest
+        # only" (the pre-r13 behavior); an explicit list subsets
+        if args.trees is None:
             tree_counts = [forest.num_trees]
         else:
             tree_counts = [int(t) for t in args.trees.split(",")]
-        for T in tree_counts:
+        for T_req in tree_counts:
+            # clamp + label with the REAL tree count: a requested T
+            # past the forest would otherwise persist a mislabeled
+            # history line that later rounds cite for dial guidance
+            T = min(T_req, forest.num_trees)
+            if T != T_req:
+                print(f"WARNING: requested {T_req} trees, index holds "
+                      f"{forest.num_trees} — sweeping at {T}", flush=True)
             sub = subset_forest(forest, T) if T < forest.num_trees else forest
             for cfg in args.spills.split(","):
                 frac_s, ms_s = cfg.split(":")
@@ -400,7 +406,7 @@ def cmd_recall(args) -> None:
                 _append_history(line, not args.no_baseline_append)
         return
 
-    for t_str in args.trees.split(","):
+    for t_str in (args.trees or "5,10,25,50").split(","):
         T = int(t_str)
         sub = subset_forest(forest, T)
         t0 = time.time()
@@ -1352,7 +1358,7 @@ def main() -> None:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--queries", type=int, default=100)
     p.add_argument("--sample", type=int, default=1000)
-    p.add_argument("--trees", default="5,10,25,50")
+    p.add_argument("--trees", default=None)
     p.add_argument(
         "--spills", default=None,
         help="recall leg only: comma list of frac:max_spills multi-probe "
