@@ -1012,16 +1012,31 @@ def cmd_lifecycle(args) -> None:
     from rust_vector_search_spark.session import get_spark
     from rust_vector_search_spark.streaming import incremental_index_ingest
 
-    _ensure_index(args.index, args.n, args.num_trees, args.leaf)
+    # the chain needs only the CORPUS from args.index (it builds its
+    # own 90% index at {index}_lc) — don't force a 2376 s index rebuild
+    # when the substrate's nodes were reclaimed for disk but emb remains
+    if not os.path.isdir(f"{args.index}/idx/emb"):
+        _ensure_index(args.index, args.n, args.num_trees, args.leaf)
     lc = args.index.rstrip("/") + "_lc"
+    resume = bool(getattr(args, "resume", False))
     if os.path.isdir(f"{lc}/ingest_ckpt"):
+        if not resume:
+            raise SystemExit(
+                f"{lc} already holds a lifecycle run (ingest checkpoint "
+                f"present) — a re-run would double-append the holdout. "
+                f"Delete {lc} to redo the leg, or pass --resume to "
+                f"continue an interrupted run from its post-ingest "
+                f"state (steps 3-5: resplit -> delete -> prune)."
+            )
+    elif resume:
         raise SystemExit(
-            f"{lc} already holds a lifecycle run (ingest checkpoint "
-            f"present) — a re-run would double-append the holdout. "
-            f"Delete {lc} to redo the leg."
+            f"--resume needs {lc}/ingest_ckpt (the post-ingest state of "
+            f"an interrupted run) — nothing to resume"
         )
     spark = get_spark(app_name="deep_index_probe_lifecycle")
-    emb, _ = _load(spark, args.index, args.num_trees, args.leaf)
+    emb = spark.read.parquet(f"{args.index}/idx/emb").withColumnRenamed(
+        "emb", "embedding"
+    )
     holdout_n = args.n // 10
     holdout = emb.filter(F.col("vec_id") < holdout_n)
     rest = emb.filter(F.col("vec_id") >= holdout_n)
@@ -1128,57 +1143,68 @@ def cmd_lifecycle(args) -> None:
         )
         return recall
 
-    # 1. base build (90%)
-    t0 = time.time()
-    build_rp_forest_batched(
-        rest, f"{lc}/idx", num_trees=args.num_trees,
-        max_node_size=args.leaf, seed=42, max_depth=32,
-        local_threshold=16384, tree_batch_size=10,
-    )
-    t_build = time.time() - t0
-    base = load_index(spark, f"{lc}/idx", num_trees=args.num_trees,
-                      max_node_size=args.leaf, seed=42)
-    print(f"lifecycle build(90%): {t_build:.1f}s", flush=True)
-    # r13: anchor the cached truth ON THE CHAIN'S OWN INDEX so every
-    # step below also reads the recurring-health check a production
-    # deployment would poll (strict=False: ingest makes later corpora
-    # supersets of the anchor — the membership guard counts the
-    # foreign ids exactly and the number is labeled retention)
-    from rust_vector_search_spark.operators.search import (
-        save_recall_baseline,
-    )
-
-    t0 = time.time()
-    save_recall_baseline(
-        base, rest, f"{lc}/idx", n_sample=args.queries, k=args.k,
-        reserve=4,
-    )
-    print(f"lifecycle anchor (reserve 4): {time.time() - t0:.1f}s",
-          flush=True)
-    _eval("build", base, rest)
-
-    # 2. ingest the holdout through the frozen hyperplanes
     src = f"{lc}/holdout_src"
-    holdout.write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(holdout.schema).parquet(src)
-    t0 = time.time()
-    ing = incremental_index_ingest(
-        stream.select("vec_id", F.col("embedding")),
-        base,
-        leaves_path=f"{lc}/idx/leaves",
-        checkpoint_path=f"{lc}/ingest_ckpt",
-    )
-    if not ing.awaitTermination(1800):
-        ing.stop()
-        raise SystemExit(
-            "lifecycle ingest did not finish within 1800 s - aborting "
-            "before a partially-ingested index contaminates the chain"
+    if resume:
+        # an interrupted run already built, anchored, ingested, and
+        # evaluated steps 1-2 (its log holds those walls/rows); load
+        # the post-ingest index and continue at maintenance
+        print("lifecycle RESUME: post-ingest state found — skipping "
+              "build/anchor/ingest (their walls and eval rows are in "
+              "the interrupted run's log)", flush=True)
+        t_build = t_ingest = float("nan")
+        aug = load_index(spark, f"{lc}/idx", num_trees=args.num_trees,
+                         max_node_size=args.leaf, seed=42)
+    else:
+        # 1. base build (90%)
+        t0 = time.time()
+        build_rp_forest_batched(
+            rest, f"{lc}/idx", num_trees=args.num_trees,
+            max_node_size=args.leaf, seed=42, max_depth=32,
+            local_threshold=16384, tree_batch_size=10,
         )
-    t_ingest = time.time() - t0
-    aug = load_index(spark, f"{lc}/idx", num_trees=args.num_trees,
-                     max_node_size=args.leaf, seed=42)
-    print(f"lifecycle ingest(10%): {t_ingest:.1f}s", flush=True)
-    _eval("ingest", aug, emb)
+        t_build = time.time() - t0
+        base = load_index(spark, f"{lc}/idx", num_trees=args.num_trees,
+                          max_node_size=args.leaf, seed=42)
+        print(f"lifecycle build(90%): {t_build:.1f}s", flush=True)
+        # r13: anchor the cached truth ON THE CHAIN'S OWN INDEX so every
+        # step below also reads the recurring-health check a production
+        # deployment would poll (strict=False: ingest makes later corpora
+        # supersets of the anchor — the membership guard counts the
+        # foreign ids exactly and the number is labeled retention)
+        from rust_vector_search_spark.operators.search import (
+            save_recall_baseline,
+        )
+
+        t0 = time.time()
+        save_recall_baseline(
+            base, rest, f"{lc}/idx", n_sample=args.queries, k=args.k,
+            reserve=4,
+        )
+        print(f"lifecycle anchor (reserve 4): {time.time() - t0:.1f}s",
+              flush=True)
+        _eval("build", base, rest)
+
+        # 2. ingest the holdout through the frozen hyperplanes
+        holdout.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(holdout.schema).parquet(src)
+        t0 = time.time()
+        ing = incremental_index_ingest(
+            stream.select("vec_id", F.col("embedding")),
+            base,
+            leaves_path=f"{lc}/idx/leaves",
+            checkpoint_path=f"{lc}/ingest_ckpt",
+        )
+        if not ing.awaitTermination(1800):
+            ing.stop()
+            raise SystemExit(
+                "lifecycle ingest did not finish within 1800 s - aborting "
+                "before a partially-ingested index contaminates the chain"
+            )
+        t_ingest = time.time() - t0
+        aug = load_index(spark, f"{lc}/idx", num_trees=args.num_trees,
+                         max_node_size=args.leaf, seed=42)
+        print(f"lifecycle ingest(10%): {t_ingest:.1f}s", flush=True)
+        _eval("ingest", aug, emb)
 
     # 3. maintenance: resplit the overgrown leaves, re-persist (compact)
     t0 = time.time()
@@ -1228,7 +1254,9 @@ def cmd_lifecycle(args) -> None:
     )
     _append_history(
         f"lifecycle chain ({os.path.basename(args.index)}, "
-        f"{args.num_trees} trees, compact): build(90%) {t_build:.0f} s, "
+        f"{args.num_trees} trees, compact"
+        f"{', RESUMED at maintenance' if resume else ''}): "
+        f"build(90%) {t_build:.0f} s, "
         f"ingest(10%) {t_ingest:.0f} s, resplit+save {t_fix:.0f} s, "
         f"delete(30%) {t_del:.0f} s, prune+save {t_prune:.0f} s; "
         f"recall@{args.k} {steps} ({args.queries} q); "
@@ -1391,6 +1419,12 @@ def main() -> None:
     )
     p.add_argument("--no-baseline-append", action="store_true")
     p.add_argument("--cleanup", action="store_true")
+    p.add_argument(
+        "--resume", action="store_true",
+        help="lifecycle: continue an interrupted run from its "
+             "post-ingest state (skips build/anchor/ingest; their "
+             "walls and eval rows live in the interrupted run's log)",
+    )
     p.add_argument(
         "--reclaim", action="store_true",
         help="lifecycle: delete each intermediate index as soon as the "

@@ -15,6 +15,17 @@ from rust_vector_search_spark.plans import QUERIES  # noqa: E402
 from rust_vector_search_spark.session import get_spark  # noqa: E402
 
 NOTES = {
+    "ann_cached_certification_fixture": (
+        "The recurring-health shape at 100 TB: the certification side "
+        "touches the current corpus ONLY through slim id joins (the "
+        "survivor semi-join and the ledger algebra carry vec_id/"
+        "query_id columns, never vectors), the per-query ledger is an "
+        "n_sample-bounded window over the anchored truth READ from "
+        "parquet (never recomputed), and the approx side is the "
+        "fixture forest search - join-chain descent + equi-join "
+        "backfill, no NestedLoop. The one vector-width term is the "
+        "bounded re-rank of routed candidates."
+    ),
     "q6_forecast_revenue": (
         "All three predicates reach the parquet scan (PushedFilters); "
         "ReadSchema carries only the 4 referenced columns of 16."
