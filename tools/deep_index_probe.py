@@ -539,6 +539,8 @@ def cmd_ingest(args) -> None:
     emb, full_forest = _load(spark, args.index, args.num_trees, args.leaf)
     # 1. build the pre-ingest index over corpus minus holdout (the
     #    "yesterday's index" in the incremental story)
+    if args.holdout is None:
+        args.holdout = 25_000
     rest = emb.filter(F.col("vec_id") >= args.holdout)
     if not os.path.isdir(f"{base_dir}/idx/nodes"):
         t0 = time.time()
@@ -1037,7 +1039,13 @@ def cmd_lifecycle(args) -> None:
     emb = spark.read.parquet(f"{args.index}/idx/emb").withColumnRenamed(
         "emb", "embedding"
     )
-    holdout_n = args.n // 10
+    # --holdout overrides the 10% default: at 1M x leaf<=5, a 10%
+    # holdout ingested as ONE batch overgrows ~1.5M leaves and the
+    # one-shot repair exchange exceeds this host's scratch disk (the
+    # r13 scale finding, BASELINE) — production repairs per micro-batch
+    # by the monitor signal; a bounded holdout keeps the one-shot probe
+    # repairable
+    holdout_n = args.n // 10 if args.holdout is None else int(args.holdout)
     holdout = emb.filter(F.col("vec_id") < holdout_n)
     rest = emb.filter(F.col("vec_id") >= holdout_n)
     doomed = emb.filter(F.col("vec_id") % 10 < 3).select("vec_id")
@@ -1394,7 +1402,7 @@ def main() -> None:
         "sweeps the spill dial at full tree count instead of the "
         "trees dial",
     )
-    p.add_argument("--holdout", type=int, default=25_000)
+    p.add_argument("--holdout", type=int, default=None)
     p.add_argument("--spill-margin", default="auto")
     p.add_argument(
         "--spill-frac", type=float, default=0.0,
