@@ -1173,7 +1173,8 @@ def cmd_lifecycle(args) -> None:
         t_build = time.time() - t0
         base = load_index(spark, f"{lc}/idx", num_trees=args.num_trees,
                           max_node_size=args.leaf, seed=42)
-        print(f"lifecycle build(90%): {t_build:.1f}s", flush=True)
+        print(f"lifecycle build({100 - 100 * holdout_n // args.n}%): "
+              f"{t_build:.1f}s", flush=True)
         # r13: anchor the cached truth ON THE CHAIN'S OWN INDEX so every
         # step below also reads the recurring-health check a production
         # deployment would poll (strict=False: ingest makes later corpora
@@ -1211,7 +1212,8 @@ def cmd_lifecycle(args) -> None:
         t_ingest = time.time() - t0
         aug = load_index(spark, f"{lc}/idx", num_trees=args.num_trees,
                          max_node_size=args.leaf, seed=42)
-        print(f"lifecycle ingest(10%): {t_ingest:.1f}s", flush=True)
+        print(f"lifecycle ingest({100 * holdout_n // args.n}%): "
+              f"{t_ingest:.1f}s", flush=True)
         _eval("ingest", aug, emb)
 
     # 3. maintenance: resplit the overgrown leaves, re-persist (compact)
@@ -1262,10 +1264,10 @@ def cmd_lifecycle(args) -> None:
     )
     _append_history(
         f"lifecycle chain ({os.path.basename(args.index)}, "
-        f"{args.num_trees} trees, compact"
+        f"{args.num_trees} trees, compact, holdout {holdout_n}"
         f"{', RESUMED at maintenance' if resume else ''}): "
-        f"build(90%) {t_build:.0f} s, "
-        f"ingest(10%) {t_ingest:.0f} s, resplit+save {t_fix:.0f} s, "
+        f"build {t_build:.0f} s, "
+        f"ingest {t_ingest:.0f} s, resplit+save {t_fix:.0f} s, "
         f"delete(30%) {t_del:.0f} s, prune+save {t_prune:.0f} s; "
         f"recall@{args.k} {steps} ({args.queries} q); "
         f"est_recall {est_steps}; health: {health}",
