@@ -1068,7 +1068,12 @@ def cmd_lifecycle(args) -> None:
 
     traj: list = []
 
+    from rust_vector_search_spark.plans.registry import (
+        release_driver_blocks,
+    )
+
     def _eval(tag, forest, corpus):
+        release_driver_blocks(spark)
         t0 = time.time()
         approx = (
             search_rp_forest(forest, corpus, q, k=args.k)
@@ -1152,7 +1157,19 @@ def cmd_lifecycle(args) -> None:
         return recall
 
     src = f"{lc}/holdout_src"
-    if resume:
+    resume_at_prune = resume and not os.path.isdir(
+        f"{lc}/idx/nodes"
+    ) and os.path.isdir(f"{lc}/idx_m/nodes")
+    if resume_at_prune:
+        # the maintained index was saved and the base reclaimed before
+        # the interruption: only delete/prune remain
+        print("lifecycle RESUME: maintained index found (base "
+              "reclaimed) — continuing at delete/prune; earlier walls "
+              "and eval rows are in the interrupted run's log",
+              flush=True)
+        t_build = t_ingest = t_fix = float("nan")
+        aug = None
+    elif resume:
         # an interrupted run already built, anchored, ingested, and
         # evaluated steps 1-2 (its log holds those walls/rows); load
         # the post-ingest index and continue at maintenance
@@ -1217,15 +1234,17 @@ def cmd_lifecycle(args) -> None:
         _eval("ingest", aug, emb)
 
     # 3. maintenance: resplit the overgrown leaves, re-persist (compact)
-    t0 = time.time()
-    fixed = resplit_overgrown_leaves(aug, emb)
-    save_index(fixed, f"{lc}/idx_m")
-    t_fix = time.time() - t0
+    if not resume_at_prune:
+        t0 = time.time()
+        fixed = resplit_overgrown_leaves(aug, emb)
+        save_index(fixed, f"{lc}/idx_m")
+        t_fix = time.time() - t0
     maintained = load_index(spark, f"{lc}/idx_m", num_trees=args.num_trees,
                             max_node_size=args.leaf, seed=42)
-    print(f"lifecycle resplit+save: {t_fix:.1f}s", flush=True)
-    _eval("resplit", maintained, emb)
-    if args.reclaim:
+    if not resume_at_prune:
+        print(f"lifecycle resplit+save: {t_fix:.1f}s", flush=True)
+        _eval("resplit", maintained, emb)
+    if args.reclaim and not resume_at_prune:
         # the base index is no longer read past this point (the cached
         # truth lives under {lc}/idx/recall_truth — keep ONLY that)
         for sub in ("leaves", "nodes", "health", "meta"):
@@ -1238,9 +1257,11 @@ def cmd_lifecycle(args) -> None:
     thinned = delete_vectors(maintained, doomed)
     t_del = time.time() - t0
     print(f"lifecycle delete(30%): {t_del:.1f}s", flush=True)
-    _eval("delete", thinned, survivors)
+    if not resume_at_prune:
+        _eval("delete", thinned, survivors)
 
     # 5. prune the underfull subtrees, re-persist (compact)
+    release_driver_blocks(spark)
     t0 = time.time()
     pruned = prune_underfull_subtrees(thinned)
     save_index(pruned, f"{lc}/idx_p")
