@@ -1264,17 +1264,39 @@ def cmd_lifecycle(args) -> None:
     release_driver_blocks(spark)
     t0 = time.time()
     pruned = prune_underfull_subtrees(thinned)
-    save_index(pruned, f"{lc}/idx_p")
-    t_prune = time.time() - t0
-    reloaded = load_index(spark, f"{lc}/idx_p", num_trees=args.num_trees,
-                          max_node_size=args.leaf, seed=42)
-    print(
-        f"lifecycle prune+save: {t_prune:.1f}s; nodes "
-        f"{maintained.node_count} -> {reloaded.node_count}", flush=True,
-    )
-    if args.reclaim:
-        shutil.rmtree(f"{lc}/idx_m", ignore_errors=True)
-        print("reclaimed: idx_m", flush=True)
+    if args.prune_in_memory:
+        # at 1M the pruned-index persist needs the maintained input
+        # (20 GB), the writer's dynamic-partition sort spill, and the
+        # output on disk SIMULTANEOUSLY — past this host's scratch (the
+        # r13 runs died here twice with ~59 GB free). The compact
+        # persist path is already exercised AT THIS SCALE by the
+        # resplit step's idx_m save; evaluate the pruned forest's
+        # quality in memory (nodes stream from idx_m) and say so
+        pruned.leaves.localCheckpoint(eager=True).count()
+        t_prune = time.time() - t0
+        reloaded = pruned
+        print(
+            f"lifecycle prune (IN-MEMORY eval; persist skipped for "
+            f"scratch — the compact save path ran at this scale in "
+            f"the resplit step): {t_prune:.1f}s; nodes "
+            f"{maintained.node_count} -> {pruned.node_count}",
+            flush=True,
+        )
+    else:
+        save_index(pruned, f"{lc}/idx_p")
+        t_prune = time.time() - t0
+        reloaded = load_index(
+            spark, f"{lc}/idx_p", num_trees=args.num_trees,
+            max_node_size=args.leaf, seed=42,
+        )
+        print(
+            f"lifecycle prune+save: {t_prune:.1f}s; nodes "
+            f"{maintained.node_count} -> {reloaded.node_count}",
+            flush=True,
+        )
+        if args.reclaim:
+            shutil.rmtree(f"{lc}/idx_m", ignore_errors=True)
+            print("reclaimed: idx_m", flush=True)
     _eval("prune", reloaded, survivors)
 
     steps = " -> ".join(f"{t}:{r:.3f}" for t, r, *_ in traj)
@@ -1450,6 +1472,12 @@ def main() -> None:
     )
     p.add_argument("--no-baseline-append", action="store_true")
     p.add_argument("--cleanup", action="store_true")
+    p.add_argument(
+        "--prune-in-memory", action="store_true",
+        help="lifecycle: evaluate the pruned forest in memory instead "
+             "of persisting idx_p — for hosts whose scratch cannot hold "
+             "input + writer sort spill + output at once",
+    )
     p.add_argument(
         "--resume", action="store_true",
         help="lifecycle: continue an interrupted run from its "
