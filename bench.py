@@ -103,7 +103,10 @@ def _parse_only(argv: "list[str]") -> "list[str]":
         raise SystemExit(
             f"usage: bench.py [--only name[,name...]] — got {argv!r}"
         )
-    names = [n for n in argv[1].split(",") if n]
+    # dedupe preserving order: '--only q1,q1' would otherwise run the
+    # query twice but keep only the LAST (warmed) wall — a silently
+    # non-comparable number (ADVICE r13)
+    names = list(dict.fromkeys(n for n in argv[1].split(",") if n))
     if not names:
         raise SystemExit(
             "bench.py --only: empty selection (a shell-quoting slip?) — "
@@ -152,6 +155,24 @@ def main() -> None:
 
     from rust_vector_search_spark.plans.registry import release_driver_blocks
 
+    # Arrow-family calibration row (VERDICT r13 #5): a FIXED no-op
+    # mapInPandas identity over 5k rows, timed every run but EXCLUDED
+    # from the headline total. It isolates the Arrow/Python-worker
+    # environment cost every mapInPandas modality row shares: when a
+    # jpeg/png/audio wall moves WITHOUT this row moving, the drift is
+    # code; when they move TOGETHER, it's the environment (the r13 jpeg
+    # adjudication needed manual solo runs to make that call). Runs
+    # after the forest warm-up so the Python workers are already up —
+    # steady-state Arrow throughput, not spin-up.
+    def _identity(batches):
+        yield from batches
+
+    t0 = time.perf_counter()
+    spark.range(5000).selectExpr("id", "id * 2 as v").mapInPandas(
+        _identity, "id long, v long"
+    ).write.mode("overwrite").format("noop").save()
+    arrow_calibration = round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
     for name in selected:
         fn = QUERIES[name]
@@ -177,6 +198,10 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # top-level, NOT in "queries": excluded from the headline total
+        # by construction (the driver sums "queries"); see the
+        # calibration comment above for what this row isolates
+        "arrow_calibration_sec": arrow_calibration,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -202,10 +202,13 @@ _DEMOTED_STABLE = [
     # lead + cumsum over the same per-customer window) and by every kNN
     # top-k window; slot to scd2 (the first CDC/versioning row)
     "top3_orders_per_customer",
-    # r6b: exact-kNN family — knn_with_doc_labels (= entry(), in-window)
-    # computes the same sq-euclidean fold and rnk window over the same
-    # query set; slot to hard_negative_pairs (label-filtered contrastive
-    # mining — the new training-data row)
+    # r6b: exact-kNN family — slot to hard_negative_pairs (label-filtered
+    # contrastive mining — the new training-data row). Containment since
+    # r13 (knn_with_doc_labels left the window): the sq-euclidean
+    # fold + (dist, vec_id) rnk-window machinery is hash-held in-window
+    # by ann_cached_certification_fixture's anchored-truth fold and by
+    # hard_negative_pairs; knn_with_doc_labels (= entry()) still runs
+    # under the driver's smoke check every round
     "knn_exact_euclidean",
     # r6b: similarity-join family — the banded/bucketed candidate-join
     # discipline is window-held by the minhash/simhash/substring rows

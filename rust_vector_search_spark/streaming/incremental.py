@@ -426,14 +426,22 @@ def incremental_index_ingest(
         )
         v = needs_rebuild(post, rebuild_fill_ratio)
         ret = ret_ex = ret_ins = ret_status = None
+        # t_mark: where the NON-retention clock resumes for this batch —
+        # re-stamped after a read (or the defer decision) so the
+        # post-decision remainder (needs_rebuild already ran; the
+        # monitor write below) still enters the denominator via the
+        # single accumulation after the write. Without it every cadence
+        # batch silently dropped its pre-read and post-read wall and the
+        # budget gate over-deferred vs the documented
+        # "frac x accumulated batch wall" contract (ADVICE r13)
+        t_mark = t_batch
         if retention_path is not None and batch_id % retention_every == 0:
             # time-budget gate: the accumulated NON-retention batch wall
             # since the last read is the denominator the read amortizes
             # over; a read costlier than frac x that wall is deferred
             # (marked, never silent) until enough batches have run
-            accum = _ret_state["wall_accum"] + (
-                time.perf_counter() - t_batch
-            )
+            now = time.perf_counter()
+            accum = _ret_state["wall_accum"] + (now - t_batch)
             last_cost = _ret_state["last_cost"]
             if (
                 retention_budget_frac is not None
@@ -442,6 +450,7 @@ def incremental_index_ingest(
             ):
                 ret_status = "deferred: time budget"
                 _ret_state["wall_accum"] = accum
+                t_mark = now
             else:
                 from ..operators.search import estimate_recall
 
@@ -479,8 +488,9 @@ def incremental_index_ingest(
                         time.perf_counter() - t_read
                     )
                     _ret_state["wall_accum"] = 0.0
-        else:
-            _ret_state["wall_accum"] += time.perf_counter() - t_batch
+                # the read itself is the one cost EXCLUDED from the
+                # denominator; everything after it counts again
+                t_mark = time.perf_counter()
         row = (
             int(batch_id), int(n_rows),
             float(v["current_fill"]),
@@ -495,6 +505,10 @@ def incremental_index_ingest(
         spark.createDataFrame(
             [row], schema=monitor_schema
         ).coalesce(1).write.mode("append").parquet(monitor_path)
+        # one accumulation point for ALL paths (non-cadence, deferred,
+        # post-read): the batch's full non-retention wall — including
+        # the monitor write just above — enters the next read's budget
+        _ret_state["wall_accum"] += time.perf_counter() - t_mark
 
     return (
         vectors_stream.writeStream.foreachBatch(_route_and_append)

@@ -1311,7 +1311,16 @@ def cmd_lifecycle(args) -> None:
         f"{', RESUMED at maintenance' if resume else ''}): "
         f"build {t_build:.0f} s, "
         f"ingest {t_ingest:.0f} s, resplit+save {t_fix:.0f} s, "
-        f"delete(30%) {t_del:.0f} s, prune+save {t_prune:.0f} s; "
+        f"delete(30%) {t_del:.0f} s, "
+        # label must match what actually ran: under --prune-in-memory
+        # t_prune is only a localCheckpoint wall, NOT a persist cost —
+        # an unlabeled history line would be cited as one (ADVICE r13)
+        + (
+            f"prune(in-memory, no persist) {t_prune:.0f} s; "
+            if args.prune_in_memory
+            else f"prune+save {t_prune:.0f} s; "
+        )
+        +
         f"recall@{args.k} {steps} ({args.queries} q); "
         f"est_recall {est_steps}; health: {health}",
         not args.no_baseline_append,
