@@ -586,12 +586,15 @@ def build_rp_forest_batched(
             batch_nodes = batch_nodes.withColumn(
                 "coeffs", F.col("coeffs").cast("array<float>")
             )
-        batch_nodes.sortWithinPartitions("lvl").write.mode("append").partitionBy(
-            "tree_id"
-        ).parquet(f"{path}/nodes")
-        forest.leaves.write.mode("append").partitionBy("tree_id").parquet(
-            f"{path}/leaves"
-        )
+        # tree_id-led sort: one sort serves both the lvl row-group
+        # clustering AND the dynamic-partition writer's clustering
+        # requirement (no second writer sort — see save_index)
+        batch_nodes.sortWithinPartitions("tree_id", "lvl").write.mode(
+            "append"
+        ).partitionBy("tree_id").parquet(f"{path}/nodes")
+        forest.leaves.sortWithinPartitions("tree_id").write.mode(
+            "append"
+        ).partitionBy("tree_id").parquet(f"{path}/leaves")
         # drop every reference to the batch, then GC both runtimes so the
         # ContextCleaner frees its shuffle files / checkpoint blocks NOW
         # (not at some later arbitrary driver GC) — this is what bounds
@@ -714,12 +717,13 @@ def extend_forest(
             batch_nodes = batch_nodes.withColumn(
                 "coeffs", F.col("coeffs").cast("array<float>")
             )
-        batch_nodes.sortWithinPartitions("lvl").write.mode(
+        # tree_id-led sort — same no-writer-sort rationale as save_index
+        batch_nodes.sortWithinPartitions("tree_id", "lvl").write.mode(
             "append"
         ).partitionBy("tree_id").parquet(f"{path}/nodes")
-        built.leaves.write.mode("append").partitionBy("tree_id").parquet(
-            f"{path}/leaves"
-        )
+        built.leaves.sortWithinPartitions("tree_id").write.mode(
+            "append"
+        ).partitionBy("tree_id").parquet(f"{path}/leaves")
         if forest.fresh_health is not None:
             new_health.extend(
                 _health_rows(
@@ -1442,12 +1446,21 @@ def save_index(forest: RPForest, path: str, compact: bool = True) -> None:
         nodes = nodes.withColumn(
             "coeffs", F.col("coeffs").cast("array<float>")
         )
-    nodes.sortWithinPartitions("lvl").write.mode("overwrite").partitionBy(
-        "tree_id"
-    ).parquet(f"{path}/nodes")
-    forest.leaves.write.mode("overwrite").partitionBy("tree_id").parquet(
-        f"{path}/leaves"
-    )
+    # sort key leads with the PARTITION column: the one explicit sort
+    # then also satisfies the dynamic-partition writer's required
+    # clustering, so FileFormatWriter streams instead of running its
+    # own second sort over the coeffs payload — at 1M the writer sort
+    # held input + sort spill + output on scratch simultaneously and
+    # the pruned-index persist died twice with ~59 GB free (VERDICT
+    # r13 #2). lvl as the secondary key keeps (now per-tree-file,
+    # strictly tighter) row-group min/max pruning for the per-level
+    # routing filter.
+    nodes.sortWithinPartitions("tree_id", "lvl").write.mode(
+        "overwrite"
+    ).partitionBy("tree_id").parquet(f"{path}/nodes")
+    forest.leaves.sortWithinPartitions("tree_id").write.mode(
+        "overwrite"
+    ).partitionBy("tree_id").parquet(f"{path}/leaves")
     if forest.fresh_health is None and (
         forest.path is not None or forest.loaded_without_baseline
     ):
