@@ -935,3 +935,77 @@ def test_cached_certification_fixture_ties_to_operator(spark):
     assert res["recall"] == (
         res["hits"] / res["total"] if res["total"] else 1.0
     )
+
+
+def test_resplit_batched_bit_identity(spark, overgrown, tmp_path):
+    """VERDICT r13 #1: the debt-bounded chunked repair must be
+    node-for-node and leaf-for-leaf identical to the one-shot form —
+    the scale fix changes WHERE scratch peaks (one tree group's debt
+    instead of the accumulated total), never what gets built. Chunk
+    size 1 maximizes group boundaries (3 trees → 3 groups, every
+    cross-tree interaction would surface); compact=False so the
+    comparison is on full-precision doubles."""
+    from rust_vector_search_spark.operators.index import (
+        resplit_overgrown_leaves_batched,
+        save_index,
+    )
+
+    emb, _, aug = overgrown
+    one = resplit_overgrown_leaves(aug, emb)
+    p_one = str(tmp_path / "one")
+    save_index(one, p_one, compact=False)
+    p_chunk = str(tmp_path / "chunk")
+    chunked = resplit_overgrown_leaves_batched(
+        aug, emb, p_chunk, tree_batch_size=1, compact=False
+    )
+    ncols = ["tree_id", "node_path", "coeffs", "constant", "coeff_norm"]
+    a = spark.read.parquet(f"{p_one}/nodes").select(*ncols)
+    b = spark.read.parquet(f"{p_chunk}/nodes").select(*ncols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    lcols = ["tree_id", "leaf_path", "vec_id"]
+    la = spark.read.parquet(f"{p_one}/leaves").select(*lcols)
+    lb = spark.read.parquet(f"{p_chunk}/leaves").select(*lcols)
+    assert la.exceptAll(lb).count() == 0
+    assert lb.exceptAll(la).count() == 0
+    # a second chunking (uneven groups: 2 + 1) lands on the same index
+    p_chunk2 = str(tmp_path / "chunk2")
+    resplit_overgrown_leaves_batched(
+        aug, emb, p_chunk2, tree_batch_size=2, compact=False
+    )
+    b2 = spark.read.parquet(f"{p_chunk2}/nodes").select(*ncols)
+    assert b2.exceptAll(b).count() == 0
+    assert b.exceptAll(b2).count() == 0
+    # the returned forest is the loaded persisted repair: immediately
+    # routable (path set), bound restored, health baseline recorded
+    assert chunked.path == p_chunk
+    assert (
+        _leaf_sizes(chunked.leaves).filter(F.col("count") > 8).count() == 0
+    )
+    assert chunked.fresh_health is not None
+    assert chunked.node_count == one.node_count
+
+
+def test_resplit_batched_guards_and_noop(spark, overgrown, tmp_path):
+    """No-overgrowth short-circuit persists the input verbatim; writing
+    the repair over the forest's own persisted layout is refused (the
+    group writes stream FROM that layout while appending)."""
+    from rust_vector_search_spark.operators.index import (
+        resplit_overgrown_leaves_batched,
+    )
+
+    emb, fresh, _ = overgrown
+    p = str(tmp_path / "noop")
+    out = resplit_overgrown_leaves_batched(
+        fresh, emb, p, tree_batch_size=2, compact=False
+    )
+    assert out.node_count == fresh.node_count
+    assert out.leaves.count() == fresh.leaves.count()
+    assert (
+        out.leaves.select("tree_id", "leaf_path", "vec_id")
+        .exceptAll(fresh.leaves.select("tree_id", "leaf_path", "vec_id"))
+        .count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="own persisted path"):
+        resplit_overgrown_leaves_batched(out, emb, p)

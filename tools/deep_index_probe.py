@@ -1007,7 +1007,7 @@ def cmd_lifecycle(args) -> None:
         forest_health_stats,
         load_index,
         prune_underfull_subtrees,
-        resplit_overgrown_leaves,
+        resplit_overgrown_leaves_batched,
         save_index,
     )
     from rust_vector_search_spark.operators.search import search_rp_forest
@@ -1234,10 +1234,16 @@ def cmd_lifecycle(args) -> None:
         _eval("ingest", aug, emb)
 
     # 3. maintenance: resplit the overgrown leaves, re-persist (compact)
+    # — the DEBT-BOUNDED chunked form (r14): per-tree-group repair with
+    # append-save, so peak scratch is one group's debt regardless of how
+    # much maintenance was deferred (the one-shot form needed >61 GB at
+    # the 1.49M-leaf 10%-of-1M debt point and could not complete here)
     if not resume_at_prune:
         t0 = time.time()
-        fixed = resplit_overgrown_leaves(aug, emb)
-        save_index(fixed, f"{lc}/idx_m")
+        resplit_overgrown_leaves_batched(
+            aug, emb, f"{lc}/idx_m",
+            tree_batch_size=args.resplit_batch,
+        )
         t_fix = time.time() - t0
     maintained = load_index(spark, f"{lc}/idx_m", num_trees=args.num_trees,
                             max_node_size=args.leaf, seed=42)
@@ -1500,6 +1506,14 @@ def main() -> None:
              "eval, idx_m after the pruned index loads) — caps peak "
              "scratch at ~2 index copies instead of 3, the difference "
              "that lets the chain fit beside a 22 GB 1M substrate",
+    )
+    p.add_argument(
+        "--resplit-batch", type=int, default=5,
+        help="lifecycle: tree-group size for the debt-bounded chunked "
+             "resplit (resplit_overgrown_leaves_batched) — peak repair "
+             "scratch is ONE group's debt, so at 50 trees the default 5 "
+             "bounds it to ~10%% of the accumulated total (the one-shot "
+             "form needed >61 GB at the 1.49M-leaf 1M debt point)",
     )
     args = p.parse_args()
     os.environ.setdefault("SPARK_GRAFT_MAX_RESULT", "8g")
