@@ -162,6 +162,7 @@ def incremental_index_ingest(
     retention_corpus_path: "str | None" = None,
     retention_every: int = 1,
     retention_budget_frac: "float | None" = None,
+    retention_check_payload: bool = False,
 ) -> StreamingQuery:
     """Append new vectors to the forest's leaves: each micro-batch is
     routed through the frozen hyperplanes (same predicate as queries,
@@ -252,7 +253,20 @@ def incremental_index_ingest(
     self-regulates: a due read runs only when the LAST read's wall is
     at most ``frac`` × the batch wall accumulated since that read —
     deferred rows are marked, never silently dropped, and the first
-    due read always runs (no history yet)."""
+    due read always runs (no history yet).
+
+    ``retention_check_payload`` (VERDICT r13 #7) upgrades the read's
+    membership test from id-only to id+content-hash: the default read
+    verifies survivors by vec_id alone, which trusts the documented
+    id-immutability contract — a stream that RECYCLES an id (delete
+    then re-insert a different vector under the same id) would count
+    the impostor as a surviving anchored neighbor. With the knob on,
+    each read anti-joins (vec_id, xxhash64(id, vec)) against the
+    anchor's ``corpus_ids`` table, so a recycled or mutated row counts
+    as foreign instead. Costs the corpus hash projection per read (the
+    anchored table is 16 B/row); requires an r13-layout anchor
+    (``corpus_ids`` present) — checked at stream START, not on batch
+    N."""
 
     # the frozen forest's stats never change, so decide ONCE whether the
     # index is deep (node table past the broadcast gate): only then does
@@ -351,6 +365,23 @@ def incremental_index_ingest(
                 f"save_recall_baseline there first"
             ) from exc
         retention_k = int(meta.k)
+        if retention_check_payload and not _hadoop_path_exists(
+            forest.leaves.sparkSession,
+            f"{retention_path}/recall_truth/corpus_ids",
+        ):
+            raise ValueError(
+                f"incremental_index_ingest: retention_check_payload=True "
+                f"needs the anchored corpus_ids table, but "
+                f"{retention_path}/recall_truth/corpus_ids does not "
+                f"exist (pre-r13 anchor) — re-anchor with "
+                f"save_recall_baseline to record content hashes"
+            )
+    elif retention_check_payload:
+        raise ValueError(
+            "incremental_index_ingest: retention_check_payload is set "
+            "but retention_path is not — there is no retention read to "
+            "harden"
+        )
 
     if monitor_path is not None and forest.fresh_health is None:
         # surfaced ONCE at stream start, not guessed per batch: without
@@ -464,6 +495,7 @@ def incremental_index_ingest(
                         vec_col=vec_col,
                         truth_path=retention_path,
                         strict=False,
+                        check_payload=retention_check_payload,
                     )
                 except Exception as exc:  # noqa: BLE001 — containment:
                     # a monitoring signal must never take down

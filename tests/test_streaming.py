@@ -1008,3 +1008,104 @@ def test_ingest_retention_budget_defers(spark, tmp_path):
             monitor_path=mon, retention_path=idx,
             retention_corpus_path=corpus_dir, retention_budget_frac=1.5,
         )
+
+
+def test_ingest_retention_check_payload(spark, tmp_path):
+    """VERDICT r13 #7: retention_check_payload upgrades the retention
+    read's membership test from id-only to id+content-hash. A corpus
+    that RECYCLES an anchored id (same vec_id, different vector — the
+    id-immutability contract's escape) is invisible to the default
+    id-only read (foreign count = the genuinely-new arrivals) but is
+    counted foreign with the knob on. Guards: the knob without
+    retention_path, and against a pre-r13 anchor (no corpus_ids),
+    refuse at stream START."""
+    import shutil
+
+    from rust_vector_search_spark.operators.index import (
+        load_index,
+        save_index,
+    )
+    from rust_vector_search_spark.operators.search import (
+        save_recall_baseline,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 350)
+    new = emb.filter(F.col("vec_id") >= 350)
+    forest = build_rp_forest(old, num_trees=3, max_node_size=8, seed=42)
+    idx = str(tmp_path / "idx_cp")
+    save_index(forest, idx)
+    loaded = load_index(spark, idx, num_trees=3, max_node_size=8, seed=42)
+    save_recall_baseline(
+        loaded, old, idx, n_sample=10, k=5, reserve=4, seed=42
+    )
+
+    # current corpus: everything, with anchored id 7 RECYCLED — its
+    # vector silently swapped for id 300's (same id, different payload)
+    impostor = emb.filter(F.col("vec_id") == 300).select(
+        F.lit(7).alias("vec_id"), "embedding"
+    )
+    corpus_dir = str(tmp_path / "cp_corpus")
+    emb.filter(F.col("vec_id") != 7).select(
+        "vec_id", "embedding"
+    ).unionByName(impostor).write.parquet(corpus_dir)
+
+    n_new = 150  # three 50-row arrival files
+
+    # default id-only read: the impostor passes as a survivor; foreign
+    # count sees only the genuinely-new arrival ids
+    mon_a = str(tmp_path / "cp_mon_a")
+    q = incremental_index_ingest(
+        _mk_arrival_stream(spark, tmp_path, new, "cpa"),
+        loaded,
+        leaves_path=f"{idx}/leaves",
+        checkpoint_path=str(tmp_path / "cpa_ckpt"),
+        monitor_path=mon_a,
+        retention_path=idx,
+        retention_corpus_path=corpus_dir,
+        retention_every=1,
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    last_a = max(
+        spark.read.parquet(mon_a).collect(), key=lambda r: r.batch_id
+    )
+    assert last_a.retention_inserted == n_new
+
+    # hardened read: the recycled id is one more foreign row
+    mon_b = str(tmp_path / "cp_mon_b")
+    q = incremental_index_ingest(
+        _mk_arrival_stream(spark, tmp_path, new, "cpb"),
+        loaded,
+        leaves_path=f"{idx}/leaves",
+        checkpoint_path=str(tmp_path / "cpb_ckpt"),
+        monitor_path=mon_b,
+        retention_path=idx,
+        retention_corpus_path=corpus_dir,
+        retention_every=1,
+        retention_check_payload=True,
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    last_b = max(
+        spark.read.parquet(mon_b).collect(), key=lambda r: r.batch_id
+    )
+    assert last_b.retention_inserted == n_new + 1
+
+    # knob guards, both at stream start
+    stream = _mk_arrival_stream(spark, tmp_path, new, "cpg")
+    with pytest.raises(ValueError, match="no retention read to harden"):
+        incremental_index_ingest(
+            stream, loaded, leaves_path=f"{idx}/leaves",
+            checkpoint_path=str(tmp_path / "cpg1"),
+            monitor_path=mon_b, retention_check_payload=True,
+        )
+    shutil.rmtree(f"{idx}/recall_truth/corpus_ids")
+    with pytest.raises(ValueError, match="pre-r13 anchor"):
+        incremental_index_ingest(
+            stream, loaded, leaves_path=f"{idx}/leaves",
+            checkpoint_path=str(tmp_path / "cpg2"),
+            monitor_path=mon_b, retention_path=idx,
+            retention_corpus_path=corpus_dir,
+            retention_check_payload=True,
+        )

@@ -1311,9 +1311,16 @@ def cmd_lifecycle(args) -> None:
         f"{t} fill={f:.2f} gini={g:.2f} over={o}"
         for t, _, f, g, o, _ in traj
     )
+    # a RESUMED run cannot know the interrupted run's holdout (the
+    # default would silently mislabel it — caught in r14's resume run)
+    holdout_label = (
+        f"holdout {holdout_n}"
+        if not resume or args.holdout is not None
+        else "holdout from the interrupted run"
+    )
     _append_history(
         f"lifecycle chain ({os.path.basename(args.index)}, "
-        f"{args.num_trees} trees, compact, holdout {holdout_n}"
+        f"{args.num_trees} trees, compact, {holdout_label}"
         f"{', RESUMED at maintenance' if resume else ''}): "
         f"build {t_build:.0f} s, "
         f"ingest {t_ingest:.0f} s, resplit+save {t_fix:.0f} s, "
