@@ -1066,16 +1066,46 @@ def resplit_overgrown_leaves_batched(
     it first would destroy the input."""
     import dataclasses
     import gc as _gc
+    import os as _os
+
+    from ..session import hadoop_path_exists
 
     spark = forest.nodes.sparkSession
-    if forest.path is not None and (
-        forest.path.rstrip("/") == out_path.rstrip("/")
-    ):
+
+    def _norm(p: str) -> str:
+        # resolve local aliases (file: scheme, symlinks, ../) so the
+        # source-vs-destination comparison cannot be defeated by a
+        # differently-spelled path to the same directory
+        q = p[len("file:"):] if p.startswith("file:") else p
+        if "://" in q:
+            return q.rstrip("/")
+        return _os.path.realpath(q.rstrip("/"))
+
+    if forest.path is not None and _norm(forest.path) == _norm(out_path):
         raise ValueError(
             f"resplit_overgrown_leaves_batched: out_path {out_path!r} is "
             f"the forest's own persisted path — the repair reads that "
             f"layout while writing; give the repaired index a new dir "
             f"(reclaim the old one afterwards)"
+        )
+    if forest.path is None and (
+        hadoop_path_exists(spark, f"{out_path}/nodes")
+        or hadoop_path_exists(spark, f"{out_path}/leaves")
+    ):
+        # a maintenance descendant (resplit/delete/prune return
+        # path=None) still STREAMS from whatever persisted layout its
+        # lineage reads — with provenance unknown, clearing an existing
+        # index at out_path could destroy that very source (r14
+        # self-review: load -> prune -> batched-resplit back onto the
+        # load path passed the string guard and would have deleted the
+        # only persisted copy mid-read)
+        raise ValueError(
+            f"resplit_overgrown_leaves_batched: {out_path!r} already "
+            f"holds index tables and this forest carries no path "
+            f"(maintenance descendant) — it may BE the layout the "
+            f"repair streams from. Write to a fresh dir, or delete the "
+            f"old one explicitly first if you are certain it is not "
+            f"this forest's source"
         )
     if tree_batch_size < 1:
         raise ValueError(
@@ -1144,30 +1174,11 @@ def resplit_overgrown_leaves_batched(
     result = load_index(
         spark, out_path, forest.num_trees, forest.max_node_size, forest.seed
     )
-    if forest.fresh_health is None and (
-        forest.path is not None or forest.loaded_without_baseline
-    ):
-        import warnings
-
-        origin = (
-            f"was loaded from {forest.path!r}"
-            if forest.path is not None
-            else "descends from a loaded index"
-        )
-        warnings.warn(
-            f"resplit_overgrown_leaves_batched: forest {origin} which "
-            "carries no health baseline (pre-r11 index) — recording its "
-            "CURRENT post-maintenance health as the baseline. "
-            "needs_rebuild will measure degradation relative to this "
-            "save, not to the original fresh build.",
-            RuntimeWarning,
-            stacklevel=2,
-        )
     # carry the fresh baseline forward VERBATIM (save_index semantics:
     # the trigger's denominator must survive maintenance re-saves)
-    result.fresh_health = forest.fresh_health
-    result.fresh_health = _write_health_baseline(result, out_path)
-    result.loaded_without_baseline = False
+    _finalize_health_baseline(
+        forest, result, out_path, "resplit_overgrown_leaves_batched"
+    )
     return result
 
 
@@ -1623,28 +1634,44 @@ def save_index(forest: RPForest, path: str, compact: bool = True) -> None:
     forest.leaves.sortWithinPartitions("tree_id").write.mode(
         "overwrite"
     ).partitionBy("tree_id").parquet(f"{path}/leaves")
-    if forest.fresh_health is None and (
-        forest.path is not None or forest.loaded_without_baseline
+    # assign back: the in-memory forest must agree with what was
+    # persisted, or a later re-save of this same object would hit the
+    # baseline-less branch and stamp post-maintenance health as fresh
+    _finalize_health_baseline(forest, forest, path, "save_index")
+
+
+def _finalize_health_baseline(
+    src: RPForest, dst: RPForest, path: str, opname: str
+) -> None:
+    """Shared persist-time tail of ``save_index`` and
+    ``resplit_overgrown_leaves_batched`` (r14 self-review: two verbatim
+    copies had already started to drift): carry ``src``'s fresh-health
+    baseline onto ``dst`` VERBATIM and persist it at ``{path}/health``
+    — warning when a baseline-less LOADED lineage forces a re-anchor,
+    because the trigger's denominator then measures degradation from
+    THIS save, not from the original fresh build."""
+    if src.fresh_health is None and (
+        src.path is not None or src.loaded_without_baseline
     ):
         import warnings
 
         origin = (
-            f"was loaded from {forest.path!r}"
-            if forest.path is not None
+            f"was loaded from {src.path!r}"
+            if src.path is not None
             else "descends from a loaded index"
         )
         warnings.warn(
-            f"save_index: forest {origin} which carries no health "
+            f"{opname}: forest {origin} which carries no health "
             "baseline (pre-r11 index) — recording its CURRENT health as "
             "the baseline. needs_rebuild will measure degradation "
             "relative to this save, not to the original fresh build.",
             RuntimeWarning,
-            stacklevel=2,
+            stacklevel=3,
         )
-    # assign back: the in-memory forest must agree with what was
-    # persisted, or a later re-save of this same object would hit the
-    # baseline-less branch and stamp post-maintenance health as fresh
-    forest.fresh_health = _write_health_baseline(forest, path)
+    dst.fresh_health = src.fresh_health
+    dst.fresh_health = _write_health_baseline(dst, path)
+    # a baseline now exists on disk and in memory
+    dst.loaded_without_baseline = False
 
 
 _HEALTH_COLS = [

@@ -2168,7 +2168,16 @@ def all_pairs_rp_forest(
     whole corpus; conversely extra trees cost a point query a full
     extra routing descent each. Single queries: widen the margin
     first, add trees only past its saturation. Whole-corpus passes:
-    trees first, margin last.
+    trees first, margin last. CONFIRMED at the reference's full 1M
+    operating point (r14 sweep on the maintained 32.4M-node index,
+    1000 q, BASELINE.md): the clustered regime saturates — every
+    50/100-tree × frac 0.3/0.6 cell reads 1.000 — and the frontier
+    resolves the same way from the cheap side: 25 trees + frac 0.15
+    certifies 1.000 at cand_frac 0.0003 / ~40 s per 1000 q, beating
+    50 trees + no spill (0.994, ~2× wall); on a saturated regime
+    shrink to the cheapest certifying config rather than growing
+    either dial (50t×0.3 already pays 5× the candidates of 25t×0.15,
+    100t×0.6 pays 36×).
 
     Cross-engine ``dist`` reproducibility: the spill-routing engines
     agree on the RESULT SET — same (query_id, vec_id, rnk) rows —
@@ -2589,7 +2598,12 @@ def estimate_recall(
     ``(vec_id, xxhash64(vec_id, vec))`` pairs, catching in-place
     updates and delete+insert reusing an id, at the cost of one
     vector-column scan per check (the hash is computed scan-side in
-    the JVM; only 16-byte pairs shuffle). Anchors written before r13
+    the JVM; only 16-byte pairs shuffle). The same standard applies
+    to BOTH sides of the check (r14): a hash-mismatched row is
+    counted foreign AND excluded from the certified survivors — the
+    anchored neighbor it replaced reads as deleted, so retention
+    drops instead of the impostor silently certifying under the
+    stolen id. Anchors written before r13
     lack ``corpus_ids``: the check falls back to the legacy count
     guard with a RuntimeWarning naming the re-anchor (and
     ``check_payload=True`` refuses — it cannot verify content
@@ -2833,6 +2847,9 @@ def _estimate_recall_cached(
     from ..session import hadoop_path_exists
 
     ids_path = f"{base}/corpus_ids"
+    # the id set the survivor semi-join certifies against; narrowed to
+    # hash-verified rows under check_payload (below)
+    current_ids = corpus.select(F.col(id_col).alias("vec_id"))
     if hadoop_path_exists(spark, ids_path):
         anchor_ids = spark.read.parquet(ids_path)
         if check_payload:
@@ -2845,6 +2862,16 @@ def _estimate_recall_cached(
             foreign = cur.join(
                 anchor_ids, ["vec_id", "row_hash"], "left_anti"
             )
+            # the SURVIVOR set must apply the same standard: a row whose
+            # content hash no longer matches the anchor is an IMPOSTOR
+            # under the anchored id — counting it foreign while still
+            # certifying it as the surviving anchored neighbor would
+            # let a mutated/recycled row keep retention at 1.0 (r14
+            # self-review). Under check_payload a mutated row is
+            # treated as deleted: absent from the certified survivors.
+            current_ids = cur.join(
+                anchor_ids, ["vec_id", "row_hash"], "left_semi"
+            ).select("vec_id")
             what = "rows absent from (or mutated since) the anchored baseline"
         else:
             foreign = corpus.select(F.col(id_col).alias("vec_id")).join(
@@ -2890,8 +2917,7 @@ def _estimate_recall_cached(
                 f"know. Re-anchor with save_recall_baseline, or pass "
                 f"strict=False to read neighbor RETENTION instead of recall"
             )
-    ids = corpus.select(F.col(id_col).alias("vec_id"))
-    surv = truth.join(ids, "vec_id", "left_semi")
+    surv = truth.join(current_ids, "vec_id", "left_semi")
     # one driver-collect of <= n_sample slim accounting rows (the
     # sample is gated at anchor time) decides certification — NOT
     # localCheckpoint: a monitored stream runs this per micro-batch,

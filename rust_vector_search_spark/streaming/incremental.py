@@ -263,7 +263,10 @@ def incremental_index_ingest(
     the impostor as a surviving anchored neighbor. With the knob on,
     each read anti-joins (vec_id, xxhash64(id, vec)) against the
     anchor's ``corpus_ids`` table, so a recycled or mutated row counts
-    as foreign instead. Costs the corpus hash projection per read (the
+    as foreign AND drops out of the certified survivors — the anchored
+    neighbor it replaced reads as deleted, so retention moves instead
+    of the impostor certifying under the stolen id (r14 self-review
+    closed exactly that gap). Costs the corpus hash projection per read (the
     anchored table is 16 B/row); requires an r13-layout anchor
     (``corpus_ids`` present) — checked at stream START, not on batch
     N."""

@@ -772,6 +772,23 @@ def test_recall_baseline_payload_check_catches_mutation(spark, tmp_path):
         forest, mutated, k=5, truth_path=p, check_payload=True, strict=False
     )
     assert drift["inserted_at_least"] == 1
+    # r14 (self-review): the impostor must not CERTIFY either — under
+    # check_payload the hash-mismatched row drops out of the certified
+    # survivors, so the accounting matches DELETING the row outright
+    # (the anchored neighbor is gone; the +10-per-coord impostor is far
+    # too distant to re-enter any top-k). Before the fix the survivor
+    # semi-join stayed id-only and retention read as if nothing changed.
+    del_r = estimate_recall(
+        forest, emb.filter(F.col("vec_id") != 0), k=5, truth_path=p,
+        strict=False,
+    )
+    assert (
+        drift["total"], drift["hits"], drift["recall"],
+        drift["n_exhausted"],
+    ) == (
+        del_r["total"], del_r["hits"], del_r["recall"],
+        del_r["n_exhausted"],
+    )
     # the unmutated corpus passes the content check
     ok2 = estimate_recall(forest, emb, k=5, truth_path=p, check_payload=True)
     assert ok2["inserted_at_least"] == 0

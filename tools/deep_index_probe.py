@@ -1240,16 +1240,21 @@ def cmd_lifecycle(args) -> None:
     # the 1.49M-leaf 10%-of-1M debt point and could not complete here)
     if not resume_at_prune:
         t0 = time.time()
-        resplit_overgrown_leaves_batched(
+        # the batched repair already returns the loaded persisted index
+        # (re-loading idx_m here would pay the 16-32M-row stats scan a
+        # second time — r14 self-review)
+        maintained = resplit_overgrown_leaves_batched(
             aug, emb, f"{lc}/idx_m",
             tree_batch_size=args.resplit_batch,
         )
         t_fix = time.time() - t0
-    maintained = load_index(spark, f"{lc}/idx_m", num_trees=args.num_trees,
-                            max_node_size=args.leaf, seed=42)
-    if not resume_at_prune:
         print(f"lifecycle resplit+save: {t_fix:.1f}s", flush=True)
         _eval("resplit", maintained, emb)
+    else:
+        maintained = load_index(
+            spark, f"{lc}/idx_m", num_trees=args.num_trees,
+            max_node_size=args.leaf, seed=42,
+        )
     if args.reclaim and not resume_at_prune:
         # the base index is no longer read past this point (the cached
         # truth lives under {lc}/idx/recall_truth — keep ONLY that)
@@ -1318,10 +1323,15 @@ def cmd_lifecycle(args) -> None:
         if not resume or args.holdout is not None
         else "holdout from the interrupted run"
     )
+    resume_label = (
+        ", RESUMED at delete/prune"
+        if resume_at_prune
+        else ", RESUMED at maintenance" if resume else ""
+    )
     _append_history(
         f"lifecycle chain ({os.path.basename(args.index)}, "
         f"{args.num_trees} trees, compact, {holdout_label}"
-        f"{', RESUMED at maintenance' if resume else ''}): "
+        f"{resume_label}): "
         f"build {t_build:.0f} s, "
         f"ingest {t_ingest:.0f} s, resplit+save {t_fix:.0f} s, "
         f"delete(30%) {t_del:.0f} s, "
