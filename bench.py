@@ -179,6 +179,28 @@ def main() -> None:
         _cal.append(time.perf_counter() - t0)
     arrow_calibration = round(sorted(_cal)[1], 3)
 
+    # JVM-family calibration row (VERDICT r14 #2): the Arrow row above
+    # adjudicates Python-worker drift, but r14's actual movers
+    # (dedup_embedding_survivors, pagerank_customer_supplier) were
+    # pure-JVM rows with no instrument — their adjudication needed
+    # manual solo runs. This row is a FIXED parquet scan + hash agg +
+    # shuffle over the COMMITTED index fixture (same bytes every round,
+    # independent of sf), so it isolates the JVM/parquet/shuffle
+    # environment cost every built-in-function row shares. Same
+    # median-of-3, same top-level placement, same exclusion from the
+    # headline total.
+    _fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", "index_fixture"
+    )
+    _cal = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.read.parquet(f"{_fixture}/nodes").groupBy("tree_id").agg(
+            {"node_path": "count", "constant": "sum"}
+        ).write.mode("overwrite").format("noop").save()
+        _cal.append(time.perf_counter() - t0)
+    jvm_calibration = round(sorted(_cal)[1], 3)
+
     timings: dict[str, float] = {}
     for name in selected:
         fn = QUERIES[name]
@@ -206,8 +228,9 @@ def main() -> None:
         "queries": timings,
         # top-level, NOT in "queries": excluded from the headline total
         # by construction (the driver sums "queries"); see the
-        # calibration comment above for what this row isolates
+        # calibration comments above for what each row isolates
         "arrow_calibration_sec": arrow_calibration,
+        "jvm_calibration_sec": jvm_calibration,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

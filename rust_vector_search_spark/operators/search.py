@@ -2598,7 +2598,10 @@ def estimate_recall(
     ``(vec_id, xxhash64(vec_id, vec))`` pairs, catching in-place
     updates and delete+insert reusing an id, at the cost of one
     vector-column scan per check (the hash is computed scan-side in
-    the JVM; only 16-byte pairs shuffle). The same standard applies
+    the JVM and the projection is persisted across the check's three
+    consumers — foreign count, survivor accounting, certified-truth
+    materialization — then freed, ADVICE r14; only 16-byte pairs
+    shuffle). The same standard applies
     to BOTH sides of the check (r14): a hash-mismatched row is
     counted foreign AND excluded from the certified survivors — the
     anchored neighbor it replaced reads as deleted, so retention
@@ -2850,164 +2853,183 @@ def _estimate_recall_cached(
     # the id set the survivor semi-join certifies against; narrowed to
     # hash-verified rows under check_payload (below)
     current_ids = corpus.select(F.col(id_col).alias("vec_id"))
-    if hadoop_path_exists(spark, ids_path):
-        anchor_ids = spark.read.parquet(ids_path)
-        if check_payload:
-            cur = corpus.select(
-                F.col(id_col).alias("vec_id"),
-                F.xxhash64(F.col(id_col), F.col(vec_col)).alias(
-                    "row_hash"
-                ),
-            )
-            foreign = cur.join(
-                anchor_ids, ["vec_id", "row_hash"], "left_anti"
-            )
-            # the SURVIVOR set must apply the same standard: a row whose
-            # content hash no longer matches the anchor is an IMPOSTOR
-            # under the anchored id — counting it foreign while still
-            # certifying it as the surviving anchored neighbor would
-            # let a mutated/recycled row keep retention at 1.0 (r14
-            # self-review). Under check_payload a mutated row is
-            # treated as deleted: absent from the certified survivors.
-            current_ids = cur.join(
-                anchor_ids, ["vec_id", "row_hash"], "left_semi"
-            ).select("vec_id")
-            what = "rows absent from (or mutated since) the anchored baseline"
-        else:
-            foreign = corpus.select(F.col(id_col).alias("vec_id")).join(
-                anchor_ids.select("vec_id"), "vec_id", "left_anti"
-            )
-            what = "ids absent from the anchored baseline"
-        inserted_at_least = int(foreign.count())
-        if inserted_at_least and strict:
-            raise ValueError(
-                f"estimate_recall(cached): the corpus holds "
-                f"{inserted_at_least} {what} — a vector the anchor "
-                f"never saw can be a true neighbor the cache cannot "
-                f"know, so the cached number would not be recall. "
-                f"Re-anchor with save_recall_baseline, or pass "
-                f"strict=False to read neighbor RETENTION instead"
-            )
-    else:
-        if check_payload:
-            raise ValueError(
-                f"estimate_recall(cached): check_payload=True needs the "
-                f"anchored corpus_ids table, but {ids_path} does not "
-                f"exist (pre-r13 anchor) — re-anchor with "
-                f"save_recall_baseline to record content hashes"
-            )
-        import warnings
-
-        warnings.warn(
-            f"estimate_recall(cached): {ids_path} missing (pre-r13 "
-            f"anchor) — falling back to the COUNT guard, which a mixed "
-            f"insert+delete netting <= 0 rows escapes; re-anchor with "
-            f"save_recall_baseline for the exact membership guard",
-            RuntimeWarning,
-            stacklevel=3,
-        )
-        n_corpus_now = corpus.count()
-        inserted_at_least = max(0, int(n_corpus_now) - int(meta.n_corpus))
-        if inserted_at_least and strict:
-            raise ValueError(
-                f"estimate_recall(cached): corpus has grown by at least "
-                f"{inserted_at_least} rows since the baseline was anchored "
-                f"(now {n_corpus_now}, anchored at {int(meta.n_corpus)}) — "
-                f"an inserted vector can be a true neighbor the cache cannot "
-                f"know. Re-anchor with save_recall_baseline, or pass "
-                f"strict=False to read neighbor RETENTION instead of recall"
-            )
-    surv = truth.join(current_ids, "vec_id", "left_semi")
-    # one driver-collect of <= n_sample slim accounting rows (the
-    # sample is gated at anchor time) decides certification — NOT
-    # localCheckpoint: a monitored stream runs this per micro-batch,
-    # and checkpoint blocks are reclaimed only after a driver GC (the
-    # release_driver_blocks hazard incremental.py documents)
-    per_q = (
-        truth.groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_cached"))
-        .join(
-            surv.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_surv")),
-            "query_id",
-            "left",
-        )
-        .fillna(0, ["n_surv"])
-    ).collect()
-    # truncated cache + too many casualties => cannot certify the query.
-    # A full window is truncated only if the ANCHOR corpus actually had
-    # more candidates than the cache keeps: with exactly k_eff non-self
-    # rows at anchor time, n_cached == k_eff IS the complete
-    # neighborhood and certifies at any deletion depth (ADVICE r12 #4 —
-    # the count-only rule spuriously exhausted small corpora and could
-    # trip the all-exhausted refusal on a fully-certifiable sample).
-    # Availability is PER QUERY: an in-corpus query has n_corpus − 1
-    # non-self candidates, an external golden query (r13 explicit
-    # sets) all n_corpus — the anchored self_in_corpus flag decides;
-    # pre-r13 anchors sampled queries from the corpus, so absent flag
-    # means in-corpus
-    if "self_in_corpus" in q.columns:
-        _self_flags = {
-            int(r.query_id): bool(r.self_in_corpus)
-            for r in q.select("query_id", "self_in_corpus").collect()
-        }
-    else:
-        _self_flags = {}
-
-    def _avail(qid: int) -> int:
-        return int(meta.n_corpus) - (
-            1 if _self_flags.get(qid, True) else 0
-        )
-
-    cert_ids = [
-        int(r.query_id) for r in per_q
-        if not (
-            r.n_surv < int(k)
-            and r.n_cached >= int(meta.k_eff)
-            and _avail(int(r.query_id)) > int(meta.k_eff)
-        )
-    ]
-    n_exhausted = len(per_q) - len(cert_ids)
-    if not cert_ids:
-        raise ValueError(
-            f"estimate_recall(cached): every sampled query's deletion "
-            f"reserve is exhausted (n_exhausted={n_exhausted}) — the "
-            f"cached truth can no longer certify any current top-{k}; "
-            f"re-anchor with save_recall_baseline"
-        )
-    cert = spark.createDataFrame(
-        [(i,) for i in cert_ids], "query_id long"
-    )
-    w = Window.partitionBy("query_id").orderBy("rnk")
-    current_truth = (
-        surv.withColumn("crnk", F.row_number().over(w))
-        .filter(F.col("crnk") <= int(k))
-        .join(cert, "query_id", "left_semi")
-        .select("query_id", "vec_id")
-        .persist()
-    )
+    _hash_proj = None  # persisted under check_payload; freed in finally
     try:
-        total = current_truth.count()
-        qs = q.select("query_id", "query_vec").join(
-            cert, "query_id", "left_semi"
+        if hadoop_path_exists(spark, ids_path):
+            anchor_ids = spark.read.parquet(ids_path)
+            if check_payload:
+                # persist the hash projection: it feeds THREE evaluations
+                # (foreign count, the per-query survivor accounting, and
+                # the certified-truth materialization below), and each
+                # un-persisted evaluation would re-pay the vector-column
+                # xxhash64 scan (ADVICE r14 — the docstring's "one
+                # vector-column scan per check" was off by 2×). persist/
+                # unpersist, NOT localCheckpoint: a monitored stream runs
+                # this per micro-batch, and checkpoint blocks free only
+                # after a driver GC (the release_driver_blocks hazard)
+                _hash_proj = corpus.select(
+                    F.col(id_col).alias("vec_id"),
+                    F.xxhash64(F.col(id_col), F.col(vec_col)).alias(
+                        "row_hash"
+                    ),
+                ).persist()
+                cur = _hash_proj
+                foreign = cur.join(
+                    anchor_ids, ["vec_id", "row_hash"], "left_anti"
+                )
+                # the SURVIVOR set must apply the same standard: a row whose
+                # content hash no longer matches the anchor is an IMPOSTOR
+                # under the anchored id — counting it foreign while still
+                # certifying it as the surviving anchored neighbor would
+                # let a mutated/recycled row keep retention at 1.0 (r14
+                # self-review). Under check_payload a mutated row is
+                # treated as deleted: absent from the certified survivors.
+                current_ids = cur.join(
+                    anchor_ids, ["vec_id", "row_hash"], "left_semi"
+                ).select("vec_id")
+                what = "rows absent from (or mutated since) the anchored baseline"
+            else:
+                foreign = corpus.select(F.col(id_col).alias("vec_id")).join(
+                    anchor_ids.select("vec_id"), "vec_id", "left_anti"
+                )
+                what = "ids absent from the anchored baseline"
+            inserted_at_least = int(foreign.count())
+            if inserted_at_least and strict:
+                raise ValueError(
+                    f"estimate_recall(cached): the corpus holds "
+                    f"{inserted_at_least} {what} — a vector the anchor "
+                    f"never saw can be a true neighbor the cache cannot "
+                    f"know, so the cached number would not be recall. "
+                    f"Re-anchor with save_recall_baseline, or pass "
+                    f"strict=False to read neighbor RETENTION instead"
+                )
+        else:
+            if check_payload:
+                raise ValueError(
+                    f"estimate_recall(cached): check_payload=True needs the "
+                    f"anchored corpus_ids table, but {ids_path} does not "
+                    f"exist (pre-r13 anchor) — re-anchor with "
+                    f"save_recall_baseline to record content hashes"
+                )
+            import warnings
+
+            warnings.warn(
+                f"estimate_recall(cached): {ids_path} missing (pre-r13 "
+                f"anchor) — falling back to the COUNT guard, which a mixed "
+                f"insert+delete netting <= 0 rows escapes; re-anchor with "
+                f"save_recall_baseline for the exact membership guard",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+            n_corpus_now = corpus.count()
+            inserted_at_least = max(0, int(n_corpus_now) - int(meta.n_corpus))
+            if inserted_at_least and strict:
+                raise ValueError(
+                    f"estimate_recall(cached): corpus has grown by at least "
+                    f"{inserted_at_least} rows since the baseline was anchored "
+                    f"(now {n_corpus_now}, anchored at {int(meta.n_corpus)}) — "
+                    f"an inserted vector can be a true neighbor the cache cannot "
+                    f"know. Re-anchor with save_recall_baseline, or pass "
+                    f"strict=False to read neighbor RETENTION instead of recall"
+                )
+        surv = truth.join(current_ids, "vec_id", "left_semi")
+        # one driver-collect of <= n_sample slim accounting rows (the
+        # sample is gated at anchor time) decides certification — NOT
+        # localCheckpoint: a monitored stream runs this per micro-batch,
+        # and checkpoint blocks are reclaimed only after a driver GC (the
+        # release_driver_blocks hazard incremental.py documents)
+        per_q = (
+            truth.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_cached"))
+            .join(
+                surv.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_surv")),
+                "query_id",
+                "left",
+            )
+            .fillna(0, ["n_surv"])
+        ).collect()
+        # truncated cache + too many casualties => cannot certify the query.
+        # A full window is truncated only if the ANCHOR corpus actually had
+        # more candidates than the cache keeps: with exactly k_eff non-self
+        # rows at anchor time, n_cached == k_eff IS the complete
+        # neighborhood and certifies at any deletion depth (ADVICE r12 #4 —
+        # the count-only rule spuriously exhausted small corpora and could
+        # trip the all-exhausted refusal on a fully-certifiable sample).
+        # Availability is PER QUERY: an in-corpus query has n_corpus − 1
+        # non-self candidates, an external golden query (r13 explicit
+        # sets) all n_corpus — the anchored self_in_corpus flag decides;
+        # pre-r13 anchors sampled queries from the corpus, so absent flag
+        # means in-corpus
+        if "self_in_corpus" in q.columns:
+            _self_flags = {
+                int(r.query_id): bool(r.self_in_corpus)
+                for r in q.select("query_id", "self_in_corpus").collect()
+            }
+        else:
+            _self_flags = {}
+
+        def _avail(qid: int) -> int:
+            return int(meta.n_corpus) - (
+                1 if _self_flags.get(qid, True) else 0
+            )
+
+        cert_ids = [
+            int(r.query_id) for r in per_q
+            if not (
+                r.n_surv < int(k)
+                and r.n_cached >= int(meta.k_eff)
+                and _avail(int(r.query_id)) > int(meta.k_eff)
+            )
+        ]
+        n_exhausted = len(per_q) - len(cert_ids)
+        if not cert_ids:
+            raise ValueError(
+                f"estimate_recall(cached): every sampled query's deletion "
+                f"reserve is exhausted (n_exhausted={n_exhausted}) — the "
+                f"cached truth can no longer certify any current top-{k}; "
+                f"re-anchor with save_recall_baseline"
+            )
+        cert = spark.createDataFrame(
+            [(i,) for i in cert_ids], "query_id long"
         )
-        approx = search_rp_forest(
-            forest, corpus, qs, k=k,
-            id_col=id_col, vec_col=vec_col, spill_margin=spill_margin,
-            route_strategy=route_strategy,
-        ).select("query_id", "vec_id")
-        hits = current_truth.join(
-            approx, ["query_id", "vec_id"], "left_semi"
-        ).count()
+        w = Window.partitionBy("query_id").orderBy("rnk")
+        current_truth = (
+            surv.withColumn("crnk", F.row_number().over(w))
+            .filter(F.col("crnk") <= int(k))
+            .join(cert, "query_id", "left_semi")
+            .select("query_id", "vec_id")
+            .persist()
+        )
+        try:
+            total = current_truth.count()
+            qs = q.select("query_id", "query_vec").join(
+                cert, "query_id", "left_semi"
+            )
+            approx = search_rp_forest(
+                forest, corpus, qs, k=k,
+                id_col=id_col, vec_col=vec_col, spill_margin=spill_margin,
+                route_strategy=route_strategy,
+            ).select("query_id", "vec_id")
+            hits = current_truth.join(
+                approx, ["query_id", "vec_id"], "left_semi"
+            ).count()
+        finally:
+            current_truth.unpersist()
+        return {
+            "recall": (hits / total) if total else 1.0,
+            "hits": int(hits),
+            "total": int(total),
+            "n_sample": len(cert_ids),
+            "k": int(k),
+            "seed": int(meta.seed),
+            "cached": True,
+            "n_exhausted": int(n_exhausted),
+            "inserted_at_least": int(inserted_at_least),
+        }
     finally:
-        current_truth.unpersist()
-    return {
-        "recall": (hits / total) if total else 1.0,
-        "hits": int(hits),
-        "total": int(total),
-        "n_sample": len(cert_ids),
-        "k": int(k),
-        "seed": int(meta.seed),
-        "cached": True,
-        "n_exhausted": int(n_exhausted),
-        "inserted_at_least": int(inserted_at_least),
-    }
+        # freed on EVERY exit — the strict-mode raise and the
+        # all-exhausted raise run inside a monitored stream whose
+        # contained-failure contract would otherwise leak one
+        # persisted corpus projection per failed read
+        if _hash_proj is not None:
+            _hash_proj.unpersist()

@@ -162,7 +162,7 @@ def incremental_index_ingest(
     retention_corpus_path: "str | None" = None,
     retention_every: int = 1,
     retention_budget_frac: "float | None" = None,
-    retention_check_payload: bool = False,
+    retention_check_payload: "bool | None" = None,
 ) -> StreamingQuery:
     """Append new vectors to the forest's leaves: each micro-batch is
     routed through the frozen hyperplanes (same predicate as queries,
@@ -255,21 +255,24 @@ def incremental_index_ingest(
     deferred rows are marked, never silently dropped, and the first
     due read always runs (no history yet).
 
-    ``retention_check_payload`` (VERDICT r13 #7) upgrades the read's
-    membership test from id-only to id+content-hash: the default read
-    verifies survivors by vec_id alone, which trusts the documented
-    id-immutability contract — a stream that RECYCLES an id (delete
-    then re-insert a different vector under the same id) would count
-    the impostor as a surviving anchored neighbor. With the knob on,
+    ``retention_check_payload`` (VERDICT r13 #7) selects the read's
+    membership test: id-only, or id+content-hash. The DEFAULT (None,
+    since r15) is a capability probe at stream start — hardened
+    whenever the anchor carries ``corpus_ids`` (every anchor written
+    since r13), id-only on pre-r13 anchors. An id-only read trusts the
+    documented id-immutability contract — a stream that RECYCLES an id
+    (delete then re-insert a different vector under the same id) would
+    count the impostor as a surviving anchored neighbor. Hardened,
     each read anti-joins (vec_id, xxhash64(id, vec)) against the
     anchor's ``corpus_ids`` table, so a recycled or mutated row counts
     as foreign AND drops out of the certified survivors — the anchored
     neighbor it replaced reads as deleted, so retention moves instead
     of the impostor certifying under the stolen id (r14 self-review
-    closed exactly that gap). Costs the corpus hash projection per read (the
-    anchored table is 16 B/row); requires an r13-layout anchor
-    (``corpus_ids`` present) — checked at stream START, not on batch
-    N."""
+    closed exactly that gap). Costs one corpus hash projection per read
+    (persisted across the check's consumers, then freed; the anchored
+    table is 16 B/row). ``True`` REQUIRES the r13 anchor layout
+    (``corpus_ids`` present — refused at stream START, not on batch N);
+    ``False`` opts back into the cheaper id-only read on any anchor."""
 
     # the frozen forest's stats never change, so decide ONCE whether the
     # index is deep (node table past the broadcast gate): only then does
@@ -368,10 +371,19 @@ def incremental_index_ingest(
                 f"save_recall_baseline there first"
             ) from exc
         retention_k = int(meta.k)
-        if retention_check_payload and not _hadoop_path_exists(
+        _has_anchor_ids = _hadoop_path_exists(
             forest.leaves.sparkSession,
             f"{retention_path}/recall_truth/corpus_ids",
-        ):
+        )
+        if retention_check_payload is None:
+            # capability probe (VERDICT r14 #7): every anchor written
+            # since r13 carries corpus_ids, so the hardened id+content-
+            # hash membership is the DEFAULT wherever the anchor can
+            # support it; only a pre-r13 anchor falls back to id-only
+            # (the prior default), and only an explicit False opts the
+            # cheaper check back in
+            retention_check_payload = _has_anchor_ids
+        elif retention_check_payload and not _has_anchor_ids:
             raise ValueError(
                 f"incremental_index_ingest: retention_check_payload=True "
                 f"needs the anchored corpus_ids table, but "

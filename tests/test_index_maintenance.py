@@ -1024,5 +1024,188 @@ def test_resplit_batched_guards_and_noop(spark, overgrown, tmp_path):
         .count()
         == 0
     )
-    with pytest.raises(ValueError, match="own persisted path"):
+    with pytest.raises(ValueError, match="overlap"):
         resplit_overgrown_leaves_batched(out, emb, p)
+    # ADVICE r14: containment rejected in BOTH directions, not just
+    # equality — nested out_path would plant index subdirs inside the
+    # live layout; enclosing out_path would delete the source
+    with pytest.raises(ValueError, match="overlap"):
+        resplit_overgrown_leaves_batched(out, emb, f"{p}/nodes")
+    with pytest.raises(ValueError, match="overlap"):
+        resplit_overgrown_leaves_batched(out, emb, str(tmp_path))
+
+
+def _persist_overgrown(spark, overgrown, base_dir, only_tree=None):
+    """Materialize the overgrown fixture AS A PERSISTED LAYOUT: save the
+    fresh forest, then append the ingested rows to {path}/leaves the way
+    incremental_index_ingest does (partitioned parquet append). Returns
+    the loaded (overgrown-on-disk) forest. ``only_tree`` confines the
+    ingest to one tree — the localized-debt shape the partition-surgery
+    contract is about."""
+    from rust_vector_search_spark.operators.index import (
+        load_index,
+        save_index,
+    )
+
+    emb, fresh, aug = overgrown
+    save_index(fresh, base_dir, compact=False)
+    extra = aug.leaves.exceptAll(fresh.leaves)
+    if only_tree is not None:
+        extra = extra.filter(F.col("tree_id") == only_tree)
+    extra.write.mode("append").partitionBy("tree_id").parquet(
+        f"{base_dir}/leaves"
+    )
+    return load_index(spark, base_dir, fresh.num_trees, 8, 42)
+
+
+def _lsfiles(root):
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = os.path.getmtime(p)
+    return out
+
+
+def test_resplit_inplace_bit_identity(spark, overgrown, tmp_path):
+    """VERDICT r14 #1: the in-place partition surgery must produce the
+    SAME layout as the full-copy repair — node-for-node and
+    leaf-for-leaf — while never rewriting untouched node files. Chunk
+    size 1 maximizes group boundaries."""
+    from rust_vector_search_spark.operators.index import (
+        resplit_overgrown_leaves_batched,
+        resplit_overgrown_leaves_inplace,
+    )
+
+    emb, _, _ = overgrown
+    p = str(tmp_path / "live")
+    loaded = _persist_overgrown(spark, overgrown, p)
+    base_health = [dict(r) for r in loaded.fresh_health]
+    nodes_before = _lsfiles(f"{p}/nodes")
+
+    # full-copy reference repair of the SAME disk state
+    p_ref = str(tmp_path / "ref")
+    resplit_overgrown_leaves_batched(
+        loaded, emb, p_ref, tree_batch_size=1, compact=False
+    )
+    surg = resplit_overgrown_leaves_inplace(
+        loaded, emb, tree_batch_size=1
+    )
+
+    ncols = ["tree_id", "node_path", "coeffs", "constant", "coeff_norm"]
+    a = spark.read.parquet(f"{p}/nodes").select(*ncols)
+    b = spark.read.parquet(f"{p_ref}/nodes").select(*ncols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    lcols = ["tree_id", "leaf_path", "vec_id"]
+    la = spark.read.parquet(f"{p}/leaves").select(*lcols)
+    lb = spark.read.parquet(f"{p_ref}/leaves").select(*lcols)
+    assert la.exceptAll(lb).count() == 0
+    assert lb.exceptAll(la).count() == 0
+
+    # surgery contract, node side: pure append — every pre-surgery node
+    # file survives byte-untouched (same path, same mtime)
+    nodes_after = _lsfiles(f"{p}/nodes")
+    for f, mt in nodes_before.items():
+        assert f in nodes_after and nodes_after[f] == mt, f
+    assert len(nodes_after) > len(nodes_before)
+
+    # returned forest: reloaded from the repaired layout, bound
+    # restored, baseline carried VERBATIM, marker gone
+    assert surg.path == p
+    assert (
+        _leaf_sizes(surg.leaves).filter(F.col("count") > 8).count() == 0
+    )
+    assert [dict(r) for r in surg.fresh_health] == base_health
+    import os
+
+    assert not os.path.exists(f"{p}/_SURGERY_IN_PROGRESS")
+    # idempotent: a second surgery finds nothing overgrown
+    again = resplit_overgrown_leaves_inplace(surg, emb)
+    assert again is surg
+
+
+def test_resplit_inplace_touches_only_debt_trees(spark, overgrown, tmp_path):
+    """The cost contract itself: debt confined to one tree must leave
+    the OTHER trees' node AND leaf partitions byte-untouched — this is
+    what makes maintenance wall ∝ debt instead of ∝ index size."""
+    from rust_vector_search_spark.operators.index import (
+        resplit_overgrown_leaves_inplace,
+    )
+
+    emb, _, _ = overgrown
+    p = str(tmp_path / "live1")
+    loaded = _persist_overgrown(spark, overgrown, p, only_tree=0)
+    over0 = (
+        _leaf_sizes(loaded.leaves).filter(F.col("count") > 8).collect()
+    )
+    assert over0 and all(r.tree_id == 0 for r in over0)
+    nodes_before = _lsfiles(f"{p}/nodes")
+    leaves_before = _lsfiles(f"{p}/leaves")
+
+    surg = resplit_overgrown_leaves_inplace(loaded, emb)
+    assert (
+        _leaf_sizes(surg.leaves).filter(F.col("count") > 8).count() == 0
+    )
+    nodes_after = _lsfiles(f"{p}/nodes")
+    leaves_after = _lsfiles(f"{p}/leaves")
+    # untouched trees: every file identical, nothing added or removed
+    for rel, mt in nodes_before.items():
+        if "tree_id=0" not in rel:
+            assert nodes_after.get(rel) == mt, rel
+    for rel in nodes_after:
+        if "tree_id=0" not in rel:
+            assert rel in nodes_before, rel
+    for rel, mt in leaves_before.items():
+        if "tree_id=0" not in rel:
+            assert leaves_after.get(rel) == mt, rel
+    # the debt tree: nodes appended (old files intact), leaves replaced
+    assert any(
+        "tree_id=0" in rel and rel not in nodes_before
+        for rel in nodes_after
+    )
+    for rel, mt in nodes_before.items():
+        if "tree_id=0" in rel:
+            assert nodes_after.get(rel) == mt, rel
+    assert any(
+        "tree_id=0" in rel and rel not in leaves_before
+        for rel in leaves_after
+    )
+
+
+def test_resplit_inplace_guards(spark, overgrown, tmp_path):
+    """Path-less forests are refused (nothing persisted to repair); a
+    leftover surgery marker fences BOTH load_index and a re-repair; a
+    layout with missing tree partitions loads with a warning (ADVICE
+    r14: partial batched writes must not read as smaller indexes)."""
+    import os
+    import shutil
+    import warnings
+
+    from rust_vector_search_spark.operators.index import (
+        load_index,
+        resplit_overgrown_leaves_inplace,
+    )
+
+    emb, fresh, aug = overgrown
+    with pytest.raises(ValueError, match="no\\s+persisted path"):
+        resplit_overgrown_leaves_inplace(aug, emb)
+
+    p = str(tmp_path / "marked")
+    loaded = _persist_overgrown(spark, overgrown, p)
+    open(f"{p}/_SURGERY_IN_PROGRESS", "w").close()
+    with pytest.raises(ValueError, match="interrupted"):
+        load_index(spark, p, loaded.num_trees, 8, 42)
+    with pytest.raises(ValueError, match="interrupted"):
+        resplit_overgrown_leaves_inplace(loaded, emb)
+    os.remove(f"{p}/_SURGERY_IN_PROGRESS")
+
+    # partial layout: drop one tree's node partition → loud warning
+    shutil.rmtree(f"{p}/nodes/tree_id=2")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        load_index(spark, p, loaded.num_trees, 8, 42)
+    assert any("tree partitions" in str(x.message) for x in w)

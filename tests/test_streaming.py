@@ -1011,14 +1011,17 @@ def test_ingest_retention_budget_defers(spark, tmp_path):
 
 
 def test_ingest_retention_check_payload(spark, tmp_path):
-    """VERDICT r13 #7: retention_check_payload upgrades the retention
-    read's membership test from id-only to id+content-hash. A corpus
-    that RECYCLES an anchored id (same vec_id, different vector — the
-    id-immutability contract's escape) is invisible to the default
-    id-only read (foreign count = the genuinely-new arrivals) but is
-    counted foreign with the knob on. Guards: the knob without
-    retention_path, and against a pre-r13 anchor (no corpus_ids),
-    refuse at stream START."""
+    """VERDICT r13 #7 + r14 #7: retention_check_payload selects the
+    retention read's membership test. A corpus that RECYCLES an
+    anchored id (same vec_id, different vector — the id-immutability
+    contract's escape) is invisible to the id-only read (foreign count
+    = the genuinely-new arrivals) but counted foreign by the hardened
+    id+content-hash read. Since r15 the DEFAULT (None) is a capability
+    probe: hardened whenever the anchor carries corpus_ids, so the
+    unset knob catches the impostor; False explicitly opts back into
+    id-only. Guards: True without retention_path, and True against a
+    pre-r13 anchor (no corpus_ids), refuse at stream START; the unset
+    default degrades to id-only on the pre-r13 anchor instead."""
     import shutil
 
     from rust_vector_search_spark.operators.index import (
@@ -1052,8 +1055,8 @@ def test_ingest_retention_check_payload(spark, tmp_path):
 
     n_new = 150  # three 50-row arrival files
 
-    # default id-only read: the impostor passes as a survivor; foreign
-    # count sees only the genuinely-new arrival ids
+    # explicit opt-out: id-only, the impostor passes as a survivor;
+    # foreign count sees only the genuinely-new arrival ids
     mon_a = str(tmp_path / "cp_mon_a")
     q = incremental_index_ingest(
         _mk_arrival_stream(spark, tmp_path, new, "cpa"),
@@ -1064,6 +1067,7 @@ def test_ingest_retention_check_payload(spark, tmp_path):
         retention_path=idx,
         retention_corpus_path=corpus_dir,
         retention_every=1,
+        retention_check_payload=False,
     )
     q.awaitTermination(180)
     assert q.exception() is None
@@ -1072,7 +1076,8 @@ def test_ingest_retention_check_payload(spark, tmp_path):
     )
     assert last_a.retention_inserted == n_new
 
-    # hardened read: the recycled id is one more foreign row
+    # UNSET knob on an r13 anchor: the capability probe hardens the
+    # read — the recycled id is one more foreign row (r14 #7)
     mon_b = str(tmp_path / "cp_mon_b")
     q = incremental_index_ingest(
         _mk_arrival_stream(spark, tmp_path, new, "cpb"),
@@ -1083,7 +1088,6 @@ def test_ingest_retention_check_payload(spark, tmp_path):
         retention_path=idx,
         retention_corpus_path=corpus_dir,
         retention_every=1,
-        retention_check_payload=True,
     )
     q.awaitTermination(180)
     assert q.exception() is None
@@ -1109,3 +1113,23 @@ def test_ingest_retention_check_payload(spark, tmp_path):
             retention_corpus_path=corpus_dir,
             retention_check_payload=True,
         )
+
+    # the UNSET default degrades to id-only on the pre-r13 anchor:
+    # stream starts, reads run, the impostor passes (id-only counts)
+    mon_c = str(tmp_path / "cp_mon_c")
+    q = incremental_index_ingest(
+        _mk_arrival_stream(spark, tmp_path, new, "cpc"),
+        loaded,
+        leaves_path=f"{idx}/leaves",
+        checkpoint_path=str(tmp_path / "cpc_ckpt"),
+        monitor_path=mon_c,
+        retention_path=idx,
+        retention_corpus_path=corpus_dir,
+        retention_every=1,
+    )
+    q.awaitTermination(180)
+    assert q.exception() is None
+    last_c = max(
+        spark.read.parquet(mon_c).collect(), key=lambda r: r.batch_id
+    )
+    assert last_c.retention_inserted == n_new

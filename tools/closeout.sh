@@ -36,8 +36,13 @@ python -m pytest tests/ -q
 echo "=== closeout 2/5: driver-window rehearsal (vanilla 1 GB) ==="
 python tools/rehearse_window.py "$SF_DIR"
 
-echo "=== closeout 3/5: bench at sf0.1 ==="
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py
+echo "=== closeout 3/5: bench at sf0.1 (+ drift adjudication) ==="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py \
+    | tee /tmp/closeout_bench.json
+# family-ratio drift check (VERDICT r14 #3): adjudicate every >1.3x
+# per-query move against its family's calibration row and land the
+# verdict block in ROUND_NOTES.md automatically
+python tools/drift_check.py /tmp/closeout_bench.json
 
 echo "=== closeout 4/5: EXPLAINS.md ==="
 python tools/gen_explains.py

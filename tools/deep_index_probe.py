@@ -142,18 +142,101 @@ def _recall_vs_exact(spark, emb, approx, queries, k: int) -> float:
     return hits / max(total, 1)
 
 
+def _read_substrate_meta(index_dir: str) -> "dict | None":
+    import json
+
+    p = os.path.join(index_dir, "substrate_meta.json")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 def _ensure_index(index_dir: str, n: int, num_trees: int, leaf: int) -> None:
+    """Substrate guard (VERDICT r14 #5): rebuilds go THROUGH the
+    recorded build parameters, never through flag guesses. scale_probe
+    stamps {index_dir}/substrate_meta.json at build time (n, trees,
+    leaf, seed, sigma/gaussian); here:
+
+      - index present + meta present: REFUSE flags that disagree with
+        the meta — pointing a probe at a substrate with the wrong
+        (n, trees, leaf) mislabels every number it measures;
+      - index absent + meta present: rebuild FROM the meta (including
+        sigma/--gaussian, which this tool has no flags for — the exact
+        idxm500k hazard: a reclaimed sigma=1.0 substrate rebuilt
+        without --sigma silently became the easy corpus);
+      - index absent + no meta: refuse a NON-DEFAULT regime guess is
+        impossible to detect, so rebuild with the flags (default
+        sigma) and stamp the meta, WARNING that provenance starts now;
+      - index present + no meta (pre-r15 substrate): stamp nothing,
+        warn once — history for it stays manual."""
+    meta = _read_substrate_meta(index_dir)
     if os.path.isdir(f"{index_dir}/idx/nodes"):
+        if meta is not None:
+            mism = {
+                k: (meta.get(k), v)
+                for k, v in (("n", n), ("num_trees", num_trees), ("leaf", leaf))
+                if meta.get(k) != v
+            }
+            if mism:
+                raise SystemExit(
+                    f"_ensure_index: {index_dir} was built with "
+                    f"{ {k: a for k, (a, _b) in mism.items()} } but the "
+                    f"probe flags say { {k: b for k, (_a, b) in mism.items()} }"
+                    f" — numbers measured under these flags would be "
+                    f"mislabeled; fix the flags or point at a different "
+                    f"substrate"
+                )
+        else:
+            print(
+                f"WARN: {index_dir} carries no substrate_meta.json "
+                f"(pre-r15 substrate) — flag/regime consistency cannot "
+                f"be checked",
+                flush=True,
+            )
         return
-    print(f"index {index_dir} absent — rebuilding (logged)", flush=True)
+    argv = [str(n), str(num_trees), str(leaf), "--batch", "10"]
+    if meta is not None:
+        mism = {
+            k: (meta.get(k), v)
+            for k, v in (("n", n), ("num_trees", num_trees), ("leaf", leaf))
+            if meta.get(k) != v
+        }
+        if mism:
+            raise SystemExit(
+                f"_ensure_index: {index_dir} is reclaimed but its "
+                f"substrate_meta.json records {mism} vs the probe flags "
+                f"— rebuilding under these flags would put a different "
+                f"index under a name with measured history"
+            )
+        argv = [
+            str(meta["n"]), str(meta["num_trees"]), str(meta["leaf"]),
+            "--batch", str(meta.get("batch") or 10),
+        ]
+        if meta.get("gaussian"):
+            argv.append("--gaussian")
+        elif meta.get("sigma") is not None:
+            argv += ["--sigma", str(meta["sigma"])]
+        print(
+            f"index {index_dir} absent — rebuilding from recorded meta "
+            f"{meta} (bit-identical: seeded)",
+            flush=True,
+        )
+    else:
+        print(
+            f"index {index_dir} absent, NO substrate_meta.json — "
+            f"rebuilding with probe flags at DEFAULT regime (sigma 0.25) "
+            f"and stamping meta; if this name has measured history from "
+            f"a non-default regime, stop and rebuild by hand",
+            flush=True,
+        )
     t0 = time.time()
     env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="48g")
     subprocess.run(
         [
             sys.executable,
             os.path.join(REPO, "tools", "scale_probe.py"),
-            str(n), str(num_trees), str(leaf),
-            "--batch", "10", "--workdir", index_dir,
+            *argv, "--workdir", index_dir,
         ],
         check=True,
         env=env,
@@ -858,6 +941,100 @@ def cmd_debt(args) -> None:
         shutil.rmtree(args.index.rstrip("/") + "_rs", ignore_errors=True)
 
 
+def cmd_surgery(args) -> None:
+    """In-place partition-surgery repair leg (VERDICT r14 #1): run
+    resplit_overgrown_leaves_inplace on the persisted index and measure
+    the wall the full-copy forms pay ∝ index size but this one pays
+    ∝ debt. MUTATES the substrate (that is the point): afterwards the
+    index at --index is the repaired layout — a later ``debt`` run
+    finds nothing to repair. ``--verify-against DIR`` compares the
+    surged layout to a full-copy repaired layout (e.g. cmd_debt's
+    {index}_rs/idx) on (tree_id, node_path, constant, coeff_norm) +
+    leaf rows, both directions — the at-scale echo of the smoke-scale
+    bit-identity test."""
+    from rust_vector_search_spark.operators.index import (
+        resplit_overgrown_leaves_inplace,
+    )
+    from rust_vector_search_spark.operators.search import search_rp_forest
+    from rust_vector_search_spark.session import get_spark
+
+    _ensure_index(args.index, args.n, args.num_trees, args.leaf)
+    spark = get_spark(app_name="deep_index_probe_surgery")
+    emb, forest = _load(spark, args.index, args.num_trees, args.leaf)
+
+    def _over_stats(f):
+        row = (
+            f.leaves.groupBy("tree_id", "leaf_path")
+            .count()
+            .filter(F.col("count") > args.leaf)
+            .agg(
+                F.count(F.lit(1)).alias("k"),
+                F.max("count").alias("mx"),
+                F.sum("count").alias("m"),
+            )
+            .collect()[0]
+        )
+        return int(row.k or 0), int(row.mx or 0), int(row.m or 0)
+
+    k0, mx0, m0 = _over_stats(forest)
+    print(f"debt before: {k0} overgrown leaves (max {mx0}, {m0} members) "
+          f"at depth cap {forest.max_depth}", flush=True)
+    if not k0:
+        print("RESULT surgery: no debt — nothing to repair", flush=True)
+        return
+    t0 = time.time()
+    surged = resplit_overgrown_leaves_inplace(
+        forest, emb, tree_batch_size=args.resplit_batch
+    )
+    t_surg = time.time() - t0
+    k1, mx1, _ = _over_stats(surged)
+    print(f"RESULT surgery: {t_surg:.1f}s IN PLACE (repair+persist, "
+          f"chunk {args.resplit_batch}); overgrown {k0} -> {k1} "
+          f"(max {mx0} -> {mx1}); nodes {forest.node_count} -> "
+          f"{surged.node_count}, depth {forest.max_depth} -> "
+          f"{surged.max_depth}", flush=True)
+
+    verify_note = ""
+    if args.verify_against:
+        ncols = ["tree_id", "node_path", "constant", "coeff_norm"]
+        a = surged.nodes.select(*ncols)
+        b = spark.read.parquet(f"{args.verify_against}/nodes").select(*ncols)
+        dn = a.exceptAll(b).count() + b.exceptAll(a).count()
+        lcols = ["tree_id", "leaf_path", "vec_id"]
+        la = surged.leaves.select(*lcols)
+        lb = spark.read.parquet(
+            f"{args.verify_against}/leaves"
+        ).select(*lcols)
+        dl = la.exceptAll(lb).count() + lb.exceptAll(la).count()
+        verify_note = (
+            f"; verify vs {os.path.basename(args.verify_against)}: "
+            f"node diff {dn}, leaf diff {dl}"
+        )
+        print(f"RESULT surgery verify: node diff {dn}, leaf diff {dl} "
+              f"(0 + 0 = layouts identical)", flush=True)
+
+    q = _queries_of(emb, args.queries)
+    t0 = time.time()
+    approx = (
+        search_rp_forest(surged, emb, q, k=args.k)
+        .select("query_id", "vec_id").localCheckpoint(eager=True)
+    )
+    approx.count()
+    t_search = time.time() - t0
+    recall = _recall_vs_exact(spark, emb, approx, q, args.k)
+    print(f"RESULT search[surged]: {t_search:.1f}s "
+          f"recall@{args.k}={recall:.3f}", flush=True)
+    _append_history(
+        f"in-place surgery ({os.path.basename(args.index)}): {k0} "
+        f"overgrown leaves ({m0} members) repaired+persisted IN PLACE "
+        f"in {t_surg:.1f} s (chunk {args.resplit_batch}), nodes "
+        f"{forest.node_count} -> {surged.node_count}{verify_note}; "
+        f"post-surgery recall@{args.k} = {recall:.3f} "
+        f"({args.queries} q, {t_search:.1f} s)",
+        not args.no_baseline_append,
+    )
+
+
 def cmd_shrink(args) -> None:
     """Deletion-at-scale leg: delete_vectors removes a seeded 80% of
     the corpus from the index, prune_underfull_subtrees collapses the
@@ -1461,7 +1638,7 @@ def main() -> None:
         "cmd", choices=[
             "search", "allpairs", "recall", "ingest", "compact",
             "maintain", "shrink", "lifecycle", "recallcache", "debt",
-            "retention",
+            "retention", "surgery",
         ]
     )
     p.add_argument("--index", default="/tmp/idx250k")
@@ -1503,6 +1680,11 @@ def main() -> None:
         "the trees-vs-margin frontier",
     )
     p.add_argument("--no-baseline-append", action="store_true")
+    p.add_argument(
+        "--verify-against", default=None,
+        help="surgery: a full-copy repaired index dir to compare the "
+        "surged layout against (node/leaf exceptAll both directions)",
+    )
     p.add_argument("--cleanup", action="store_true")
     p.add_argument(
         "--prune-in-memory", action="store_true",

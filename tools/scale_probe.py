@@ -191,6 +191,28 @@ def main() -> None:
             f"batch={batch or 'mono'} disk_free={free_gb:.0f}G",
             flush=True,
         )
+        if workdir:
+            # substrate metadata (VERDICT r14 #5): a persisted probe
+            # substrate must carry its OWN build parameters, because a
+            # later rebuild that guesses them (e.g. deep_index_probe's
+            # _ensure_index, which has no --sigma flag) would silently
+            # put a DIFFERENT corpus under the same name — the
+            # idxm500k hazard: reclaim the sigma=1.0 hard-regime
+            # substrate, rebuild by flag, and every number measured on
+            # it after that is mislabeled history.
+            import json
+
+            with open(os.path.join(workdir, "substrate_meta.json"), "w") as f:
+                json.dump(
+                    {
+                        "n": n, "dim": dim, "num_trees": num_trees,
+                        "leaf": leaf, "seed": 42,
+                        "gaussian": bool(gaussian),
+                        "sigma": None if gaussian else sigma,
+                        "batch": batch,
+                    },
+                    f,
+                )
 
         q = emb.filter(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("query_id"),
