@@ -524,6 +524,68 @@ def _hadoop_touch(spark, path: str) -> None:
         pass
 
 
+def _partition_file_counts(spark, table_path: str) -> "dict[int, int]":
+    """Data-file count per ``tree_id=N`` partition directory of one
+    persisted index table — the fragmentation surface
+    ``compact_index_files`` repairs. Driver-side metadata listing via
+    the Hadoop FileSystem API (num_trees directory listings — the same
+    O(partitions) metadata pass every table-format compactor performs;
+    no data is read). shutil-style fallback for JVM-less Connect
+    sessions on local paths. Hidden files (``_*``, ``.*``) and
+    non-parquet files are not data and are not counted."""
+    def _is_data(name: str) -> bool:
+        return (
+            name.endswith(".parquet")
+            and not name.startswith("_")
+            and not name.startswith(".")
+        )
+
+    counts: "dict[int, int]" = {}
+    try:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    except Exception:
+        jvm = None
+    if jvm is not None:
+        hpath = jvm.org.apache.hadoop.fs.Path(table_path)
+        fs = hpath.getFileSystem(hconf)
+        if not fs.exists(hpath):
+            return counts
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("tree_id=")):
+                continue
+            tid = int(name.split("=", 1)[1])
+            counts[tid] = sum(
+                1
+                for f in fs.listStatus(st.getPath())
+                if _is_data(f.getPath().getName())
+            )
+        return counts
+    import os as _os
+
+    local = (
+        table_path[len("file:"):]
+        if table_path.startswith("file:")
+        else table_path
+    )
+    if "://" in table_path and not table_path.startswith("file:"):
+        raise RuntimeError(
+            f"cannot list {table_path!r} without a JVM handle "
+            "(Spark Connect session)"
+        )
+    if not _os.path.isdir(local):
+        return counts
+    for entry in _os.scandir(local):
+        if not (entry.is_dir() and entry.name.startswith("tree_id=")):
+            continue
+        tid = int(entry.name.split("=", 1)[1])
+        counts[tid] = sum(
+            1 for f in _os.scandir(entry.path) if _is_data(f.name)
+        )
+    return counts
+
+
 def build_rp_forest_batched(
     emb: DataFrame,
     path: str,
@@ -1449,6 +1511,118 @@ def resplit_overgrown_leaves_inplace(
     return result
 
 
+def compact_index_files(
+    forest: RPForest,
+    max_files_per_partition: int = 4,
+    tree_batch_size: int = 8,
+) -> RPForest:
+    """File-level maintenance: rewrite FRAGMENTED ``tree_id`` partitions
+    of the persisted layout into one data file each, in place. The
+    third leg of the partition-surgery family (resplit = routing debt,
+    prune = space debt, this = FILE debt): ``incremental_index_ingest``
+    appends one parquet file per shuffle partition per micro-batch to
+    ``{path}/leaves`` (and ``resplit_overgrown_leaves_inplace`` appends
+    subtree files to ``{path}/nodes``), so a long-running ingest stream
+    fragments the layout — every later scan pays per-file open/footer
+    cost and loses the row-group clustering the fresh save had. At
+    100 TB this is the routine compaction every table format
+    (Delta OPTIMIZE, Iceberg rewrite_data_files) schedules; the index
+    layout needs the same, scoped to the partitions that actually
+    fragmented.
+
+    Cost ∝ fragmentation, not index size: only partitions holding more
+    than ``max_files_per_partition`` data files are rewritten (a
+    driver-side metadata listing finds them — no data read for healthy
+    partitions); untouched partitions keep their bytes verbatim.
+    Content is bit-identical by construction — the rewrite is a
+    read → hash-repartition(tree_id) → dynamic-partition-overwrite of
+    the same rows (pinned by tests): nodes keep the fresh save's
+    ``(tree_id, lvl)`` clustering so per-level routing row-group
+    pruning survives compaction; leaves keep the slim (id, path) shape.
+
+    Same crash fence as the in-place resplit: the write is NOT atomic,
+    so the ``_SURGERY_IN_PROGRESS`` marker brackets the mutation and
+    ``load_index`` refuses a marked layout. Exclusive access assumed.
+    Disk-level contract: compacts what is PERSISTED; in-memory
+    maintenance state (un-saved deletes/resplits) is not consulted.
+    Returns the forest re-loaded from the same path (fresh file
+    listing; health baseline untouched on disk and re-read verbatim)."""
+    import gc as _gc
+
+    from ..session import hadoop_path_exists
+
+    spark = forest.nodes.sparkSession
+    if forest.path is None:
+        raise ValueError(
+            "compact_index_files: forest carries no persisted path — "
+            "file compaction repairs a saved layout; save_index (or "
+            "load_index) first"
+        )
+    if max_files_per_partition < 1:
+        raise ValueError(
+            f"compact_index_files: max_files_per_partition must be >= 1, "
+            f"got {max_files_per_partition}"
+        )
+    path = forest.path
+    marker = f"{path}/{_SURGERY_MARKER}"
+    if hadoop_path_exists(spark, marker):
+        raise ValueError(
+            f"compact_index_files: {marker!r} already exists — a "
+            f"previous in-place maintenance run on this layout was "
+            f"interrupted and the layout may be inconsistent; restore "
+            f"from a snapshot or rebuild before compacting"
+        )
+    plan = []  # (table, sort_cols, [fragmented tree_ids])
+    for table, sort_cols in (
+        ("nodes", ["tree_id", "lvl"]),
+        ("leaves", ["tree_id"]),
+    ):
+        frag = sorted(
+            tid
+            for tid, n in _partition_file_counts(
+                spark, f"{path}/{table}"
+            ).items()
+            if n > max_files_per_partition
+        )
+        if frag:
+            plan.append((table, sort_cols, frag))
+    if not plan:
+        return forest
+    step = max(1, int(tree_batch_size))
+    _hadoop_touch(spark, marker)
+    for table, sort_cols, frag in plan:
+        disk = spark.read.parquet(f"{path}/{table}")
+        sort_cols = [c for c in sort_cols if c in disk.columns]
+        for start in range(0, len(frag), step):
+            grp_trees = frag[start:start + step]
+            # partition filter prunes the scan to the fragmented dirs;
+            # hash-repartition on tree_id puts each tree's rows in ONE
+            # task ⇒ exactly one output file per partition dir.
+            # localCheckpoint BEFORE the write: the rows derive from
+            # the very files the dynamic overwrite replaces.
+            grp = (
+                disk.filter(F.col("tree_id").isin(grp_trees))
+                .repartition(len(grp_trees), "tree_id")
+                .localCheckpoint(eager=True)
+            )
+            grp.sortWithinPartitions(*sort_cols).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "tree_id"
+            ).parquet(f"{path}/{table}")
+            # same per-group GC discipline as the other in-place forms
+            del grp
+            _gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass  # Spark Connect: no JVM handle
+    _hadoop_delete_or_raise(spark, [marker])
+    return load_index(
+        spark, path, forest.num_trees, forest.max_node_size, forest.seed
+    )
+
+
 def delete_vectors(
     forest: RPForest, ids: DataFrame, id_col: str = "vec_id"
 ) -> RPForest:
@@ -1995,9 +2169,10 @@ def load_index(
         # silent load would read as recall loss, not as corruption
         raise ValueError(
             f"load_index: {path}/{_SURGERY_MARKER} exists — an in-place "
-            f"repair on this layout was interrupted mid-write and the "
-            f"layout may be inconsistent. Restore from a snapshot or "
-            f"rebuild; delete the marker only if you know the surgery "
+            f"maintenance run (partition-surgery repair or file "
+            f"compaction) on this layout was interrupted mid-write and "
+            f"the layout may be inconsistent. Restore from a snapshot or "
+            f"rebuild; delete the marker only if you know the run "
             f"completed"
         )
     nodes = spark.read.parquet(f"{path}/nodes")

@@ -1209,3 +1209,108 @@ def test_resplit_inplace_guards(spark, overgrown, tmp_path):
         warnings.simplefilter("always")
         load_index(spark, p, loaded.num_trees, 8, 42)
     assert any("tree partitions" in str(x.message) for x in w)
+
+
+def test_compact_index_files_bit_identity_and_scope(
+    spark, overgrown, tmp_path
+):
+    """File-level compaction (r15): fragmented tree_id partitions are
+    rewritten to ONE data file each with content bit-identical
+    (multiset, both tables); partitions at or under the threshold keep
+    their bytes verbatim — cost ∝ fragmentation, the same contract as
+    the partition-surgery repair. Health baseline and marker lifecycle
+    follow the in-place family."""
+    from rust_vector_search_spark.operators.index import (
+        _partition_file_counts,
+        compact_index_files,
+    )
+
+    emb, fresh, aug = overgrown
+    p = str(tmp_path / "frag")
+    loaded = _persist_overgrown(spark, overgrown, p)
+    # fragment harder: three more ingest-shaped appends onto leaves
+    extra = aug.leaves.exceptAll(fresh.leaves).localCheckpoint(eager=True)
+    for _ in range(3):
+        extra.write.mode("append").partitionBy("tree_id").parquet(
+            f"{p}/leaves"
+        )
+    base_health = [dict(r) for r in loaded.fresh_health]
+    ncols = ["tree_id", "node_path", "coeffs", "constant", "coeff_norm"]
+    lcols = ["tree_id", "leaf_path", "vec_id"]
+    nodes_before = (
+        spark.read.parquet(f"{p}/nodes").select(*ncols)
+        .localCheckpoint(eager=True)
+    )
+    leaves_before = (
+        spark.read.parquet(f"{p}/leaves").select(*lcols)
+        .localCheckpoint(eager=True)
+    )
+    files_before = {
+        t: _partition_file_counts(spark, f"{p}/{t}")
+        for t in ("nodes", "leaves")
+    }
+    mtimes_before = {
+        t: _lsfiles(f"{p}/{t}") for t in ("nodes", "leaves")
+    }
+    thresh = 2
+    assert any(
+        n > thresh for c in files_before.values() for n in c.values()
+    ), "fixture must actually be fragmented"
+
+    out = compact_index_files(
+        loaded, max_files_per_partition=thresh, tree_batch_size=1
+    )
+
+    # content identical, both tables, both directions
+    na = spark.read.parquet(f"{p}/nodes").select(*ncols)
+    assert na.exceptAll(nodes_before).count() == 0
+    assert nodes_before.exceptAll(na).count() == 0
+    la = spark.read.parquet(f"{p}/leaves").select(*lcols)
+    assert la.exceptAll(leaves_before).count() == 0
+    assert leaves_before.exceptAll(la).count() == 0
+
+    # fragmented partitions now hold ONE file; healthy ones untouched
+    for t in ("nodes", "leaves"):
+        after = _partition_file_counts(spark, f"{p}/{t}")
+        mt_after = _lsfiles(f"{p}/{t}")
+        for tid, n in files_before[t].items():
+            if n > thresh:
+                assert after[tid] == 1, (t, tid)
+            else:
+                assert after[tid] == n, (t, tid)
+                for rel, mt in mtimes_before[t].items():
+                    if f"tree_id={tid}" in rel:
+                        assert mt_after.get(rel) == mt, (t, rel)
+
+    # returned forest: same path, baseline verbatim, marker gone,
+    # membership readable
+    import os
+
+    assert out.path == p
+    assert [dict(r) for r in out.fresh_health] == base_health
+    assert not os.path.exists(f"{p}/_SURGERY_IN_PROGRESS")
+    assert out.leaves.count() == leaves_before.count()
+
+    # idempotent no-op: nothing left over the threshold
+    again = compact_index_files(out, max_files_per_partition=thresh)
+    assert again is out
+
+
+def test_compact_index_files_guards(spark, overgrown, tmp_path):
+    """Path-less forests refused; leftover marker fences; bad threshold
+    refused — the in-place family's guard contract."""
+    from rust_vector_search_spark.operators.index import (
+        compact_index_files,
+    )
+
+    emb, fresh, aug = overgrown
+    with pytest.raises(ValueError, match="no persisted path"):
+        compact_index_files(aug)
+
+    p = str(tmp_path / "cmarked")
+    loaded = _persist_overgrown(spark, overgrown, p)
+    with pytest.raises(ValueError, match="must be >= 1"):
+        compact_index_files(loaded, max_files_per_partition=0)
+    open(f"{p}/_SURGERY_IN_PROGRESS", "w").close()
+    with pytest.raises(ValueError, match="interrupted"):
+        compact_index_files(loaded)

@@ -1035,6 +1035,85 @@ def cmd_surgery(args) -> None:
     )
 
 
+def cmd_filecompact(args) -> None:
+    """File-level compaction leg (r15): measure what
+    ``compact_index_files`` buys on a fragmented persisted layout —
+    files per partition before/after, the compaction wall (∝
+    fragmentation: only partitions over --max-files are rewritten), and
+    the search leg before/after (per-file open/footer cost + lost
+    row-group clustering is what fragmentation taxes). Run it after
+    ``surgery`` (whose node appends fragment the repaired trees) or
+    after streaming ingest batches (one file per shuffle partition per
+    batch). MUTATES the layout in place (that is the point)."""
+    from rust_vector_search_spark.operators.index import (
+        _partition_file_counts,
+        compact_index_files,
+    )
+    from rust_vector_search_spark.operators.search import search_rp_forest
+    from rust_vector_search_spark.session import get_spark
+
+    _ensure_index(args.index, args.n, args.num_trees, args.leaf)
+    spark = get_spark(app_name="deep_index_probe_filecompact")
+    emb, forest = _load(spark, args.index, args.num_trees, args.leaf)
+
+    def _frag(f):
+        out = {}
+        for t in ("nodes", "leaves"):
+            c = _partition_file_counts(spark, f"{f.path}/{t}")
+            out[t] = (sum(c.values()), max(c.values() or [0]),
+                      sum(1 for n in c.values() if n > args.max_files))
+        return out
+
+    before = _frag(forest)
+    print(f"files before: nodes total={before['nodes'][0]} "
+          f"max/part={before['nodes'][1]} frag_parts={before['nodes'][2]}; "
+          f"leaves total={before['leaves'][0]} "
+          f"max/part={before['leaves'][1]} frag_parts={before['leaves'][2]} "
+          f"(threshold {args.max_files})", flush=True)
+
+    q = _queries_of(emb, args.queries)
+    t0 = time.time()
+    a0 = (
+        search_rp_forest(forest, emb, q, k=args.k)
+        .select("query_id", "vec_id").localCheckpoint(eager=True)
+    )
+    a0.count()
+    t_before = time.time() - t0
+    print(f"search before: {t_before:.1f}s", flush=True)
+
+    t0 = time.time()
+    out = compact_index_files(
+        forest, max_files_per_partition=args.max_files,
+        tree_batch_size=args.resplit_batch,
+    )
+    t_comp = time.time() - t0
+    after = _frag(out)
+    print(f"RESULT filecompact: {t_comp:.1f}s; nodes files "
+          f"{before['nodes'][0]} -> {after['nodes'][0]}, leaves files "
+          f"{before['leaves'][0]} -> {after['leaves'][0]}", flush=True)
+
+    t0 = time.time()
+    a1 = (
+        search_rp_forest(out, emb, q, k=args.k)
+        .select("query_id", "vec_id").localCheckpoint(eager=True)
+    )
+    a1.count()
+    t_after = time.time() - t0
+    recall = _recall_vs_exact(spark, emb, a1, q, args.k)
+    print(f"RESULT search[compacted]: {t_after:.1f}s (was {t_before:.1f}s) "
+          f"recall@{args.k}={recall:.3f}", flush=True)
+    _append_history(
+        f"file compaction ({os.path.basename(args.index)}): nodes files "
+        f"{before['nodes'][0]} -> {after['nodes'][0]}, leaves "
+        f"{before['leaves'][0]} -> {after['leaves'][0]} (threshold "
+        f"{args.max_files}, {before['nodes'][2]}+{before['leaves'][2]} "
+        f"fragmented partitions) in {t_comp:.1f} s; search "
+        f"{t_before:.1f} -> {t_after:.1f} s, recall@{args.k} "
+        f"{recall:.3f} ({args.queries} q)",
+        not args.no_baseline_append,
+    )
+
+
 def cmd_shrink(args) -> None:
     """Deletion-at-scale leg: delete_vectors removes a seeded 80% of
     the corpus from the index, prune_underfull_subtrees collapses the
@@ -1638,7 +1717,7 @@ def main() -> None:
         "cmd", choices=[
             "search", "allpairs", "recall", "ingest", "compact",
             "maintain", "shrink", "lifecycle", "recallcache", "debt",
-            "retention", "surgery",
+            "retention", "surgery", "filecompact",
         ]
     )
     p.add_argument("--index", default="/tmp/idx250k")
@@ -1686,6 +1765,11 @@ def main() -> None:
         "surged layout against (node/leaf exceptAll both directions)",
     )
     p.add_argument("--cleanup", action="store_true")
+    p.add_argument(
+        "--max-files", type=int, default=4,
+        help="filecompact: rewrite only tree_id partitions holding more "
+             "than this many data files (cost ∝ fragmentation)",
+    )
     p.add_argument(
         "--prune-in-memory", action="store_true",
         help="lifecycle: evaluate the pruned forest in memory instead "
