@@ -702,6 +702,14 @@ def simhash_blocked_pairs(
         blocks.append(
             F.shiftright(F.col(fp_col), lo).bitwiseAND(F.lit(mask)).cast("long")
         )
+    # materialize the fingerprint table ONCE before the self-join: both
+    # join sides derive from `fps`, and without a checkpoint each side's
+    # map stage re-runs the whole upstream lineage — for
+    # simhash_near_dup_pairs that is the per-word fold (measured r15:
+    # ~46 s CPU per pass over sf0.1 docs, the dominant cost of every
+    # simhash bench row; guide §2.4 "share one computation"). The
+    # checkpointed rows are (id, fingerprint) — 16 bytes each.
+    fps = fps.select(F.col(id_col), F.col(fp_col)).localCheckpoint(eager=True)
     blocked = fps.select(
         F.col(id_col),
         F.col(fp_col),
@@ -855,6 +863,15 @@ def connected_components_star(
     # (the loop would otherwise compound the plan), but materialization
     # can ride on the jobs the loop already runs — nodes on the final
     # join, edges on the initial checksum
+    # slim-checkpoint the pair list FIRST (r15): nodes and edges both
+    # derive from `pairs`, and nodes materializes on the final join —
+    # without this shared checkpoint that job re-runs the caller's whole
+    # pair pipeline (fingerprint + block join + dedup) a second time.
+    # Lazy: the initial checksum job materializes it, storing only the
+    # two id columns.
+    pairs = pairs.select(F.col(a_col), F.col(b_col)).localCheckpoint(
+        eager=False
+    )
     nodes = (
         pairs.select(F.col(a_col).alias("node"))
         .unionByName(pairs.select(F.col(b_col).alias("node")))

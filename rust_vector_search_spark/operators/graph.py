@@ -66,14 +66,25 @@ def pagerank_integer(
     # every iteration (at scale: bucket by src so the per-iteration
     # rank join is co-located)
     ed = e.join(deg, "src").localCheckpoint(eager=True)
-    ranks = ed.select(F.col("src").alias("node")).distinct().select(
-        "node", F.lit(PR_UNIT).cast("long").alias("rank")
-    )
     base = (100 - damping_pct) * PR_UNIT // 100
-    for i in range(iters):
-        contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
-            F.col("dst"), F.expr("rank DIV d").alias("c")
+    if iters <= 0:
+        return ed.select(F.col("src").alias("node")).distinct().select(
+            "node", F.lit(PR_UNIT).cast("long").alias("rank")
         )
+    ranks = None
+    for i in range(iters):
+        if ranks is None:
+            # iteration 1 folded analytically (r15, guide §2.4): rank0 is
+            # the PR_UNIT constant for every node, so contrib needs no
+            # rank join (and no initial distinct-node state) — identical
+            # integers, two fewer exchanges
+            contrib = ed.select(
+                F.col("dst"), F.expr(f"CAST({PR_UNIT} AS BIGINT) DIV d").alias("c")
+            )
+        else:
+            contrib = ed.join(ranks, ed["src"] == ranks["node"]).select(
+                F.col("dst"), F.expr("rank DIV d").alias("c")
+            )
         ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
             (
                 F.lit(base).cast("long")

@@ -246,8 +246,17 @@ def build_rp_forest(
     spark = emb.sparkSession
     base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
     if dedup:
-        keep = base.groupBy("emb").agg(F.min("vec_id").alias("vec_id"))
-        base = base.join(keep, ["emb", "vec_id"], "left_semi")
+        # first-occurrence-wins survivor per distinct vector. The agg
+        # output IS the deduped (vec_id, emb) table — ONE exchange with
+        # map-side partial aggregation; the earlier left_semi join back
+        # to base re-shuffled the full payload a second time for rows
+        # the aggregate already held (r15, guide §2.4). (Grouping
+        # normalizes -0.0/NaN key bytes; routing math and every query
+        # output are value-identical — dist re-ranks read the caller's
+        # corpus payload, never this table.)
+        base = base.groupBy("emb").agg(
+            F.min("vec_id").alias("vec_id")
+        ).select("vec_id", "emb")
 
     probe = base.agg(
         F.count(F.lit(1)).alias("n"), F.max(F.size("emb")).alias("d")
@@ -263,14 +272,17 @@ def build_rp_forest(
     local_parts: list[DataFrame] = []  # SLIM (tree_id, node_path, vec_id)
     split_floor = max(local_threshold, max_node_size)
 
+    local_prejoined: "DataFrame | None" = None
     if n_base <= split_floor:
         # whole per-tree corpus already fits one phase-2 task: skip the
-        # synchronous loop entirely (no window shuffle, no checkpoints)
+        # synchronous loop entirely (no window shuffle, no checkpoints).
+        # base already carries the payload — feed phase 2 directly
+        # instead of projecting vec_id out and joining the vectors back
+        # (the rejoin re-ran the dedup lineage on both join sides and
+        # paid an extra exchange; r15, guide §2.4)
         emb_by_id = base
-        local_parts.append(
-            base.select("vec_id").crossJoin(trees).select(
-                "tree_id", F.lit("").alias("node_path"), "vec_id"
-            )
+        local_prejoined = base.crossJoin(trees).select(
+            "tree_id", F.lit("").alias("node_path"), "vec_id", "emb"
         )
         active = None
         levels = range(0)
@@ -375,13 +387,16 @@ def build_rp_forest(
     # PHASE 2: finish every deferred subtree locally — the vectors join
     # the slim assignments ONCE here (the only payload-bearing shuffle),
     # then embarrassingly parallel numpy recursion
-    if local_parts:
-        local_df = local_parts[0]
-        for df in local_parts[1:]:
-            local_df = local_df.unionByName(df)
-        local_df = local_df.join(emb_by_id, "vec_id").select(
-            "tree_id", "node_path", "vec_id", "emb"
-        )
+    if local_parts or local_prejoined is not None:
+        if local_prejoined is not None:
+            local_df = local_prejoined
+        else:
+            local_df = local_parts[0]
+            for df in local_parts[1:]:
+                local_df = local_df.unionByName(df)
+            local_df = local_df.join(emb_by_id, "vec_id").select(
+                "tree_id", "node_path", "vec_id", "emb"
+            )
         # explicit fixed-N repartition on the group key: AQE's partition
         # coalescing sizes this exchange by BYTES (~60 MB at sf0.1 ⇒ 1-2
         # post-coalesce partitions) and would serialize the Python
@@ -635,8 +650,17 @@ def build_rp_forest_batched(
     spark = emb.sparkSession
     base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
     if dedup:
-        keep = base.groupBy("emb").agg(F.min("vec_id").alias("vec_id"))
-        base = base.join(keep, ["emb", "vec_id"], "left_semi")
+        # first-occurrence-wins survivor per distinct vector. The agg
+        # output IS the deduped (vec_id, emb) table — ONE exchange with
+        # map-side partial aggregation; the earlier left_semi join back
+        # to base re-shuffled the full payload a second time for rows
+        # the aggregate already held (r15, guide §2.4). (Grouping
+        # normalizes -0.0/NaN key bytes; routing math and every query
+        # output are value-identical — dist re-ranks read the caller's
+        # corpus payload, never this table.)
+        base = base.groupBy("emb").agg(
+            F.min("vec_id").alias("vec_id")
+        ).select("vec_id", "emb")
     # dedup once, scan per batch: each batch reads Parquet instead of
     # re-running the dedup exchange (and the batch lineage stays flat)
     base.write.mode("overwrite").parquet(f"{path}/emb")

@@ -208,43 +208,54 @@ def encode_jpeg_gray(pixels: np.ndarray, quant: np.ndarray | None = None) -> byt
 
     bw = _BitWriter()
     prev_dc = 0
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            block = px[by : by + 8, bx : bx + 8] - 128.0
-            S = _A @ block @ _A.T
-            coeffs = np.round(S / q).astype(np.int64)
-            zz = coeffs.flat[ZIGZAG]
-            # DC: difference coding
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            cat = _category(diff)
-            code, length = _DC_ENC[cat]
-            bw.write(code, length)
-            if cat:
-                amp = diff if diff >= 0 else diff + (1 << cat) - 1
-                bw.write(amp, cat)
-            # AC: run-length of zeros + (run,size) symbols
-            run = 0
-            for i in range(1, 64):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = _AC_ENC[0xF0]  # ZRL
-                    bw.write(c, ln)
-                    run -= 16
-                size = _category(v)
-                if size > 10:
-                    raise ValueError("jpeg: AC coefficient out of baseline range")
-                c, ln = _AC_ENC[(run << 4) | size]
-                bw.write(c, ln)
-                amp = v if v >= 0 else v + (1 << size) - 1
-                bw.write(amp, size)
-                run = 0
-            if run:
-                c, ln = _AC_ENC[0x00]  # EOB
-                bw.write(c, ln)
+    # batched FDCT (r15, guide §4.2): one matmul pair over EVERY block
+    # instead of a per-block 8×8 matmul inside a Python loop — the dot
+    # products are fixed-length-8, so the batched form is bit-identical
+    # to the per-block form (pinned by the byte-equality A/B in
+    # tests/test_pipeline_ops.py via the flat-block round trip and
+    # verified against the pre-r15 encoder on random content)
+    nby, nbx = h // 8, w // 8
+    blocks = (
+        px.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128.0
+    )
+    S_all = _A @ blocks @ _A.T
+    zzs = np.round(S_all / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+    write = bw.write
+    for zz in zzs:
+        # DC: difference coding
+        dc = int(zz[0])
+        diff = dc - prev_dc
+        prev_dc = dc
+        cat = _category(diff)
+        code, length = _DC_ENC[cat]
+        write(code, length)
+        if cat:
+            amp = diff if diff >= 0 else diff + (1 << cat) - 1
+            write(amp, cat)
+        # AC: visit only the NONZERO coefficients (flat-block payloads
+        # have none) — zero runs come from index gaps, identical symbol
+        # stream to the 63-iteration scan
+        last = 0
+        for j in np.flatnonzero(zz[1:]):
+            i = int(j) + 1
+            run = i - last - 1
+            while run > 15:
+                c, ln = _AC_ENC[0xF0]  # ZRL
+                write(c, ln)
+                run -= 16
+            v = int(zz[i])
+            size = _category(v)
+            if size > 10:
+                raise ValueError("jpeg: AC coefficient out of baseline range")
+            c, ln = _AC_ENC[(run << 4) | size]
+            write(c, ln)
+            amp = v if v >= 0 else v + (1 << size) - 1
+            write(amp, size)
+            last = i
+        if last < 63:
+            c, ln = _AC_ENC[0x00]  # EOB
+            write(c, ln)
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -282,6 +293,31 @@ def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
         if sym is not None:
             return sym
     raise ValueError("jpeg: invalid huffman code in scan")
+
+
+# 16-bit-lookahead huffman LUT (r15, guide §4.2): every canonical code is
+# ≤ 16 bits, so a 65536-entry (symbol, length) table decodes one symbol
+# per O(1) lookup instead of one dict probe per BIT. Entries no code
+# covers hold symbol −1 → "invalid huffman code in scan", the same error
+# the bit-serial walk raised. Cached per table content: every image our
+# encoder emits shares the two spec-default tables.
+_LUT_CACHE: dict = {}
+
+
+def _decode_lut(dec: "dict[tuple[int, int], int]"):
+    key = tuple(sorted(dec.items()))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.full(65536, -1, dtype=np.int32)
+    lng = np.zeros(65536, dtype=np.int32)
+    for (length, code), s in dec.items():
+        start = code << (16 - length)
+        span = 1 << (16 - length)
+        sym[start : start + span] = s
+        lng[start : start + span] = length
+    _LUT_CACHE[key] = (sym, lng)
+    return sym, lng
 
 
 def decode_jpeg_gray(data: bytes) -> np.ndarray:
@@ -359,33 +395,93 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     end = data.rfind(b"\xff\xd9")
     if end < 0:
         raise ValueError("jpeg: missing EOI marker")
-    br = _BitReader(data[pos:end])
+    # --- entropy decode (r15 rewrite, guide §4.2): destuff + validate the
+    # whole scan vectorized, precompute a sliding 16-bit lookahead, and
+    # decode one huffman symbol per O(1) LUT probe instead of one dict
+    # probe per bit. Symbol stream, coefficients, and error classes are
+    # identical to the retired bit-serial _BitReader walk (which remains
+    # above for reference/fallback use).
+    scan = np.frombuffer(data[pos:end], dtype=np.uint8)
+    ff = np.flatnonzero(scan == 0xFF)
+    if ff.size:
+        if int(ff[-1]) == scan.size - 1:
+            raise ValueError("jpeg: dangling 0xFF in entropy data")
+        nxt = scan[ff + 1]
+        bad = nxt != 0x00
+        if bad.any():
+            raise ValueError(
+                f"jpeg: unexpected marker 0xFF{int(nxt[bad][0]):02X} inside "
+                "scan (restart markers are not supported)"
+            )
+        destuffed = np.delete(scan, ff + 1)
+    else:
+        destuffed = scan
+    bits = np.unpackbits(destuffed)
+    nbits = int(bits.size)
+    padded = np.concatenate([bits, np.zeros(16, dtype=np.uint8)]).astype(
+        np.int64
+    )
+    vals16 = np.lib.stride_tricks.sliding_window_view(padded, 16) @ (
+        np.int64(1) << np.arange(15, -1, -1, dtype=np.int64)
+    )
+
     q = quant[qid]
-    dc_tab, ac_tab = huff_dc[dc_id], huff_ac[ac_id]
-    img = np.zeros((h, w), dtype=np.float64)
+    dc_sym, dc_len = _decode_lut(huff_dc[dc_id])
+    ac_sym, ac_len = _decode_lut(huff_ac[ac_id])
+    nby, nbx = h // 8, w // 8
+    nblocks = nby * nbx
+    zza = np.zeros((nblocks, 64), dtype=np.int64)
     prev_dc = 0
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            zz = np.zeros(64, dtype=np.int64)
-            cat = _huff_decode(br, dc_tab)
-            prev_dc += _extend(br.receive(cat), cat)
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = _huff_decode(br, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                i += run
-                if i > 63:
-                    raise ValueError("jpeg: AC run past block end")
-                zz[i] = _extend(br.receive(size), size)
-                i += 1
-            coeffs = np.zeros(64, dtype=np.int64)
-            coeffs[ZIGZAG] = zz
-            S = coeffs.reshape(8, 8) * q
-            img[by : by + 8, bx : bx + 8] = _A.T @ S @ _A
+    p = 0
+    for b in range(nblocks):
+        if p >= nbits:
+            raise ValueError("jpeg: entropy data exhausted mid-scan")
+        v = vals16[p]
+        cat = int(dc_sym[v])
+        ln = int(dc_len[v])
+        if cat < 0:
+            raise ValueError("jpeg: invalid huffman code in scan")
+        if p + ln > nbits:
+            raise ValueError("jpeg: entropy data exhausted mid-scan")
+        p += ln
+        if cat:
+            if p + cat > nbits:
+                raise ValueError("jpeg: entropy data exhausted mid-scan")
+            prev_dc += _extend(int(vals16[p]) >> (16 - cat), cat)
+            p += cat
+        row = zza[b]
+        row[0] = prev_dc
+        i = 1
+        while i < 64:
+            if p >= nbits:
+                raise ValueError("jpeg: entropy data exhausted mid-scan")
+            v = vals16[p]
+            sym = int(ac_sym[v])
+            ln = int(ac_len[v])
+            if sym < 0:
+                raise ValueError("jpeg: invalid huffman code in scan")
+            if p + ln > nbits:
+                raise ValueError("jpeg: entropy data exhausted mid-scan")
+            p += ln
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            i += run
+            if i > 63:
+                raise ValueError("jpeg: AC run past block end")
+            if p + size > nbits:
+                raise ValueError("jpeg: entropy data exhausted mid-scan")
+            row[i] = _extend(int(vals16[p]) >> (16 - size), size)
+            p += size
+            i += 1
+    # batched dequantize + IDCT (bit-identical to the per-block form:
+    # fixed-length-8 dot products), then stitch blocks back to the image
+    coeffs_all = np.zeros((nblocks, 64), dtype=np.int64)
+    coeffs_all[:, ZIGZAG] = zza
+    S_all = coeffs_all.reshape(-1, 8, 8) * q
+    blocks = _A.T @ S_all @ _A
+    img = blocks.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(h, w)
     return np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)

@@ -1160,10 +1160,24 @@ def bloom_prune_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_matched"),
         dsum(revenue, 6).alias("matched_revenue"),
     )
+    # one accounting scan instead of two (r15, guide §1.2 "don't compute
+    # things twice"): n_lineitem and n_candidates fold into a single
+    # aggregate over one lineitem pass — the bloom predicate still
+    # gates the join input inside the scan stage (cand above), and the
+    # candidate count evaluates the same predicate as an agg condition
+    counts = li.agg(
+        F.count(F.lit(1)).alias("n_lineitem"),
+        F.count(
+            F.when(
+                bloom_might_contain(
+                    F.col("l_orderkey"), words, _BLOOM_M, _BLOOM_K
+                ),
+                F.lit(1),
+            )
+        ).alias("n_candidates"),
+    )
     return (
-        li.agg(F.count(F.lit(1)).alias("n_lineitem"))
-        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
-        .crossJoin(matched)
+        counts.crossJoin(matched)
         .withColumn(
             "n_false_positive_rows", F.col("n_candidates") - F.col("n_matched")
         )
