@@ -459,9 +459,29 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     # materialize signatures once — the banding branch and the verify
     # branch both consume them, and the 16-way salted-md5 computation is
-    # the most expensive map-side step in the pipeline
-    sig = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n
-                            ).localCheckpoint(eager=True)
+    # the most expensive map-side step in the pipeline.
+    # r15: the signature map work is CPU-per-row, not bytes — when the
+    # caller's lineage ends in an exchange (the pipeline's exact-dedup
+    # window), AQE's byte-sized coalescing (1 MB floor) ran the whole
+    # shingle+md5+fold stage on 1-2 tasks (measured: 2.3 s CPU on ONE
+    # task at sf0.1). Lower the floor for THIS materialization only;
+    # a session-wide floor was measured and rejected (it inflates task
+    # counts in iterative rows that don't want it).
+    spark = docs.sparkSession
+    _floor_key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    try:
+        _old_floor = spark.conf.get(_floor_key)
+    except Exception:
+        _old_floor = None
+    try:
+        spark.conf.set(_floor_key, "64k")
+        sig = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n
+                                ).localCheckpoint(eager=True)
+    finally:
+        if _old_floor is None:
+            spark.conf.unset(_floor_key)
+        else:
+            spark.conf.set(_floor_key, _old_floor)
     # sig is materialized (eager checkpoint) before these projections, so
     # the element_at references read the stored array — no recompute
     band_keys = band_key_expr(bands, rows)
@@ -898,7 +918,14 @@ def connected_components_star(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    sig = _checksum(edges)
+    # r15: no separate pre-loop checksum job — convergence compares
+    # CONSECUTIVE round checksums (sig_r == sig_{r-1} ⇔ round r mapped
+    # its input to itself ⇔ fixpoint, the same criterion), saving one
+    # collect per call. Round 1's edge-set double read (sym's two union
+    # branches) lands on the pair pipeline's final exchange, which Spark
+    # reuses within the one job. Cost: an ALREADY-converged input takes
+    # 2 rounds to confirm instead of 1.
+    sig: "tuple | None" = None
     for _ in range(max_iters):
         # large-star over the symmetric view: hook larger neighbors to m(u)
         sym = edges.unionByName(
@@ -935,7 +962,7 @@ def connected_components_star(
         # the checksum collect materializes the checkpoint: one job/round
         new_sig = _checksum(small)
         edges = small
-        if new_sig == sig:
+        if sig is not None and new_sig == sig:
             break
         sig = new_sig
     else:

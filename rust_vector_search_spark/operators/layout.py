@@ -40,6 +40,14 @@ __all__ = [
 Z_BITS = 16  # bits kept per key: 2 keys x 16 bits -> 32-bit z-value
 
 
+def _spread8(v: int) -> int:
+    """Spread the 8 bits of ``v`` to even positions (bit i -> bit 2i)."""
+    out = 0
+    for i in range(8):
+        out |= ((v >> i) & 1) << (2 * i)
+    return out
+
+
 def range_scale(c: Column, c_min: Column, c_max: Column, bits: int = Z_BITS) -> Column:
     """Normalize a BIGINT key into the ``bits`` budget by RANGE instead
     of truncation: ``(c - min) * mask / (max - min)`` in pure BIGINT
@@ -87,9 +95,28 @@ def morton_z2(a: Column, b: Column, bits: int = Z_BITS) -> Column:
     Keys are masked to the bit budget; pre-normalize wide keys with
     :func:`range_scale` (truncation wraps them and loses that
     dimension's clustering).
+
+    r15: the interleave evaluates through a 256-entry byte-spread
+    lookup (a constant-folded literal array, element_at is O(1)) —
+    ~8 integer ops per row instead of the 2·bits shift/and/or chain
+    (128 ops at the 16-bit budget), bit-identical output. The DuckDB
+    twin keeps the explicit shift chain; equality is what the oracle
+    checks. Budgets beyond 16 bits fall back to the shift chain.
     """
-    a = a.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
-    b = b.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    mask = (1 << bits) - 1
+    a = a.cast("long").bitwiseAND(F.lit(mask))
+    b = b.cast("long").bitwiseAND(F.lit(mask))
+    if bits <= 16:
+        lut = F.array(*[F.lit(_spread8(v)).cast("long") for v in range(256)])
+
+        def _spread16(c: Column) -> Column:
+            lo = F.element_at(lut, (c.bitwiseAND(F.lit(255)) + 1).cast("int"))
+            hi = F.element_at(
+                lut, (F.shiftright(c, 8).bitwiseAND(F.lit(255)) + 1).cast("int")
+            )
+            return lo.bitwiseOR(F.shiftleft(hi, 16))
+
+        return _spread16(a).bitwiseOR(F.shiftleft(_spread16(b), 1)).alias("zval")
     parts = []
     for i in range(bits):
         parts.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))

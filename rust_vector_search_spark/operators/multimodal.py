@@ -209,21 +209,20 @@ def encode_png(data: bytes, width: int = _PNG_WIDTH) -> bytes:
     padded = np.frombuffer(
         data + b"\x00" * (height * width - len(data)), dtype=np.uint8
     ).reshape(height, width).astype(np.int16)
-    out = bytearray()
-    prev = np.zeros(width, dtype=np.int16)
-    for r in range(height):
-        row = padded[r]
-        ft = r % 3
-        if ft == 0:  # None
-            filtered = row
-        elif ft == 1:  # Sub: subtract left neighbor
-            filtered = (row - np.concatenate(([0], row[:-1]))) % 256
-        else:  # Up: subtract the row above
-            filtered = (row - prev) % 256
-        out.append(ft)
-        out += filtered.astype(np.uint8).tobytes()
-        prev = row
-    compressed = zlib.compress(bytes(out), 6)
+    # r15: all three rotating filters vectorize across the whole image
+    # (Sub shifts within the row, Up differences against the row above —
+    # no inter-row decode dependency on the ENCODE side), so the
+    # scanline stream builds with no per-row Python loop. Byte-identical
+    # to the per-row form.
+    filtered = padded.copy()
+    filtered[1::3, 1:] = (padded[1::3, 1:] - padded[1::3, :-1]) % 256  # Sub
+    up_idx = np.arange(2, height, 3)
+    if up_idx.size:
+        filtered[up_idx] = (padded[up_idx] - padded[up_idx - 1]) % 256  # Up
+    lines = np.empty((height, width + 1), dtype=np.uint8)
+    lines[:, 0] = (np.arange(height) % 3).astype(np.uint8)
+    lines[:, 1:] = filtered.astype(np.uint8)
+    compressed = zlib.compress(lines.tobytes(), 6)
     mid = max(1, len(compressed) // 2)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     return (
@@ -282,6 +281,26 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int]:
         raise ValueError("decompressed stream does not match geometry")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, width + 1)
     out = np.zeros((height, width), dtype=np.uint8)
+    # r15 fast path (guide §4.2): the rotating None/Sub/Up pattern our
+    # own encoder writes unfilters with three vectorized group ops —
+    # None rows are raw, Sub rows are a within-row cumsum (mod
+    # distributes over addition; int64 cumsum is exact), and every Up
+    # row sits directly under an already-decoded Sub row. Byte-exact
+    # twin of the general per-row loop below, which remains for foreign
+    # filter sequences (incl. Average/Paeth).
+    if np.array_equal(
+        rows[:, 0], (np.arange(height) % 3).astype(np.uint8)
+    ):
+        data_i = rows[:, 1:].astype(np.int64)
+        out[0::3] = data_i[0::3].astype(np.uint8)  # None
+        sub = np.cumsum(data_i[1::3], axis=1) % 256  # Sub
+        out[1::3] = sub.astype(np.uint8)
+        if height > 2:
+            up_rows = data_i[2::3]
+            out[2::3] = ((up_rows + sub[: len(up_rows)]) % 256).astype(
+                np.uint8
+            )
+        return width, height, int(out.size), int(out.sum(dtype=np.int64))
     for r in range(height):
         ft, line = rows[r, 0], rows[r, 1:].astype(np.int32)
         up = out[r - 1].astype(np.int32) if r else np.zeros(width, dtype=np.int32)

@@ -1250,9 +1250,18 @@ def _blas_rerank(
             out["_r"] = out.groupby("query_id").cumcount()
             yield out.loc[out["_r"] < k, ["query_id", "vec_id", "dist"]]
 
+    # cluster the slim pairs by query BEFORE the kernel (r15): with a
+    # query's candidates concentrated in ~one batch, the per-batch top-k
+    # prune collapses them to ≤ k rows, so the global window reads
+    # ~k·|queries| rows instead of the full candidate set (measured
+    # 0.97M → ~12k window input at sf0.1, tail 1.5 s → 1.0 s). The
+    # exchange carries 16-byte id pairs only, and this path is
+    # broadcast-gate-bounded by construction.
     partial = cand.select(
         F.col("query_id").cast("long"), F.col("vec_id").cast("long")
-    ).mapInPandas(_score, "query_id long, vec_id long, dist double")
+    ).repartition("query_id").mapInPandas(
+        _score, "query_id long, vec_id long, dist double"
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("vec_id").asc()
     )

@@ -40,6 +40,12 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NB (r15): a session-wide 64k coalescePartitions.minPartitionSize
+        # was measured and REVERTED — it fixed the one genuinely
+        # CPU-bound-per-row small shuffle (minhash signatures; handled
+        # locally in operators/dedup.py now) but exploded task counts in
+        # the iterative rows (pagerank +70%, zorder +50% wall) and left
+        # knock-on scheduler/GC pressure in following queries.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
