@@ -77,7 +77,10 @@ def pagerank_integer(
             # iteration 1 folded analytically (r15, guide §2.4): rank0 is
             # the PR_UNIT constant for every node, so contrib needs no
             # rank join (and no initial distinct-node state) — identical
-            # integers, two fewer exchanges
+            # integers, two fewer exchanges. A/B-adjudicated r16 (5
+            # alternating pairs, one session): fold wins every summary
+            # statistic (median 4.50 vs 4.74 s); the r15 driver
+            # regression was tail-noise.
             contrib = ed.select(
                 F.col("dst"), F.expr(f"CAST({PR_UNIT} AS BIGINT) DIV d").alias("c")
             )

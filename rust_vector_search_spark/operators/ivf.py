@@ -43,6 +43,19 @@ def _nearest_cells(
         F.col("c_id"),
         sq_euc_dist(pvec, "cv").alias("cdist"),
     )
+    if n == 1:
+        # argmin as min(struct) (r16, guide §2.3): the row_number window
+        # shuffled + sorted ALL N·|C| scored rows; the struct-min's
+        # map-side partial aggregation collapses them to N rows before
+        # the exchange and needs no sort. Lexicographic (cdist, c_id)
+        # struct order is exactly the window's (cdist ASC, c_id ASC),
+        # so the assigned cell — ties to the smaller c_id — is
+        # bit-identical.
+        return (
+            scored.groupBy(pid)
+            .agg(F.min(F.struct("cdist", "c_id")).alias("_m"))
+            .select(pid, F.col("_m.c_id").alias("c_id"))
+        )
     w = Window.partitionBy(pid).orderBy(F.col("cdist").asc(), F.col("c_id").asc())
     return (
         scored.withColumn("crn", F.row_number().over(w))

@@ -95,10 +95,17 @@ def pq_encode(
     """(id, code ARRAY<INT>) — code[j] is the 1-based ``pos`` of the
     nearest centroid of subspace j (ties → smaller centroid id).
 
-    The argmin is a broadcast join against the tiny codebook + one
-    row_number window over (id, j) — N·m slim rows, then one grouped
-    collect back to the wide ``m``-int code array (the persistable
-    form the candidate scan reads)."""
+    The argmin is a broadcast join against the tiny codebook + a
+    ``min(struct(sd, c_id, pos))`` aggregate per (id, j) — NOT a
+    row_number window (r16, guide §2.3 "aggregate before you shuffle"):
+    the window form shuffled and sorted ALL N·m·ks scored rows, while
+    the struct-min's map-side partial aggregation collapses them to
+    N·m slim rows before the exchange (ks× fewer shuffled rows) and
+    needs no sort. Lexicographic struct comparison on (sd, c_id) is
+    exactly the window's (sd ASC, c_id ASC) order, so the selected
+    centroid — ties to the smaller c_id — is bit-identical. Then one
+    grouped collect back to the wide ``m``-int code array (the
+    persistable form the candidate scan reads)."""
     j = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
     subv = emb.select(F.col(id_col), F.col(vec_col).alias("_v")).select(
         id_col,
@@ -112,13 +119,10 @@ def pq_encode(
     scored = subv.join(F.broadcast(codebook), "j").select(
         id_col, "j", "pos", "c_id", sq_euc_dist("sv", "cv").alias("sd")
     )
-    w = Window.partitionBy(id_col, "j").orderBy(
-        F.col("sd").asc(), F.col("c_id").asc()
-    )
     enc = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "j", "pos")
+        scored.groupBy(id_col, "j")
+        .agg(F.min(F.struct("sd", "c_id", "pos")).alias("_m"))
+        .select(id_col, "j", F.col("_m.pos").alias("pos"))
     )
     return enc.groupBy(id_col).agg(
         F.transform(

@@ -1250,18 +1250,18 @@ def _blas_rerank(
             out["_r"] = out.groupby("query_id").cumcount()
             yield out.loc[out["_r"] < k, ["query_id", "vec_id", "dist"]]
 
-    # cluster the slim pairs by query BEFORE the kernel (r15): with a
-    # query's candidates concentrated in ~one batch, the per-batch top-k
-    # prune collapses them to ≤ k rows, so the global window reads
-    # ~k·|queries| rows instead of the full candidate set (measured
-    # 0.97M → ~12k window input at sf0.1, tail 1.5 s → 1.0 s). The
-    # exchange carries 16-byte id pairs only, and this path is
-    # broadcast-gate-bounded by construction.
+    # No pre-kernel repartition (r16): r15 clustered the pairs by
+    # query_id before the kernel so the window read ~k·|queries| rows,
+    # but the added exchange moves the FULL candidate set to save the
+    # window a bounded input it already has — the per-batch top-k prune
+    # caps window input at k rows per (query, batch) regardless of
+    # placement. A/B-adjudicated (5 alternating pairs, one session):
+    # no reproducible win and two >2× outlier reps on the repartition
+    # variant; the r15 driver read it 18% slower on both runs. Reverted
+    # per VERDICT r15 #1.
     partial = cand.select(
         F.col("query_id").cast("long"), F.col("vec_id").cast("long")
-    ).repartition("query_id").mapInPandas(
-        _score, "query_id long, vec_id long, dist double"
-    )
+    ).mapInPandas(_score, "query_id long, vec_id long, dist double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("vec_id").asc()
     )

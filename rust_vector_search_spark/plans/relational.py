@@ -1161,17 +1161,29 @@ def bloom_prune_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column-pruned count scan.
     cand = li.select("l_orderkey", "l_extendedprice", "l_discount").filter(
         bloom_might_contain(F.col("l_orderkey"), words, _BLOOM_M, _BLOOM_K)
-    ).localCheckpoint(eager=True)
+    )
     revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    matched = cand.join(
-        F.broadcast(hi), cand["l_orderkey"] == hi["o_orderkey"]
-    ).agg(
-        F.count(F.lit(1)).alias("n_matched"),
-        dsum(revenue, 6).alias("matched_revenue"),
+    # r16 (guide §1.2/§2.4): ONE pass evaluates the membership
+    # predicate — the candidate count and the matched aggregate fold
+    # into the same broadcast LEFT join (o_orderkey is unique in
+    # orders, so the left join preserves candidate cardinality and
+    # count(o_orderkey) counts exactly the inner-join rows). The r15
+    # eager-checkpoint variant was A/B-adjudicated slower (its
+    # materialization job + block churn cost more than the saved
+    # predicate pass); this shape wins 5/5 alternating pairs vs the
+    # r14 form (median 2.70 vs 3.20 s). Net lineitem passes: 3 (r14) /
+    # 3 + ckpt (r15) → 2, predicate passes: 2 (r14) → 1.
+    j = cand.join(
+        F.broadcast(hi), cand["l_orderkey"] == hi["o_orderkey"], "left"
     )
-    counts = li.agg(F.count(F.lit(1)).alias("n_lineitem")).crossJoin(
-        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    matched = j.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count(hi["o_orderkey"]).alias("n_matched"),
+        dsum(
+            F.when(hi["o_orderkey"].isNotNull(), revenue), 6
+        ).alias("matched_revenue"),
     )
+    counts = li.agg(F.count(F.lit(1)).alias("n_lineitem"))
     return (
         counts.crossJoin(matched)
         .withColumn(

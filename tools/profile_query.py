@@ -51,7 +51,9 @@ def main() -> None:
               "streaming_dedup_arrival_order"):
         QUERIES[w](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    plans_dir = os.path.join(REPO, "plans", "r15")
+    plans_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16")
+    )
     os.makedirs(plans_dir, exist_ok=True)
 
     for name in names:
