@@ -216,7 +216,14 @@ def main() -> None:
         # pressure) and fast-exits in a healthy session — the r6
         # driver bench showed late rows inflating 2-27x over their
         # clean numbers from exactly this accumulation.
-        release_driver_blocks(spark)
+        # r16 (VERDICT r15 #6): unpersist_all force-drops every
+        # registered block instead of waiting for the GC chain — on an
+        # 8 GB heap the <50% fast path never trips and prior queries'
+        # checkpoint blocks squat in the unified pool (probe: an 8-row
+        # bench-order subsequence improved on EVERY row, 36.1 -> 26.6 s
+        # total). Safe here because each row is fully noop-materialized
+        # before the next starts; still in the UNTIMED region.
+        release_driver_blocks(spark, unpersist_all=True)
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -91,43 +91,63 @@ def pq_encode(
     sub_dim: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """(id, code ARRAY<INT>) — code[j] is the 1-based ``pos`` of the
     nearest centroid of subspace j (ties → smaller centroid id).
 
-    The argmin is a broadcast join against the tiny codebook + a
-    ``min(struct(sd, c_id, pos))`` aggregate per (id, j) — NOT a
-    row_number window (r16, guide §2.3 "aggregate before you shuffle"):
-    the window form shuffled and sorted ALL N·m·ks scored rows, while
-    the struct-min's map-side partial aggregation collapses them to
-    N·m slim rows before the exchange (ks× fewer shuffled rows) and
-    needs no sort. Lexicographic struct comparison on (sd, c_id) is
-    exactly the window's (sd ASC, c_id ASC) order, so the selected
-    centroid — ties to the smaller c_id — is bit-identical. Then one
-    grouped collect back to the wide ``m``-int code array (the
-    persistable form the candidate scan reads)."""
-    j = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j")
-    subv = emb.select(F.col(id_col), F.col(vec_col).alias("_v")).select(
-        id_col,
-        j,
-        "_v",
-    ).select(
-        id_col,
-        "j",
-        F.slice(F.col("_v"), F.col("j") * sub_dim + 1, F.lit(sub_dim)).alias("sv"),
+    The argmin is a PER-ROW FOLD over the broadcast codebook (r16,
+    guide §2.4/§1.2) — zero exchange, zero sort. The previous form
+    exploded N·m subvectors, broadcast-joined the codebook into N·m·ks
+    scored rows and ran a row_number window over (id, j) (a full
+    exchange + sort of the cross product) plus a grouped collect back
+    to the code array — three exchanges for a computation that is a
+    pure function of each row. Here every row maps subspace j to the
+    argmin of ``sq_euc_dist`` over the j-th c_id-SORTED centroid list
+    with a left fold keeping the first strict improvement, so ties
+    resolve to the smaller c_id — selection identical to the window's
+    (sd ASC, c_id ASC) order, on the same float bits, with the same
+    broadcast footprint the join already paid."""
+    per_j = codebook.groupBy("j").agg(
+        F.array_sort(F.collect_list(F.struct("c_id", "pos", "cv"))).alias("cl")
     )
-    scored = subv.join(F.broadcast(codebook), "j").select(
-        id_col, "j", "pos", "c_id", sq_euc_dist("sv", "cv").alias("sd")
-    )
-    enc = (
-        scored.groupBy(id_col, "j")
-        .agg(F.min(F.struct("sd", "c_id", "pos")).alias("_m"))
-        .select(id_col, "j", F.col("_m.pos").alias("pos"))
-    )
-    return enc.groupBy(id_col).agg(
+    cbs = per_j.agg(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "pos"))), lambda s: s["pos"]
-        ).alias("code")
+            F.array_sort(F.collect_list(F.struct("j", "cl"))), lambda s: s["cl"]
+        ).alias("_cbs")
+    )
+
+    def _best_pos(jj):
+        sv = F.slice(F.col("_v"), jj * sub_dim + 1, F.lit(sub_dim))
+        cl = F.get(F.col("_cbs"), jj)
+        scored = F.transform(
+            cl,
+            lambda e: F.struct(
+                sq_euc_dist(sv, e["cv"]).alias("d"), e["pos"].alias("pos")
+            ),
+        )
+        init = F.struct(
+            F.lit(float("inf")).alias("d"), F.get(cl, 0)["pos"].alias("pos")
+        )
+        return F.aggregate(
+            scored, init, lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc)
+        )["pos"]
+
+    keep = [F.col(c) for c in keep_cols]
+    return (
+        emb.select(F.col(id_col), F.col(vec_col).alias("_v"), *keep)
+        .crossJoin(F.broadcast(cbs))
+        # empty codebook ⇒ _cbs = [] (never partially filled: every
+        # centroid contributes to every subspace) — emit nothing, the
+        # join form's empty output
+        .filter(F.size(F.col("_cbs")) == m)
+        .select(
+            id_col,
+            F.transform(F.sequence(F.lit(0), F.lit(m - 1)), _best_pos).alias(
+                "code"
+            ),
+            *keep,
+        )
     )
 
 
@@ -225,18 +245,27 @@ def ivf_pq_topk(
 
     Returns (query_id, vec_id, dist, rnk) — dist is the EXACT squared
     euclidean distance of the re-ranked survivors."""
-    from .ivf import _centroids, _nearest_cells, ivf_assign
+    from .ivf import _centroids, _nearest_cells, attach_cell
 
     cents = _centroids(emb, stride, id_col, vec_col)
-    assign = ivf_assign(emb, stride, id_col, vec_col)
     qcells = _nearest_cells(
         queries, cents, nprobe, "query_id", "query_vec"
     ).select("query_id", F.col("c_id").alias("cell"))
 
     cb = pq_codebook(emb, m, sub_dim, cb_stride, id_col, vec_col)
-    codes = pq_encode(emb, cb, m, sub_dim, id_col, vec_col).withColumnRenamed(
-        id_col, "vec_id"
-    ).join(assign.withColumnRenamed(id_col, "vec_id"), "vec_id")
+    # r16 (guide §2.4): cell assignment and PQ codes are both per-row
+    # folds now, so they ride ONE pass over the corpus (keep_cols
+    # passthrough) — the previous shape built a separate assign table
+    # and joined it back on vec_id (an exchange of the code payload).
+    codes = pq_encode(
+        attach_cell(emb.select(F.col(id_col), F.col(vec_col)), cents, vec_col),
+        cb,
+        m,
+        sub_dim,
+        id_col,
+        vec_col,
+        keep_cols=("cell",),
+    ).withColumnRenamed(id_col, "vec_id")
     lut = pq_lut(queries, cb, m, sub_dim)
 
     # each vector lives in exactly ONE cell (argmin assignment), so the

@@ -33,21 +33,28 @@ def _q_dot(a: str, b: str) -> Column:
 
 
 def quantize_int8(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Per-vector symmetric int8 quantization:
     ``scale = max|x| / 127``, ``q_i = round(x_i / scale)`` ∈ [−127, 127].
 
     Returns (id, scale DOUBLE, qvec ARRAY<INT>, qnorm2 LONG) where
     qnorm2 = Σ q_i² (precomputed so distance scoring needs only the
-    cross-term). Zero vectors get scale 0 and all-zero codes."""
+    cross-term). Zero vectors get scale 0 and all-zero codes.
+    ``keep_cols`` pass through unchanged (r16: lets a caller carry the
+    map-side IVF cell column through the same row pass instead of
+    joining it back on vec_id)."""
     absmax = F.aggregate(
         F.col(vec_col),
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
     )
     scale = (absmax / F.lit(127.0)).alias("scale")
-    out = emb.select(F.col(id_col), F.col(vec_col), scale)
+    keep = [F.col(c) for c in keep_cols]
+    out = emb.select(F.col(id_col), F.col(vec_col), scale, *keep)
     qvec = F.when(
         F.col("scale") == 0.0,
         F.transform(F.col(vec_col), lambda x: F.lit(0)),
@@ -57,7 +64,7 @@ def quantize_int8(
             lambda x: F.round(x.cast("double") / F.col("scale"), 0).cast("int"),
         )
     )
-    out = out.select(F.col(id_col), F.col("scale"), qvec.alias("qvec"))
+    out = out.select(F.col(id_col), F.col("scale"), qvec.alias("qvec"), *keep)
     return out.withColumn("qnorm2", _q_dot("qvec", "qvec"))
 
 
@@ -87,20 +94,30 @@ def ivf_int8_topk(
     ``quantize_int8``), so the DuckDB oracle replays the whole plan
     bit-exactly. Returns (query_id, vec_id, dist, rnk)."""
     from ..functions.vector import sq_euc_dist
-    from .ivf import _centroids, _nearest_cells, ivf_assign
+    from .ivf import _centroids, _nearest_cells, attach_cell
 
     cents = _centroids(emb, stride, id_col, vec_col)
-    assign = ivf_assign(emb, stride, id_col, vec_col)
     qcells = _nearest_cells(
         queries, cents, nprobe, "query_id", "query_vec"
     ).select("query_id", F.col("c_id").alias("cell"))
 
-    codes = quantize_int8(emb, id_col, vec_col).select(
+    # r16 (guide §2.4): the cell rides the same row pass as the
+    # quantization (per-row argmin fold + keep_cols passthrough) — the
+    # previous assign-table build was a window over N·|C| scored rows
+    # plus a vec_id join back to the quantized payload (two exchanges
+    # for a per-row computation).
+    codes = quantize_int8(
+        attach_cell(emb.select(F.col(id_col), F.col(vec_col)), cents, vec_col),
+        id_col,
+        vec_col,
+        keep_cols=("cell",),
+    ).select(
         F.col(id_col).alias("vec_id"),
         F.col("scale").alias("c_scale"),
         F.col("qvec").alias("c_qvec"),
         F.col("qnorm2").alias("c_qnorm2"),
-    ).join(assign.withColumnRenamed(id_col, "vec_id"), "vec_id")
+        F.col("cell"),
+    )
     qc = quantize_int8(
         queries.select(
             F.col("query_id").alias("_qid"), F.col("query_vec").alias("_qv")

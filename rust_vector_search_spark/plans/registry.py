@@ -97,8 +97,23 @@ def stop_idle_state_stores(spark: SparkSession) -> None:
         pass
 
 
-def release_driver_blocks(spark: SparkSession) -> None:
+def release_driver_blocks(spark: SparkSession, unpersist_all: bool = False) -> None:
     """Defensive driver-side GC for block-heavy queries.
+
+    ``unpersist_all=True`` additionally force-unpersists EVERY
+    registered RDD (checkpoint/persist blocks) instead of waiting for
+    the GC → ContextCleaner chain — on an 8 GB driver heap the <50%
+    fast path below never trips, so blocks from earlier queries pile
+    into the unified memory pool and later queries measure memory
+    pressure instead of their plan (r16 probe, 8-row bench-order
+    subsequence at sf0.1: every row improved, 36.1 s → 26.6 s total;
+    the r15 driver bench's 1.4-10× tail inflation is this). Only safe
+    when the caller OWNS the session and every previously returned
+    DataFrame is fully materialized — a checkpointed frame whose
+    blocks are dropped cannot recompute (lineage is truncated). bench.py
+    qualifies (each row is noop-saved before the next starts); the
+    correctness window runner does NOT (it may materialize a prior
+    row's frame late), hence the default stays False.
 
     The external driver executes all 50 window queries in ONE session
     with a DEFAULT driver heap. localCheckpoint blocks from earlier
@@ -120,6 +135,13 @@ def release_driver_blocks(spark: SparkSession) -> None:
     import gc
     import time
 
+    if unpersist_all:
+        try:
+            jm = spark.sparkContext._jsc.getPersistentRDDs()
+            for rdd in list(jm.values()):
+                rdd.unpersist(False)
+        except Exception:
+            pass  # Spark Connect: no JVM handle
     gc.collect()
     try:
         jvm = spark.sparkContext._jvm

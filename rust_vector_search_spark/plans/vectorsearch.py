@@ -338,13 +338,18 @@ def near_dup_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine. Deterministic cells keep it fully oracle-checkable;
     the recall cost vs the exact cross-join variant is the standard
     bucketing tradeoff (mitigate with multi-cell assignment)."""
-    from ..operators.ivf import ivf_assign
+    from ..operators.ivf import _centroids, attach_cell
     from ..functions.vector import cosine_sim
 
     emb = _emb(spark, sf_dir)
-    assign = ivf_assign(emb, stride=_IVF_STRIDE).join(emb, "vec_id").select(
-        "vec_id", "cell", "embedding"
-    )
+    # r16 (guide §2.4): the cell is a per-row fold column on the scan —
+    # the previous ivf_assign(...).join(emb, "vec_id") shuffled the full
+    # embedding payload once just to re-attach its own cell.
+    assign = attach_cell(
+        emb.select("vec_id", "embedding"),
+        _centroids(emb, _IVF_STRIDE, "vec_id", "embedding"),
+        "embedding",
+    ).select("vec_id", "cell", "embedding")
     a = assign.select(
         F.col("vec_id").alias("vec_id_a"), F.col("cell"), F.col("embedding").alias("v_a")
     )
@@ -400,13 +405,16 @@ def dedup_embedding_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     leave their IVF cell (equi-join, O(Σ cell²) not O(N²)); the
     contraction is 1 job + 1 slim dedup shuffle per round."""
     from ..operators.dedup import connected_components_star
-    from ..operators.ivf import ivf_assign
+    from ..operators.ivf import _centroids, attach_cell
     from ..functions.vector import cosine_sim
 
     emb = _emb(spark, sf_dir)
-    assign = ivf_assign(emb, stride=_IVF_STRIDE).join(emb, "vec_id").select(
-        "vec_id", "cell", "embedding"
-    )
+    # r16: per-row cell fold on the scan (see near_dup_cosine_bucketed)
+    assign = attach_cell(
+        emb.select("vec_id", "embedding"),
+        _centroids(emb, _IVF_STRIDE, "vec_id", "embedding"),
+        "embedding",
+    ).select("vec_id", "cell", "embedding")
     a = assign.select(
         F.col("vec_id").alias("vec_id_a"), "cell", F.col("embedding").alias("v_a")
     )

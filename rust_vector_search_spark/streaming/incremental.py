@@ -764,7 +764,7 @@ def streaming_embedding_dedup_ingest(
     import pyspark.sql.functions as F
 
     from ..functions.vector import cosine_sim
-    from ..operators.ivf import _nearest_cells
+    from ..operators.ivf import _argmin_cell, _nearest_cells
 
     def _probe_and_append(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -830,7 +830,7 @@ def streaming_embedding_dedup_ingest(
         # idempotent under at-least-once retries: each batch OVERWRITES
         # its own batch=<id> subdirectory instead of appending
         flags.write.mode("overwrite").parquet(f"{flags_path}/batch={batch_id}")
-        own = _nearest_cells(pts, centroids, 1, id_col, vec_col).select(
+        own = _argmin_cell(pts, centroids, id_col, vec_col).select(
             F.col(id_col), F.col("c_id").alias("cell")
         )
         pts.join(own, id_col).select("cell", id_col, vec_col).write.mode(

@@ -103,6 +103,13 @@ def test_ivfpq_plan_is_cell_equijoin(spark):
     plan = plan_of(QUERIES["ann_ivfpq_topk"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     nlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
-    assert len(nlj) <= 3, plan[:3000]
+    # r16: pq_encode and ivf_assign now attach their centroid/codebook
+    # tables as ONE-ROW broadcast arrays (per-row argmin fold, no
+    # exchange) — each reads as a BroadcastNestedLoopJoin of a 1-row
+    # side, raising the tiny-crossjoin count from 3 to at most 5. The
+    # gate this test exists for is unchanged and asserted below: the
+    # CODE table is reached through a hash equi-join on cell, never a
+    # nested loop.
+    assert len(nlj) <= 5, plan[:3000]
     assert re.search(r"^\(\d+\) \w*HashJoin", plan, re.M), plan[:3000]
     assert "cell" in plan
