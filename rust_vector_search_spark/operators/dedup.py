@@ -832,11 +832,22 @@ def connected_components(
                     F.coalesce(F.col("nb_label"), F.col("label")) < F.col("label")
                 ).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        # ONE job per round (r16, guide §2.4 / the star loop's checksum
+        # pattern): the changed-check is a FULL aggregate, so it both
+        # answers convergence and materializes the LAZY checkpoint in
+        # the same driver round-trip. The previous eager checkpoint +
+        # limit(1).count() pair was two jobs per round — and the limit's
+        # short-circuit is illusory anyway: the checkpoint already paid
+        # the full pass. (A partial action over a lazy localCheckpoint
+        # would persist only the scanned partitions; a full aggregate is
+        # the one safe materializer.)
+        changed = new_labels.agg(
+            F.sum(F.col("_changed").cast("int")).alias("n")
+        ).collect()[0]["n"]
         labels = new_labels.drop("_changed")
-        if changed == 0:
+        if not changed:
             break
     else:
         raise RuntimeError(

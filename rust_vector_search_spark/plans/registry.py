@@ -139,7 +139,11 @@ def release_driver_blocks(spark: SparkSession, unpersist_all: bool = False) -> N
         try:
             jm = spark.sparkContext._jsc.getPersistentRDDs()
             for rdd in list(jm.values()):
-                rdd.unpersist(False)
+                # BLOCKING on purpose: a non-blocking unpersist hands the
+                # block removal to async cleaner threads that then compete
+                # with the NEXT timed query — the cost belongs here, in
+                # the untimed inter-row region
+                rdd.unpersist(True)
         except Exception:
             pass  # Spark Connect: no JVM handle
     gc.collect()
