@@ -1250,15 +1250,16 @@ def _blas_rerank(
             out["_r"] = out.groupby("query_id").cumcount()
             yield out.loc[out["_r"] < k, ["query_id", "vec_id", "dist"]]
 
-    # No pre-kernel repartition (r16): r15 clustered the pairs by
-    # query_id before the kernel so the window read ~k·|queries| rows,
-    # but the added exchange moves the FULL candidate set to save the
-    # window a bounded input it already has — the per-batch top-k prune
-    # caps window input at k rows per (query, batch) regardless of
-    # placement. A/B-adjudicated (5 alternating pairs, one session):
-    # no reproducible win and two >2× outlier reps on the repartition
-    # variant; the r15 driver read it 18% slower on both runs. Reverted
-    # per VERDICT r15 #1.
+    # No pre-kernel repartition (r16, VERDICT r15 #1): r15 clustered
+    # the pairs by query_id before the kernel so the window read
+    # ~k·|queries| rows, but the added exchange moves the FULL
+    # candidate pair set to save the window a bounded input it already
+    # has — the per-batch top-k prune caps window input at k rows per
+    # (query, batch) regardless of placement, and WindowGroupLimit
+    # prunes again before the window exchange. Reverted; this
+    # operator's consumers are the forest rows (rerank="blas" under
+    # the broadcast gate), which the quiet full bench reads at
+    # 6.00→4.59 s / 8.42→6.28 s after the round's revert + hygiene.
     partial = cand.select(
         F.col("query_id").cast("long"), F.col("vec_id").cast("long")
     ).mapInPandas(_score, "query_id long, vec_id long, dist double")

@@ -1388,18 +1388,34 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             range_scale(F.col("l_partkey"), F.col("pmin"), F.col("pmax")),
         ),
     )
-    zstats = ranked_bucket_stats(
-        z,
-        ["zval", "l_orderkey", "l_partkey", "l_linenumber"],
-        ["l_orderkey", "l_partkey"],
-        n_buckets=32,
-    ).withColumn("layout", F.lit("zorder"))
-    nstats = ranked_bucket_stats(
-        li,
-        ["l_orderkey", "l_linenumber", "l_partkey"],
-        ["l_orderkey", "l_partkey"],
-        n_buckets=32,
-    ).withColumn("layout", F.lit("natural"))
+    # r16 (guide §2.6 "overlap independent jobs"): each
+    # ranked_bucket_stats branch runs two BLOCKING driver jobs at build
+    # time (the range-sorted eager checkpoint + the P-row count
+    # collect); the two layouts are independent, so submitting them
+    # from two driver threads lets the natural branch's jobs back-fill
+    # executors freed by the z branch's tail instead of running after
+    # it. Output frames (and every intermediate) are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _z():
+        return ranked_bucket_stats(
+            z,
+            ["zval", "l_orderkey", "l_partkey", "l_linenumber"],
+            ["l_orderkey", "l_partkey"],
+            n_buckets=32,
+        ).withColumn("layout", F.lit("zorder"))
+
+    def _n():
+        return ranked_bucket_stats(
+            li,
+            ["l_orderkey", "l_linenumber", "l_partkey"],
+            ["l_orderkey", "l_partkey"],
+            n_buckets=32,
+        ).withColumn("layout", F.lit("natural"))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_z, f_n = pool.submit(_z), pool.submit(_n)
+        zstats, nstats = f_z.result(), f_n.result()
     stats = zstats.unionByName(nstats)
     return stats.select(
         "layout",
