@@ -892,8 +892,13 @@ def connected_components_star(
     checksum collect itself, so each contraction round is exactly ONE
     Spark job (r4 bench finding: the eager-checkpoint + checksum pair
     was two driver round-trips per round and dominated wall time at
-    small SF). Raises ``RuntimeError`` if the budget is exhausted with
-    the edge set still moving (never silently truncates).
+    small SF). Convergence compares CONSECUTIVE round checksums, so
+    confirming a fixpoint inherently costs one extra (cheap) round;
+    that confirmation round is granted ON TOP of ``max_iters`` —
+    ``max_iters=1`` on an already-converged input returns instead of
+    raising (ADVICE r15). Raises ``RuntimeError`` only when the budget
+    is exhausted with the edge set still moving between the last two
+    checksummed rounds (never silently truncates).
     """
     # lazy checkpoints throughout: lineage must be truncated per round
     # (the loop would otherwise compound the plan), but materialization
@@ -987,7 +992,12 @@ def connected_components_star(
     # passes that dwarf the saved driver collects. One checksum collect
     # per round, riding the round's own materialization job, stays.
     sig: "tuple | None" = None
-    for _ in range(max_iters):
+    # max_iters + 1: consecutive-checksum detection needs one round
+    # BEYOND the fixpoint to confirm it, and that confirmation round is
+    # granted on top of the contraction budget (ADVICE r15 — with it
+    # inside the budget, max_iters=1 raised on an already-converged
+    # input where the pre-r15 code returned).
+    for _ in range(max_iters + 1):
         small = _one_round(edges, True)
         # the checksum collect materializes the checkpoint: one job/round
         new_sig = _checksum(small)

@@ -416,14 +416,23 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
         destuffed = np.delete(scan, ff + 1)
     else:
         destuffed = scan
-    bits = np.unpackbits(destuffed)
-    nbits = int(bits.size)
-    padded = np.concatenate([bits, np.zeros(16, dtype=np.uint8)]).astype(
-        np.int64
+    nbits = int(destuffed.size) * 8
+    # 16-bit lookahead per bit position, built BYTEWISE (ADVICE r15):
+    # the previous construction unpacked the scan to an int64 bit array
+    # and ran a sliding-window matmul — ~130 bytes of temporaries per
+    # scan byte, hundreds of MB on a multi-MB foreign scan. This packs
+    # the same values as uint16 via 8 strided slice assignments over a
+    # 24-bit byte window (~18 bytes per scan byte): for bit position
+    # p = 8i + r, bits [p, p+16) live inside bytes i..i+2, so
+    # vals16[p] = (w24[i] >> (8 - r)) & 0xFFFF. Two appended zero bytes
+    # reproduce the old zero-padding past the scan end.
+    bpad = np.concatenate([destuffed, np.zeros(2, dtype=np.uint8)]).astype(
+        np.int32
     )
-    vals16 = np.lib.stride_tricks.sliding_window_view(padded, 16) @ (
-        np.int64(1) << np.arange(15, -1, -1, dtype=np.int64)
-    )
+    w24 = (bpad[:-2] << 16) | (bpad[1:-1] << 8) | bpad[2:]
+    vals16 = np.empty(nbits, dtype=np.uint16)
+    for r in range(8):
+        vals16[r::8] = ((w24 >> (8 - r)) & 0xFFFF).astype(np.uint16)
 
     q = quant[qid]
     dc_sym, dc_len = _decode_lut(huff_dc[dc_id])

@@ -118,3 +118,22 @@ def test_release_driver_blocks_unpersist_all_drops_blocks(spark):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
     release_driver_blocks(spark, unpersist_all=True)
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_star_components_converged_input_max_iters_one(spark):
+    """ADVICE r15: consecutive-checksum convergence needs one round
+    beyond the fixpoint to confirm it; that confirmation round is
+    granted on top of max_iters, so an already-converged input with
+    max_iters=1 returns instead of raising."""
+    from rust_vector_search_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, 0) for i in range(1, 4)], "doc_id_a long, doc_id_b long"
+    )
+    got = {
+        (r.node, r.component_id)
+        for r in connected_components_star(pairs, max_iters=1).collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 0)}
